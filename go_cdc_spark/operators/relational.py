@@ -1,0 +1,700 @@
+"""Batch relational operator surface (SURVEY.md §2.B).
+
+Each operator is a named query registered with a DuckDB oracle. All of
+these are stock Catalyst plans — scans with pushed filters, broadcast /
+sort-merge joins, partial hash aggregation, window exec — expressed
+declaratively so they scale from sf0.001 to 100 TB without code change.
+
+Numeric policy (drives oracle hash-matching): sums of DOUBLE columns go
+through ``DECIMAL(38,6)`` accumulation (exact, order-independent) and
+are cast back to DOUBLE; per-row arithmetic stays DOUBLE (bit-identical
+IEEE in both engines); averages are exact-sum / count in DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load
+from ..plans.registry import query
+
+DEC = "decimal(38,6)"
+
+
+def dsum(col: F.Column) -> F.Column:
+    """Order-independent exact sum of a double column, returned as double."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def davg(col: F.Column) -> F.Column:
+    """avg = exact-sum / count, evaluated in double (matches oracle SQL)."""
+    return F.sum(col.cast(DEC)).cast("double") / F.count(col)
+
+
+def _sql_sum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def _sql_avg(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1 pricing summary (scan → filter → hash agg → sort).
+# Parity: materialized-table query surface over the reference's replicated
+# tables (reference materializes via internal/cannal/fullamount_service.go).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_sum('l_quantity')} AS sum_qty,
+           {_sql_sum('l_extendedprice')} AS sum_base_price,
+           {_sql_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_sql_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_sql_avg('l_quantity')} AS avg_qty,
+           {_sql_avg('l_extendedprice')} AS avg_price,
+           {_sql_avg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scan / projection / filter — pushdown-friendly parquet scan.
+# Parity: chunked table scan A5 (mysql_data_source.go:127-202) becomes a
+# columnar scan with predicate pushdown; Catalyst prunes to 4 columns.
+# ---------------------------------------------------------------------------
+
+@query(
+    "scan_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        "l_shipdate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins.
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           {_sql_sum('c_acctbal')} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact ⋈ broadcast dims (no shuffle of the fact side)."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_sortmerge",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {_sql_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi-join: both sides shuffle on the join key once;
+    the groupBy reuses nothing downstream so AQE picks partition counts."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(revenue).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, COALESCE(cnt, 0) AS n_items
+    FROM orders
+    LEFT JOIN (
+        SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+    ) li ON o_orderkey = l_orderkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    counts = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return orders.join(counts, orders.o_orderkey == counts.l_orderkey, "left").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("n_items"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_active
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_inactive
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY n_name
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/theta join: equi on user_id (bounds the blowup) + time range.
+    At scale the equi key keeps this a plain shuffled join; the range
+    predicate is a post-join filter evaluated inside the join."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").alias("a")
+    b = ev.filter(F.col("event_type") == "purchase").alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.event_id").alias("click_id"),
+        F.col("b.event_id").alias("purchase_id"),
+        F.col("a.user_id").alias("user_id"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           (SELECT c.event_id FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest click at-or-before each purchase), via the
+    scalable union-and-last-value formulation: one shuffle on user_id,
+    no join blowup — the Spark-native replacement for a correlated
+    subquery.
+
+    Parity: "current row at position" semantics of the reference's CDC
+    collapse (docs/全量抓取逻辑.md:44-52) applied to event streams.
+    """
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        # 'c' < 'p' so a same-timestamp click sorts before the purchase
+        # and is visible to it ("at or before" semantics).
+        F.when(F.col("event_type") == "click", F.lit("c")).otherwise(F.lit("p")).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("kind") == "c", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("click_id", last_click)
+        .filter(F.col("kind") == "p")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations.
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimate is engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — the 100 TB path where exact distinct
+    would shuffle every key; HLL sketches merge map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           {_sql_sum('c_acctbal')} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_sum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions.
+# ---------------------------------------------------------------------------
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey
+               ) AS rn
+        FROM part
+    )
+    WHERE rn <= 3
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group — rank pushdown: Spark's WindowGroupLimit prunes
+    rows before the full sort at scale."""
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+@query(
+    "win_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           value - LAG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dvalue
+    FROM events
+    """,
+)
+def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead — the analytic analog of the reference's update
+    before/after pairing (handler.go:100-108): previous row's image
+    alongside the current one."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("dvalue"),
+    )
+
+
+@query(
+    "win_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit, set operations.
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + a k-row merge on the driver, never a full global sort."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query(
+    "setops_union",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def setops_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    b = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.union(b).distinct()
+
+
+@query(
+    "setops_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "setops_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def setops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function suite (string / date / math / JSON).
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_suite",
+    oracle="""
+    SELECT event_id,
+           UPPER(event_type) AS etype_u,
+           CONCAT(event_type, '_', CAST(user_id AS VARCHAR)) AS etype_tag,
+           SUBSTRING(event_type, 1, 3) AS etype_3,
+           LENGTH(props) AS props_len,
+           CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_ts,
+           CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INT) AS day_offset,
+           ABS(value - 50.0) AS vdev,
+           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+    FROM events
+    """,
+)
+def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math/JSON scalar functions — all JVM built-ins, all
+    inside whole-stage codegen (no Python in the row path)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("etype_u"),
+        F.concat_ws("_", F.col("event_type"), F.col("user_id").cast("string")).alias("etype_tag"),
+        F.substring("event_type", 1, 3).alias("etype_3"),
+        F.length("props").cast("long").alias("props_len"),
+        # date_trunc always returns LTZ; cast back so output is tz-invariant
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day_ts"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("day_offset"),
+        F.abs(F.col("value") - F.lit(50.0)).alias("vdev"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch form of the streaming operators; the streaming
+# forms live in go_cdc_spark.streaming and are tested with readStream).
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_tumbling",
+    oracle=f"""
+    SELECT DATE_TRUNC('hour', ts) AS wstart, event_type,
+           COUNT(*) AS n_events,
+           {_sql_sum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_sliding",
+    oracle="""
+    SELECT wstart, event_type, COUNT(*) AS n_events
+    FROM (
+        SELECT unnest([
+                   bucket,
+                   bucket - INTERVAL 30 MINUTE
+               ]) AS wstart,
+               event_type
+        FROM (
+            SELECT TIMESTAMP '2000-01-01 00:00:00'
+                   + INTERVAL 1 SECOND * (1800 * (date_diff('second', TIMESTAMP '2000-01-01 00:00:00', ts) // 1800))
+                   AS bucket,
+                   event_type
+            FROM events
+        )
+    )
+    GROUP BY wstart, event_type
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 30min — each event lands in 2 windows.
+    Spark's window() expands rows; the oracle mirrors with unnest."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events")
+    )
+
+
+@query(
+    "window_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) via session_window — the
+    batch twin of the streaming session-window aggregation."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )

@@ -1,0 +1,11 @@
+"""Aggregated query surface: import all operator modules (each module
+registers its queries on import) and expose the driver-contract dicts.
+"""
+
+from __future__ import annotations
+
+from ..operators import relational  # noqa: F401  (registers on import)
+
+from .registry import ORACLE, QUERIES
+
+__all__ = ["QUERIES", "ORACLE"]

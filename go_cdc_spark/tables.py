@@ -1,0 +1,73 @@
+"""Test-corpus table loaders (driver parquet under /root/testdata/sf*).
+
+One parquet file per table; ``spark.read.parquet`` gives us columnar
+scans with predicate pushdown + column pruning for free. At 100 TB the
+same call points at a partitioned directory (e.g. partitioned by
+date / shard) and Catalyst adds partition pruning — query code does not
+change, which is why every operator takes ``sf_dir`` rather than a
+pre-loaded DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table as a DataFrame.
+
+    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; read it as raw nanos (legacy conf, runtime
+    settable) and truncate to microseconds — identical to how DuckDB
+    (micro-precision timestamps) reads the same file, so oracle
+    comparisons agree.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # The harness may hand us a session we didn't build: pin the semantics
+    # our queries (and the DuckDB oracle, which is UTC-naive) rely on.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer `div`, not `/`: double division loses precision at 1e18 nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Parquet naive timestamps are wall-clock event time. Keep them NTZ so
+    # results are invariant to the host/process timezone: TimestampType
+    # round-trips through collect() via the *local* tz, TIMESTAMP_NTZ does
+    # not (matches DuckDB's UTC-naive TIMESTAMP exactly).
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views (for the SQL API surface)."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,37 @@
+"""Every registered query with an oracle must hash-match DuckDB locally
+(the same check the driver runs at sf0.01; we run sf0.001 by default,
+set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 for the full check).
+Oracle-less queries get the weaker rows-&-schema-stability check.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from go_cdc_spark.plans.queries import ORACLE, QUERIES
+
+from .oracle_harness import compare
+
+
+def _names():
+    return sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    if name in ORACLE:
+        compare(name, df, ORACLE[name], sf_dir)
+    else:
+        rows = df.collect()
+        assert rows is not None
+        assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()).issubset(set(e.queries()))
