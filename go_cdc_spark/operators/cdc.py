@@ -1,0 +1,225 @@
+"""CDC materialization operators: collapse-to-current-state and MERGE.
+
+The engine's signature semantics, from the reference's design doc
+(``docs/全量抓取逻辑.md:44-52``): a snapshot records a per-table position
+(``tableGTID``); incremental events apply **only where pos exceeds it**,
+making snapshot ⊕ stream gap-free and overlap-free without downstream
+idempotency. Both operators are pure DataFrame plans:
+
+- :func:`cdc_collapse` — latest event per PK by position, deletes drop
+  the key. One shuffle on the PK (window or groupBy-max; Spark plans a
+  partial TopK under AQE).
+- :func:`apply_changes` — MERGE without Delta: collapse the changes,
+  anti-join the snapshot on changed keys, union the non-delete images.
+  At 100 TB you partition the base table by bucket(PK) and rewrite only
+  partitions containing changed keys (see design notes in README);
+  the logical plan here is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rules import FilterRules
+from ..plans.registry import query
+from ..sources.changelog import OP_DELETE
+from ..tables import load
+
+
+def cdc_collapse(
+    changes: DataFrame,
+    keys: list[str],
+    pos_col: str = "pos",
+    op_col: str = "op",
+    keep_deletes: bool = False,
+) -> DataFrame:
+    """Collapse a change stream to current state: latest row per key by
+    position; delete events tombstone the key (dropped unless asked for)."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(pos_col))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if keep_deletes:
+        return latest
+    return latest.filter(F.col(op_col) != OP_DELETE)
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    pos_threshold: str | None = None,
+    pos_col: str = "pos",
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE a change stream into a snapshot (latest-wins by position).
+
+    ``changes`` must carry the snapshot's columns (typed images) plus
+    ``pos``/``op``. ``pos_threshold`` is the per-table snapshot position:
+    events at or below it were already reflected in the snapshot and are
+    discarded (the reference's handoff rule; duplicate redelivery is
+    likewise idempotent because the filter + latest-wins collapse are).
+    """
+    if pos_threshold is not None:
+        changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
+    latest = cdc_collapse(changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True)
+    # Broadcast-able at typical change-batch sizes; AQE downgrades to
+    # shuffled anti-join automatically when the change set is large.
+    unchanged = snapshot.join(latest.select(*keys), on=keys, how="left_anti")
+    upserts = latest.filter(F.col(op_col) != OP_DELETE).select(*snapshot.columns)
+    return unchanged.unionByName(upserts)
+
+
+def materialize_changelog(
+    changes: DataFrame,
+    snapshot: DataFrame,
+    keys: list[str],
+    pos_threshold: str | None = None,
+) -> DataFrame:
+    """Envelope-in, table-out: cast MAP<STRING,STRING> images to the
+    snapshot's types, then MERGE.
+
+    Key columns fall back to the ``before`` image: a delete event has no
+    after-image (``data`` is NULL, `internal/model/event.go:7-8` —
+    Before carries the deleted row), but its key must still tombstone.
+    """
+    image_cols = []
+    for f in snapshot.schema.fields:
+        col = F.col("data").getItem(f.name)
+        if f.name in keys:
+            col = F.coalesce(col, F.col("before").getItem(f.name))
+        image_cols.append(col.cast(f.dataType).alias(f.name))
+    typed = changes.select(*image_cols, F.col("pos"), F.col("op"))
+    return apply_changes(snapshot, typed, keys, pos_threshold)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (driver-checked): the CDC semantics expressed over the
+# corpus tables, so the oracle can verify them without private fixtures.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_latest",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           ts AS last_ts,
+           event_type AS last_type,
+           value AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse-to-current-state over the events stream: latest event per
+    user_id by (ts, event_id); 'error' plays the delete/tombstone role."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+_CDC_APPLY_ORACLE = """
+WITH changes AS (
+    SELECT user_id AS c_custkey,
+           CASE WHEN event_type = 'error' THEN 'delete'
+                WHEN event_type = 'signup' THEN 'insert'
+                ELSE 'update' END AS op,
+           'user_' || CAST(user_id AS VARCHAR) AS c_name,
+           CAST(user_id % 25 AS INT) AS c_nationkey,
+           value AS c_acctbal,
+           UPPER(event_type) AS c_mktsegment,
+           lpad(CAST(event_id AS VARCHAR), 12, '0') AS pos
+    FROM events
+), filtered AS (
+    SELECT * FROM changes WHERE pos > lpad('100', 12, '0')
+), latest AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY c_custkey ORDER BY pos DESC) AS rn
+        FROM filtered
+    ) WHERE rn = 1
+)
+SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+FROM customer c
+WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM latest WHERE op <> 'delete'
+"""
+
+
+@query("cdc_apply_changes", oracle=_CDC_APPLY_ORACLE)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature MERGE: snapshot (customer) ⊕ change stream (derived
+    deterministically from events) with the pos > tableGTID handoff rule.
+
+    Exercises the real operator (:func:`apply_changes`) end-to-end:
+    envelope → threshold filter → latest-wins collapse → anti-join+union.
+    """
+    cust = load(spark, sf_dir, "customer")
+    ev = load(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("user_id").alias("c_custkey"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "signup", F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("c_name"),
+        (F.col("user_id") % 25).cast("int").alias("c_nationkey"),
+        F.col("value").alias("c_acctbal"),
+        F.upper("event_type").alias("c_mktsegment"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("pos"),
+    )
+    table_gtid = "100".zfill(12)
+    return apply_changes(cust, changes, keys=["c_custkey"], pos_threshold=table_gtid)
+
+
+@query(
+    "filter_rules",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CASE WHEN lang = 'zh' THEN source = 'src1'
+               ELSE (lang IN ('en', 'es', 'de'))
+                    AND NOT (source = 'src0' OR source LIKE 'src3%')
+          END
+    """,
+)
+def filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's include/exclude rule filter (A8) compiled to a
+    Column expression, applied with documents.(lang, source) standing in
+    for (schema, table): global pattern with schema allowlist + exclude
+    list incl. a `src3_`-style prefix wildcard, and a per-schema override
+    for 'zh' that replaces the global rule entirely."""
+    rules = FilterRules.parse(
+        {
+            "global": {
+                "include_schemas": "en,es,de",
+                "exclude_tables": "src0,src3_",
+            },
+            "schemas": {"zh": {"include_tables": "src1"}},
+        }
+    )
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(rules.to_column(F.col("lang"), F.col("source"))).select(
+        "doc_id", "lang", "source"
+    )
