@@ -1,0 +1,209 @@
+"""Incremental sync as Structured Streaming (SURVEY.md §2.A A18-A22).
+
+The reference tails the MySQL binlog with a replication client
+(`internal/cannal/incremental.go:69-178`) — reconnect/backoff, GTID
+watermark, event demux, and (in the intended design,
+`internal/cannal/handler.go:55-125`) txn buffering + row-event
+conversion. In Spark, all the hard parts are the runtime's:
+
+- **source**: ``readStream`` over a changelog directory (JSON lines per
+  "binlog segment"; swap for ``format("kafka")`` + a Debezium topic in
+  production — same downstream plan). ``maxFilesPerTrigger`` bounds a
+  micro-batch like the reference's 1000-message channel.
+- **restart/backoff** (A18): the streaming checkpoint replaces the
+  hand-rolled reconnect loop — on restart, processed files are not
+  re-read, so events never double-apply.
+- **GTID watermark** (A21): per-source max(pos) per micro-batch,
+  upserted into the CheckpointStore like the reference's meta rows.
+- **materialization** (the consumer the reference never finished — its
+  only sink logs to console): ``foreachBatch`` MERGE into a parquet
+  state table that keeps per-row ``__pos`` (late or redelivered events
+  lose latest-wins) and delete tombstones (so a late pre-delete image
+  cannot resurrect a deleted row).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid as uuidlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import cdc_collapse
+from ..sources.changelog import CHANGE_EVENT_SCHEMA, OP_DELETE
+from ..sources.meta import CheckpointStore
+
+POS_COL = "__pos"
+OP_COL = "__op"
+
+
+def read_changelog_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-replay changelog source (one JSON-lines file per binlog
+    segment). ``maxFilesPerTrigger`` is the backpressure bound — the
+    analog of the reference's bounded event channel
+    (`internal/cannal/fullamount_service.go:27`)."""
+    return (
+        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def stream_dedup(
+    changes: DataFrame,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stateful dedup by (source, position) with bounded state: the
+    watermark ages out dedup state, so duplicate redelivery inside the
+    delay window is dropped exactly like the reference's GTID-covered
+    check (A17/A21)."""
+    # watermarks need TIMESTAMP (LTZ); session tz is pinned UTC so the
+    # cast is value-preserving
+    return (
+        changes.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["data_source", "pos"])
+    )
+
+
+def filter_stream(changes: DataFrame, rules) -> DataFrame:
+    """A20: re-apply the (schema, table) rules per row event — compiled
+    Column, JVM-side."""
+    return changes.filter(rules.to_column(F.col("schema"), F.col("table")))
+
+
+class StreamingMaterializer:
+    """foreachBatch MERGE of a changelog stream into a queryable table.
+
+    State layout: the target table's typed columns + ``__pos`` (position
+    of the image) + ``__op`` (last op; delete rows are retained as
+    tombstones and filtered from the read view). The merge is
+    latest-wins on max(__pos) per key — idempotent under redelivery and
+    correct under cross-batch reordering.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        snapshot: DataFrame,
+        keys: list[str],
+        state_path: str,
+        pos_threshold: str | None = None,
+        meta: CheckpointStore | None = None,
+        data_source_id: str = "ds1",
+        table: str | None = None,
+    ):
+        self.spark = spark
+        self.keys = keys
+        self.state_path = state_path
+        self.pos_threshold = pos_threshold
+        self.schema = snapshot.schema
+        self.meta = meta
+        self.data_source_id = data_source_id
+        self.table = table
+        if not os.path.exists(state_path):
+            init = snapshot.withColumn(
+                POS_COL, F.lit(pos_threshold or "").cast("string")
+            ).withColumn(OP_COL, F.lit("insert"))
+            init.write.mode("overwrite").parquet(state_path)
+
+    # -- state access ----------------------------------------------------
+
+    def state(self) -> DataFrame:
+        return self.spark.read.parquet(self.state_path)
+
+    def read_table(self) -> DataFrame:
+        """The queryable current state (tombstones hidden)."""
+        return self.state().filter(F.col(OP_COL) != OP_DELETE).drop(POS_COL, OP_COL)
+
+    # -- merge -----------------------------------------------------------
+
+    def _typed_changes(self, batch: DataFrame) -> DataFrame:
+        cols = []
+        for f in self.schema.fields:
+            col = F.col("data").getItem(f.name)
+            if f.name in self.keys:
+                col = F.coalesce(col, F.col("before").getItem(f.name))
+            cols.append(col.cast(f.dataType).alias(f.name))
+        return batch.select(
+            *cols, F.col("pos").alias(POS_COL), F.col("op").alias(OP_COL)
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        changes = batch
+        if self.pos_threshold is not None:
+            changes = changes.filter(F.col("pos") > F.lit(self.pos_threshold))
+        typed = self._typed_changes(changes)
+        merged = cdc_collapse(
+            self.state().unionByName(typed),
+            self.keys,
+            pos_col=POS_COL,
+            op_col=OP_COL,
+            keep_deletes=True,  # tombstones persist in state
+        )
+        tmp = f"{self.state_path}.tmp-{uuidlib.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{self.state_path}.old-{uuidlib.uuid4().hex[:8]}"
+        os.rename(self.state_path, old)
+        os.rename(tmp, self.state_path)
+        shutil.rmtree(old, ignore_errors=True)
+        if self.meta is not None:
+            # A21: advance the per-table watermark to the batch max pos
+            top = changes.agg(F.max("pos").alias("p")).first().p
+            if top is not None:
+                self.meta.upsert(
+                    self.data_source_id,
+                    top,
+                    sc=None,
+                    tb=self.table,
+                    sync_type="incremental",
+                )
+
+    def start(self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "materialize"):
+        return (
+            changes_stream.writeStream.queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+# -- streaming windowed aggregations (A18/A19's analytic consumers) -------
+
+
+def stream_tumbling_counts(
+    changes: DataFrame,
+    window_size: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time counts with late-data drop via watermark."""
+    return (
+        changes.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_size).alias("w"), "table", "op")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("wstart"), "table", "op", "n_events")
+    )
+
+
+def stream_session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session windows over a raw event stream (gap-merged)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy(F.col(key), F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(key, F.col("w.start").alias("session_start"), "n_events")
+    )
