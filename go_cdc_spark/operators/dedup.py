@@ -1,0 +1,231 @@
+"""Deduplication operators (exact → MinHash-LSH → SimHash).
+
+The scale story (100 TB corpus, ~10^10 docs):
+
+- **exact**: one hash-groupBy shuffle on md5(text) — the cheapest pass,
+  always run first.
+- **MinHash + LSH**: signatures are map-side (k md5 mins over shingles);
+  the only shuffle is the band-bucket explode + self-join, whose output
+  is bounded by bucket collisions, not |docs|². Band count / rows-per-
+  band trade recall vs candidate volume; jaccard verification touches
+  candidates only.
+- **SimHash**: 64-bit signature via bit voting — near-dup buckets by
+  Hamming distance; vectorized numpy in an Arrow-batched pandas UDF
+  (no JVM bit-vote builtin).
+
+Every oracle-checked query keeps hashing engine-portable: md5 only
+(identical hex in Spark and DuckDB) — xxhash64 etc. are Spark-private.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..tables import load
+from .text import shingles_col
+
+MINHASH_K = 8  # permutations; bands of 2 rows → 4 bands
+BAND_ROWS = 2
+
+
+def _seeded_min(shingles: Column, seed: int) -> Column:
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def minhash_sig_cols(shingles: Column) -> list[Column]:
+    """k seeded MinHash values: min over shingles of md5(seed ':' shingle).
+    Salting the string (not a hash-of-hash) keeps the oracle expressible."""
+    return [_seeded_min(shingles, i).alias(f"h{i}") for i in range(MINHASH_K)]
+
+
+def band_cols() -> list[Column]:
+    return [
+        F.md5(F.concat_ws("|", *[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]))
+        .alias(f"band{b}")
+        for b in range(MINHASH_K // BAND_ROWS)
+    ]
+
+
+def _sql_minhash(i: int) -> str:
+    return (
+        "list_aggregate(list_transform(__SH, s -> md5(concat('"
+        + f"{i}:"
+        + "', s))), 'min')"
+    )
+
+
+_SQL_SHINGLES = """
+list_transform(
+    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+    i -> concat_ws(' ',
+         string_split(text, ' ')[i],
+         string_split(text, ' ')[i + 1],
+         string_split(text, ' ')[i + 2]))
+""".strip()
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, deterministic survivor (min doc_id) —
+    NOT dropDuplicates(), whose survivor is partition-order-dependent."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_MINHASH_ORACLE = f"""
+WITH sig AS (
+    SELECT doc_id,
+           list_distinct(__SHINGLES) AS shset,
+           {", ".join(_sql_minhash(i) + f" AS h{i}" for i in range(MINHASH_K))}
+    FROM (SELECT doc_id, __SHINGLES AS __SH, text FROM documents)
+), banded AS (
+    SELECT doc_id, shset,
+           unnest([{", ".join(
+               "md5(concat_ws('|', " + ", ".join(f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS)) + "))"
+               for b in range(MINHASH_K // BAND_ROWS)
+           )}]) AS band
+    FROM sig
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+           / (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset))) AS jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.doc_a
+JOIN sig sb ON sb.doc_id = cand.doc_b
+WHERE CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+          / (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset))) >= 0.5
+""".replace("__SHINGLES", _SQL_SHINGLES)
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + LSH(4 bands × 2 rows) near-dup pairs, jaccard-verified
+    on distinct 3-shingle sets (threshold 0.5).
+
+    Plan shape: map-side signatures → explode to (band, doc) → self-join
+    on band (the only quadratic-risk step, bounded by bucket size) →
+    distinct candidate pairs → verify against the shingle sets."""
+    docs = load(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col()).alias("shset"),
+        *minhash_sig_cols(shingles_col()),
+    )
+    sig = sig.select("doc_id", "shset", *band_cols())
+    banded = sig.select(
+        "doc_id",
+        "shset",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(MINHASH_K // BAND_ROWS)])).alias("band"),
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), F.col("band"))
+    right = banded.select(F.col("doc_id").alias("doc_b"), F.col("band"))
+    cand = (
+        left.join(right, "band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size("sha") + F.size("shb") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               list_distinct(__SHINGLES) AS shset,
+               list_aggregate(list_transform(__SHINGLES, s -> md5(s)), 'min') AS bucket
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+               / (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) AS jaccard
+    FROM fp a
+    JOIN fp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """.replace("__SHINGLES", _SQL_SHINGLES),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity over min-shingle buckets (1-permutation
+    MinHash blocking): candidates share the minimum shingle hash; report
+    the exact jaccard of every candidate pair (no threshold — the caller
+    filters)."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col()).alias("shset"),
+        F.array_min(F.transform(shingles_col(), lambda s: F.md5(s))).alias("bucket"),
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"), "bucket")
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"), "bucket")
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size("sha") + F.size("shb") - inter
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+    )
+
+
+@query("dedup_simhash")  # rows-only: 64-bit bit-voting has no portable SQL form
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) near-dup buckets: per-token md5-derived 64-bit hashes,
+    bit-voted into one signature per doc (vectorized numpy over Arrow
+    batches), then grouped. Deterministic across runs/engines."""
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def simhash64(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> int:
+            toks = t.split(" ")
+            # uint64 hashes can exceed int64; unpack bytes → bits in numpy
+            # (frombuffer is unsigned-safe), one row per token.
+            raw = b"".join(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8] for tok in toks
+            )
+            bytes_arr = np.frombuffer(raw, dtype=np.uint8).reshape(len(toks), 8)
+            bits = np.unpackbits(bytes_arr, axis=1)  # big-endian bit order
+            votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
+            sig = 0
+            for bit in votes > 0:  # MSB-first, matches int.from_bytes("big")
+                sig = (sig << 1) | int(bit)
+            return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+        return texts.map(one)
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )

@@ -1,0 +1,211 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot-path expressions are JVM built-ins (split / regexp / transform /
+filter lambdas) inside whole-stage codegen — no Python in the row path.
+Shared shingle/token helpers are plain Column builders reused by the
+dedup operators.
+
+At 100 TB these are embarrassingly parallel map-side operators: no
+shuffle at all except the final small aggregations; Catalyst prunes the
+scan to (doc_id, text) only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..tables import load
+
+# Tiny built-in marker lists for the language-ID heuristic (stand-in for
+# an n-gram language model; deterministic + oracle-expressible).
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "und", "das"),
+    "es": ("el", "la", "que"),
+}
+
+BPE_ISH_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def words_col(text: str = "text") -> Column:
+    return F.split(F.col(text), " ")
+
+
+def marker_hits(lang: str, text: str = "text") -> Column:
+    quoted = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return F.expr(f"size(filter(split({text}, ' '), w -> w IN ({quoted})))").cast("long")
+
+
+def shingles_col(text: str = "text", n: int = 3) -> Column:
+    """n-word shingle strings (not hashed): transform over a sequence of
+    start offsets; out-of-range lookups are NULL and concat_ws skips them,
+    so short documents yield their whole text as the single shingle."""
+    parts = ", ".join(f"try_element_at(__w, i + {k})" for k in range(n))
+    return F.expr(
+        f"""
+        transform(
+            sequence(1, greatest(size(__w) - {n - 1}, 1)),
+            i -> concat_ws(' ', {parts})
+        )
+        """.replace("__w", f"split({text}, ' ')")
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_words
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    nw = F.size(words_col()).cast("long")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(nw).alias("sum_words"),
+        (F.sum(nw).cast("double") / F.count(F.lit(1))).alias("avg_words"),
+    )
+
+
+@query(
+    "text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex lexer
+    (letter-runs | single digits | punctuation) — the pre-tokenizer
+    shape used for LLM corpus budgeting."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(words_col()).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           en_hits, de_hits, es_hits,
+           CASE WHEN de_hits > en_hits AND de_hits >= es_hits THEN 'de'
+                WHEN es_hits > en_hits THEN 'es'
+                ELSE 'en' END AS pred_lang
+    FROM (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS en_hits,
+               CAST(len(list_filter(string_split(text, ' '), w -> w IN ('der', 'und', 'das'))) AS BIGINT) AS de_hits,
+               CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la', 'que'))) AS BIGINT) AS es_hits
+        FROM documents
+    )
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-marker voting (n-gram-frequency heuristic
+    stand-in): count marker hits per candidate language, argmax with a
+    deterministic tie-break."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        marker_hits("en").alias("en_hits"),
+        marker_hits("de").alias("de_hits"),
+        marker_hits("es").alias("es_hits"),
+    )
+    return scored.withColumn(
+        "pred_lang",
+        F.when(
+            (F.col("de_hits") > F.col("en_hits")) & (F.col("de_hits") >= F.col("es_hits")),
+            F.lit("de"),
+        )
+        .when(F.col("es_hits") > F.col("en_hits"), F.lit("es"))
+        .otherwise(F.lit("en")),
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+    SELECT doc_id,
+           n_words,
+           punct_ratio,
+           stop_ratio,
+           0.4 * stop_ratio + 0.3 * LEAST(1.0, n_words / 400.0) + 0.3 * (1.0 - punct_ratio) AS score
+    FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents
+    )
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, punctuation density, stopword
+    ratio — the usual first-pass corpus filter."""
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(words_col()).cast("long")
+    punct_ratio = (
+        (F.length("text") - F.length(F.regexp_replace("text", r"[.!?,;:]", ""))).cast("double")
+        / F.length("text")
+    )
+    stop_ratio = marker_hits("en").cast("double") / F.size(words_col())
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    return base.withColumn(
+        "score",
+        F.lit(0.4) * F.col("stop_ratio")
+        + F.lit(0.3) * F.least(F.lit(1.0), F.col("n_words") / F.lit(400.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio")),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp,
+           list_aggregate(
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> md5(concat_ws(' ',
+                            string_split(text, ' ')[i],
+                            string_split(text, ' ')[i + 1],
+                            string_split(text, ' ')[i + 2]))
+               ), 'min') AS min_shingle
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text md5 + minimum 3-shingle hash
+    (a 1-permutation MinHash — the rolling-hash fingerprint used as the
+    near-dup bucketing key)."""
+    docs = load(spark, sf_dir, "documents")
+    min_shingle = F.array_min(F.transform(shingles_col(), lambda s: F.md5(s)))
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        min_shingle.alias("min_shingle"),
+    )

@@ -4,7 +4,7 @@ registers its queries on import) and expose the driver-contract dicts.
 
 from __future__ import annotations
 
-from ..operators import cdc, relational  # noqa: F401  (registers on import)
+from ..operators import cdc, dedup, relational, text  # noqa: F401  (registers on import)
 
 from .registry import ORACLE, QUERIES
 
