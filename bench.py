@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline-query benchmark (driver-run per round → BENCH_r{N}.json).
+
+Runs a representative slice of the operator surface — scan/filter, agg,
+every join family, window, top-k, CDC collapse, dedup (exact + MinHash
+LSH), similarity top-k, text stats — at ``$SPARK_GRAFT_SF_DIR`` (default
+sf0.1, ~600k lineitem) on ``local[$SPARK_GRAFT_CPUS]``, and prints ONE
+JSON line::
+
+    {"metric": "headline_queries_total", "value": <sum sec>,
+     "unit": "sec", "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query executes fully through the noop sink (whole plan runs,
+nothing collected to the driver — the fair way to time a distributed
+plan). One untimed warmup of the first query absorbs JVM/codegen
+startup so numbers reflect steady state, which is what the 100 TB
+comparison cares about.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_cdc_spark.plans.queries import QUERIES  # noqa: E402
+from go_cdc_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "scan_project_filter",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_asof",
+    "agg_rollup",
+    "win_rank",
+    "topk_orders",
+    "window_tumbling",
+    "cdc_latest",
+    "cdc_apply_changes",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk",
+    "text_stats",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    df = QUERIES[name](spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("go_cdc_spark-bench")
+
+    run_one(spark, HEADLINE[0], sf_dir)  # warmup: JVM + codegen + parquet footer
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run_one(spark, name, sf_dir), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..tables import load
+from ..tables import fan_out, load
 from .text import shingles_col
 
 MINHASH_K = 8  # permutations; bands of 2 rows → 4 bands
@@ -124,13 +124,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: map-side signatures → explode to (band, doc) → self-join
     on band (the only quadratic-risk step, bounded by bucket size) →
-    distinct candidate pairs → verify against the shingle sets."""
-    docs = load(spark, sf_dir, "documents")
-    sig = docs.select(
-        "doc_id",
-        F.array_distinct(shingles_col()).alias("shset"),
-        *minhash_sig_cols(shingles_col()),
-    )
+    distinct candidate pairs → verify against the shingle sets.
+
+    Staged projections on purpose: each step references the previous
+    step's materialized column (CollapseProject won't inline a
+    non-cheap expression used more than once), so shingling and the k
+    seeded mins each run once per row — collapsing these into one
+    select re-derives the shingle array per consumer."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    shingled = docs.select("doc_id", F.array_distinct(shingles_col()).alias("shset"))
+    sig = shingled.select("doc_id", "shset", *minhash_sig_cols(F.col("shset")))
     sig = sig.select("doc_id", "shset", *band_cols())
     banded = sig.select(
         "doc_id",
@@ -179,11 +182,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash blocking): candidates share the minimum shingle hash; report
     the exact jaccard of every candidate pair (no threshold — the caller
     filters)."""
-    docs = load(spark, sf_dir, "documents")
-    fp = docs.select(
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    fp = docs.select("doc_id", shingles_col().alias("sh")).select(
         "doc_id",
-        F.array_distinct(shingles_col()).alias("shset"),
-        F.array_min(F.transform(shingles_col(), lambda s: F.md5(s))).alias("bucket"),
+        F.array_distinct(F.col("sh")).alias("shset"),
+        F.array_min(F.transform(F.col("sh"), lambda s: F.md5(s))).alias("bucket"),
     )
     a = fp.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"), "bucket")
     b = fp.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"), "bucket")
@@ -223,7 +226,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return texts.map(one)
 
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
         .groupBy("simhash")

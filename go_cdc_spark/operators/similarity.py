@@ -1,0 +1,295 @@
+"""Similarity search over the ``embeddings`` table (`vec_id`,
+``embedding: array<float>[64]``, ``label``).
+
+Three tiers, each a `queries()` entry with a bit-exact DuckDB oracle:
+
+- **brute-force cosine top-k** (`sim_topk`) — the exactness baseline:
+  broadcast the (small) query set, compute cosine map-side against every
+  candidate, window top-k per query. At 100 TB the scan side stays
+  embarrassingly parallel; the only shuffle is the top-k window keyed by
+  query_id (bounded by |queries| × |candidates-per-partition| after a
+  partial top-k — see note in sim_topk).
+- **LSH-bucketed ANN** (`sim_lsh_ann`) — the scale path: sign-random-
+  projection buckets (deterministic seeded hyperplanes), candidates
+  restricted to the query's bucket. Signature computation is map-side;
+  the bucket equi-join is the only shuffle and its fan-out is bounded by
+  bucket occupancy, not |vectors|². Hot buckets → salting or more bits.
+- **IVF probe** (`sim_ivf`) — coarse-quantizer variant: fixed centroid
+  set (deterministic), every vector assigned to its nearest centroid
+  map-side (the centroid table is broadcast); a query probes only its
+  own cell. nprobe=1 here; scale knob is (n_centroids, nprobe).
+
+Plus **embedding-cosine near-dup** (`dedup_embedding_cosine`): LSH-
+blocked candidate pairs verified at a cosine threshold — the vector
+analog of MinHash near-dedup (see operators/dedup.py).
+
+Float determinism: cosine is computed in DOUBLE with a left-fold over
+the zipped arrays in BOTH engines (Spark ``aggregate(zip_with(...))``,
+DuckDB ``list_reduce(list_transform(...))``), so the result is
+bit-identical (IEEE754 ops in identical order) and safe for the
+driver's value-hash compare — verified empirically.
+
+Capability parity note: the reference (raito-cn/go-cdc) has no vector
+ops at all; this module is part of the LLM-data-pipeline surface the
+north star adds on top (repo:BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import query
+from ..tables import load
+
+DIM = 64
+N_QUERIES = 8  # query set = vec_id < 8 (deterministic, tiny → broadcast)
+TOP_K = 5
+N_BITS = 4  # LSH hyperplanes → 2^4 buckets
+N_CENTROIDS = 8  # IVF coarse quantizer size (centroid = vec_id < 8)
+NEAR_DUP_COS = 0.8
+
+# Deterministic hyperplanes (RandomState stream is stable across numpy
+# versions/platforms); embedded as literals in both engines.
+_HYPERPLANES: list[list[float]] = (
+    np.random.RandomState(7).standard_normal((N_BITS, DIM)).tolist()
+)
+
+
+def dot_col(a: Column | str, b: Column | str) -> Column:
+    """Left-fold double-precision dot product — bit-identical to the
+    DuckDB form in :func:`_sql_dot` (same op order, IEEE754)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_col(a: Column | str, b: Column | str) -> Column:
+    return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+def _plane_lit(j: int) -> Column:
+    return F.array(*[F.lit(v) for v in _HYPERPLANES[j]])
+
+
+def _sql_plane(j: int) -> str:
+    return "[" + ", ".join(repr(v) for v in _HYPERPLANES[j]) + "]"
+
+
+def bucket_col(vec: Column | str) -> Column:
+    """Sign-random-projection bucket id: bit j = sign(vec · plane_j)."""
+    b = F.lit(0)
+    for j in range(N_BITS):
+        b = b + F.when(dot_col(vec, _plane_lit(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def _sql_bucket(vec: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_sql_dot(vec, _sql_plane(j))} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_BITS)
+    )
+    return f"CAST({terms} AS INTEGER)"
+
+
+def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    return queries, cands
+
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+     c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings WHERE vec_id >= {N_QUERIES}),
+     scored AS (
+        SELECT query_id, cand_id, {_sql_cosine("q_emb", "c_emb")} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {_sql_cosine("q_emb", "c_emb")} DESC, cand_id) AS rn
+        FROM q CROSS JOIN c
+     )
+SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank
+FROM scored WHERE rn <= {TOP_K}
+"""
+
+
+@query("sim_topk", oracle=_TOPK_ORACLE)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query set × map-side cosine →
+    per-query top-k window.
+
+    Scale note (100 TB): the cross join with a broadcast query side is a
+    pure map — no shuffle, no skew. The window shuffles |Q|×|C| scored
+    rows on query_id; at real scale insert a per-partition partial top-k
+    (groupBy(query_id, spark_partition_id).agg(max_by slice)) before the
+    global window so only |Q|×k×partitions rows shuffle.
+    """
+    queries, cands = _split(spark, sf_dir)
+    scored = F.broadcast(queries).crossJoin(cands).select(
+        "query_id", "cand_id", cosine_col("q_emb", "c_emb").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+_LSH_ORACLE = f"""
+WITH b AS (SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket FROM embeddings),
+     q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < {N_QUERIES}),
+     c AS (SELECT vec_id AS cand_id, embedding AS c_emb, bucket FROM b WHERE vec_id >= {N_QUERIES}),
+     scored AS (
+        SELECT query_id, cand_id, {_sql_cosine("q_emb", "c_emb")} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {_sql_cosine("q_emb", "c_emb")} DESC, cand_id) AS rn
+        FROM q JOIN c USING (bucket)
+     )
+SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank
+FROM scored WHERE rn <= {TOP_K}
+"""
+
+
+@query("sim_lsh_ann", oracle=_LSH_ORACLE)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-random-projection LSH: candidates share the query's
+    {N_BITS}-bit bucket; exact cosine + top-k inside the bucket only.
+
+    Scale note: signatures are map-side (hyperplanes are literals in the
+    plan — broadcast for free); the bucket equi-join shuffles on a
+    16-way key here, 2^b-way in general — pick b so the hottest bucket
+    fits an executor, and salt or raise b if occupancy skews.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", bucket_col("embedding").alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = b.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    scored = F.broadcast(q).join(c, "bucket").select(
+        "query_id", "cand_id", cosine_col("q_emb", "c_emb").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+_IVF_ORACLE = f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings
+              WHERE vec_id < {N_CENTROIDS}),
+     assign AS (
+        SELECT vec_id, embedding, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {_sql_cosine("embedding", "cent_emb")} DESC, centroid_id) AS rn
+        FROM embeddings CROSS JOIN cent
+     ),
+     cell AS (SELECT vec_id, embedding, centroid_id FROM assign WHERE rn = 1),
+     q AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id FROM cell
+           WHERE vec_id < {N_QUERIES}),
+     c AS (SELECT vec_id AS cand_id, embedding AS c_emb, centroid_id FROM cell
+           WHERE vec_id >= {N_QUERIES}),
+     scored AS (
+        SELECT query_id, cand_id, {_sql_cosine("q_emb", "c_emb")} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {_sql_cosine("q_emb", "c_emb")} DESC, cand_id) AS rn
+        FROM q JOIN c USING (centroid_id)
+     )
+SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank
+FROM scored WHERE rn <= {TOP_K}
+"""
+
+
+@query("sim_ivf", oracle=_IVF_ORACLE)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(nlist={N_CENTROIDS}, nprobe=1) ANN: fixed coarse centroids
+    (vec_id < {N_CENTROIDS} — a stand-in for k-means output, which would
+    be trained offline and broadcast the same way); each vector joins
+    its nearest cell map-side; queries search their own cell only.
+
+    Scale note: assignment is a broadcast cross join against nlist
+    centroids (map-side argmax, no shuffle); the cell equi-join is the
+    one shuffle, keyed by centroid_id — at 100 TB make nlist ~ sqrt(N)
+    so cells stay executor-sized, and raise nprobe for recall.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc(cosine_col("embedding", "cent_emb")), F.asc("centroid_id")
+    )
+    cell = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    q = cell.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "centroid_id"
+    )
+    c = cell.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "centroid_id"
+    )
+    scored = q.join(c, "centroid_id").select(
+        "query_id", "cand_id", cosine_col("q_emb", "c_emb").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+_NEARDUP_ORACLE = f"""
+WITH b AS (SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       {_sql_cosine("a.embedding", "c.embedding")} AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE {_sql_cosine("a.embedding", "c.embedding")} >= {NEAR_DUP_COS}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket as the blocking
+    key (map-side), exact cosine verification at threshold
+    {NEAR_DUP_COS} inside buckets — the vector-space sibling of
+    dedup_minhash_lsh. The self-join fan-out is bounded by bucket
+    occupancy; threshold and bits trade recall vs candidate volume."""
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", bucket_col("embedding").alias("bucket"))
+    a = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    c = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine_col("ea", "eb"))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -4,7 +4,14 @@ registers its queries on import) and expose the driver-contract dicts.
 
 from __future__ import annotations
 
-from ..operators import cdc, dedup, relational, text  # noqa: F401  (registers on import)
+from ..operators import (  # noqa: F401  (registers on import)
+    cdc,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
 
 from .registry import ORACLE, QUERIES
 

@@ -63,6 +63,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Rebalance a CPU-heavy derivation across all cores when the scan
+    produced fewer splits than the cluster has slots (tiny test files →
+    one 128 MB-budget partition → one task on 32 cores). Conditional on
+    purpose: at corpus scale the scan already yields thousands of
+    splits and a blanket ``repartition`` would be a full shuffle of the
+    raw text for nothing."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 
