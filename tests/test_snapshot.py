@@ -1,0 +1,154 @@
+"""Snapshot capture layer: chunk predicates (A5), discovery (A1-A4),
+per-table pipeline (A11), filtered bounded fan-out (A9/A10), no-PK
+rejection, rollback events, checkpoint handoff."""
+
+from __future__ import annotations
+
+import itertools
+
+import duckdb
+import pytest
+
+from go_cdc_spark.functions.rules import FilterRules
+from go_cdc_spark.sources.changelog import (
+    OP_CREATE_TABLE,
+    OP_END,
+    OP_INSERT,
+    OP_ROLLBACK,
+)
+from go_cdc_spark.sources.meta import CheckpointStore
+from go_cdc_spark.sources.snapshot import (
+    NoPrimaryKeyError,
+    ParquetSnapshotSource,
+    chunk_predicates,
+    snapshot_all,
+    snapshot_table,
+    tuple_gt,
+)
+
+SF = "/root/testdata/sf0.001"
+
+PKS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def _source(spark) -> ParquetSnapshotSource:
+    return ParquetSnapshotSource(spark, SF, primary_keys=PKS)
+
+
+# --------------------------------------------------------------------------
+# chunk predicates: pure-SQL correctness checked through a real engine
+# --------------------------------------------------------------------------
+
+
+def _eval(pred: str, a: int, b: str) -> bool:
+    return duckdb.sql(f"SELECT {pred} FROM (SELECT {a} AS x, '{b}' AS y)").fetchone()[0]
+
+
+def test_tuple_gt_matches_python_tuple_order():
+    domain = [(a, b) for a in (1, 2, 3) for b in ("a", "m", "z")]
+    for bound in domain:
+        pred = tuple_gt(["x", "y"], list(bound))
+        for val in domain:
+            assert _eval(pred, *val) == (val > bound), (val, bound, pred)
+
+
+def test_chunk_predicates_partition_the_key_space():
+    """Every key matches exactly one chunk predicate (no gap, no overlap)."""
+    boundaries = [(2, "m"), (3, "a")]
+    preds = chunk_predicates(["x", "y"], boundaries)
+    assert len(preds) == len(boundaries) + 1
+    domain = itertools.product((1, 2, 3, 4), ("a", "m", "z"))
+    for val in domain:
+        hits = [p for p in preds if _eval(p, *val)]
+        assert len(hits) == 1, (val, hits)
+
+
+def test_chunk_predicates_single_chunk_and_no_pk():
+    assert chunk_predicates(["x"], []) == ["1 = 1"]
+    with pytest.raises(NoPrimaryKeyError):
+        chunk_predicates([], [(1,)])
+
+
+def test_chunk_predicates_string_escaping():
+    pred = tuple_gt(["y"], ["o'neil"])
+    assert duckdb.sql(f"SELECT {pred} FROM (SELECT 'z' AS y)").fetchone()[0]
+
+
+# --------------------------------------------------------------------------
+# discovery + pipeline over the parquet-backed source
+# --------------------------------------------------------------------------
+
+
+def test_discovery(spark):
+    src = _source(spark)
+    assert src.list_schemas() == ["main"]
+    tables = src.list_tables(["main"])["main"]
+    assert "lineitem" in tables and "region" in tables
+    assert src.get_table_primary_keys("main", "lineitem") == [
+        "l_orderkey",
+        "l_linenumber",
+    ]
+    ddl = src.get_table_ddl("main", "region")
+    assert ddl.startswith("CREATE TABLE main.region (") and "r_regionkey" in ddl
+
+
+def test_no_pk_rejected(spark):
+    src = ParquetSnapshotSource(spark, SF, primary_keys={})
+    with pytest.raises(NoPrimaryKeyError):
+        src.get_table_primary_keys("main", "region")
+
+
+def test_snapshot_table_envelope(spark, tmp_path):
+    src = _source(spark)
+    store = CheckpointStore(spark, str(tmp_path / "meta"))
+    snap = snapshot_table(src, "ds1", "main", "region", checkpoint=store)
+    assert snap.error is None
+    rows = snap.events.orderBy("op").collect()
+    ops = [r.op for r in rows]
+    n_region = spark.read.parquet(f"{SF}/region.parquet").count()
+    assert ops.count(OP_INSERT) == n_region
+    assert ops.count(OP_CREATE_TABLE) == 1 and ops.count(OP_END) == 1
+    ct = next(r for r in rows if r.op == OP_CREATE_TABLE)
+    assert "r_name" in ct.data["ddl"]
+    ins = next(r for r in rows if r.op == OP_INSERT)
+    assert set(ins.data) == {"r_regionkey", "r_name"}
+    # checkpoint recorded the snapshot position for the stream handoff
+    assert store.get_pos("ds1", sc="main", tb="region") == snap.pos
+
+
+def test_snapshot_table_rollback_on_error(spark):
+    src = ParquetSnapshotSource(spark, SF, primary_keys={})  # every PK lookup fails
+    snap = snapshot_table(src, "ds1", "main", "region")
+    assert snap.error is not None
+    [row] = snap.events.collect()
+    assert row.op == OP_ROLLBACK and "primary key" in row.data["err"]
+
+
+def test_snapshot_all_filtered(spark, tmp_path):
+    src = _source(spark)
+    store = CheckpointStore(spark, str(tmp_path / "meta"))
+    rules = FilterRules.parse({"global": {"include_tables": ["region", "nation"]}})
+    snaps = snapshot_all(src, "ds1", rules=rules, checkpoint=store, concurrency=4)
+    assert sorted(s.table for s in snaps) == ["nation", "region"]
+    assert all(s.error is None for s in snaps)
+    meta = store.all()
+    assert ("ds1", "main", "region") in meta and ("ds1", "main", "nation") in meta
+
+
+def test_snapshot_all_prefix_wildcard(spark):
+    src = _source(spark)
+    # reference rule syntax: trailing underscore = prefix wildcard
+    rules = FilterRules.parse({"global": {"include_tables": ["part_", "orders"]}})
+    snaps = snapshot_all(src, "ds1", rules=rules, concurrency=4)
+    assert sorted(s.table for s in snaps) == ["orders", "part"]
