@@ -223,3 +223,50 @@ def filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(rules.to_column(F.col("lang"), F.col("source"))).select(
         "doc_id", "lang", "source"
     )
+
+
+_GTID_RANGES = {
+    "11111111-0000-0000-0000-000000000000": [(1, 2000)],
+    "22222222-0000-0000-0000-000000000000": [(500, 1500), (3000, 4000)],
+}
+
+
+@query(
+    "gtid_covers",
+    oracle="""
+    SELECT event_id, user_id,
+           concat(CASE CAST(user_id % 3 AS INTEGER)
+                    WHEN 0 THEN '11111111-0000-0000-0000-000000000000'
+                    WHEN 1 THEN '22222222-0000-0000-0000-000000000000'
+                    ELSE '33333333-0000-0000-0000-000000000000' END,
+                  ':', CAST(event_id AS VARCHAR)) AS pos
+    FROM events
+    WHERE NOT (CASE CAST(user_id % 3 AS INTEGER)
+                 WHEN 0 THEN event_id BETWEEN 1 AND 2000
+                 WHEN 1 THEN event_id BETWEEN 500 AND 1500
+                              OR event_id BETWEEN 3000 AND 4000
+                 ELSE FALSE END)
+    """,
+)
+def gtid_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-UUID handoff filter (A17's covers() as an event-dedup
+    predicate): keep only events NOT already covered by the snapshot's
+    GTID set — positions are ``uuid:gno`` with no total order across
+    UUIDs, so plain ``pos > threshold`` cannot express this.
+
+    Arrow-batched pandas UDF (GtidSet rebuilt once per batch, interval
+    lookups in-process); the oracle replays the same interval logic in
+    SQL. At scale the predicate is a map-side filter — no shuffle."""
+    from ..functions.gtid import GtidSet, gtid_covers_column
+
+    gs = GtidSet({u: list(rs) for u, rs in _GTID_RANGES.items()})
+    ev = load(spark, sf_dir, "events")
+    uuids = sorted(_GTID_RANGES) + ["33333333-0000-0000-0000-000000000000"]
+    uuid_col = F.element_at(
+        F.array(*[F.lit(u) for u in uuids]), (F.col("user_id") % 3 + 1).cast("int")
+    )
+    pos = F.concat(uuid_col, F.lit(":"), F.col("event_id").cast("string"))
+    return (
+        ev.select("event_id", "user_id", pos.alias("pos"))
+        .filter(~gtid_covers_column(F.col("pos"), gs.to_json()))
+    )
