@@ -1,0 +1,98 @@
+"""Custom stateful operators: watermark tracking accumulates across
+micro-batches; transaction assembly flushes on commit markers."""
+
+from __future__ import annotations
+
+import json
+
+from go_cdc_spark.sources.changelog import CHANGE_EVENT_SCHEMA
+from go_cdc_spark.streaming.pipeline import read_changelog_stream
+from go_cdc_spark.streaming.stateful import txn_assembler, watermark_tracker
+
+
+def _event(pos: int, source="ds1", op="insert", txn=None):
+    return {
+        "data_source": source,
+        "schema": "main",
+        "table": "t",
+        "op": op,
+        "data": {"id": str(pos)},
+        "before": None,
+        "ts": None,
+        "pos": str(pos).zfill(12),
+        "txn_id": txn,
+    }
+
+
+def _write(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_watermark_tracker_accumulates_across_batches(spark, tmp_path):
+    src = tmp_path / "changelog"
+    src.mkdir()
+    _write(src / "seg0.json", [_event(3), _event(7), _event(1, source="ds2")])
+    stream = read_changelog_stream(spark, str(src))
+    out = watermark_tracker(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second micro-batch advances ds1, leaves ds2 untouched
+    _write(src / "seg1.json", [_event(12), _event(9)])
+    q.processAllAvailable()
+    q.stop()
+    final: dict[str, tuple[str, int]] = {}
+    for r in spark.sql("SELECT * FROM wm").collect():
+        if r.data_source not in final or r.n_events > final[r.data_source][1]:
+            final[r.data_source] = (r.max_pos, r.n_events)
+    assert final["ds1"] == ("12".zfill(12), 4)  # state carried batch→batch
+    assert final["ds2"] == ("1".zfill(12), 1)
+
+
+def test_txn_assembler_flushes_on_commit(spark, tmp_path):
+    src = tmp_path / "changelog"
+    src.mkdir()
+    _write(
+        src / "seg0.json",
+        [
+            _event(1, txn="t1"),
+            _event(2, txn="t1"),
+            _event(3, txn="t2"),  # t2 never commits in this run
+            _event(4, op="commit", txn="t1"),
+        ],
+    )
+    stream = read_changelog_stream(spark, str(src), max_files_per_trigger=1)
+    out = txn_assembler(stream, timeout_ms=3_000)
+    # ProcessingTimeTimeout keeps the query running paced no-data batches
+    # to evaluate timeouts — processAllAvailable never returns and
+    # availableNow never terminates. Poll the sink instead.
+    q = (
+        out.writeStream.format("memory")
+        .queryName("txns")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    rows: dict = {}
+    while time.time() < deadline:
+        rows = {r.txn_id: r for r in spark.sql("SELECT * FROM txns").collect()}
+        if "t1" in rows and "t2" in rows:
+            break
+        time.sleep(1)
+    q.stop()
+    # commit marker flushed t1 with both its data events
+    assert rows["t1"].complete and rows["t1"].n_events == 2
+    assert rows["t1"].first_pos == "1".zfill(12) and rows["t1"].last_pos == "2".zfill(12)
+    # t2 never committed: evicted by the processing-time timeout, incomplete
+    assert not rows["t2"].complete and rows["t2"].n_events == 1
