@@ -342,6 +342,15 @@ class TableSnapshot:
     pos: str
     events: DataFrame | None
     error: str | None = None
+    n_rows: int | None = None  # A6 progress metric (count deferred to caller)
+
+    def count_rows(self) -> int | None:
+        """Row-count scan (A6, `fullamount_service.go:193-201`) — in the
+        reference it bounds the chunk loop; here it is purely a progress
+        metric, so it runs on demand, not in the pipeline hot path."""
+        if self.n_rows is None and self.events is not None and self.error is None:
+            self.n_rows = self.events.filter(F.col("op") == OP_INSERT).count()
+        return self.n_rows
 
 
 def snapshot_table(
