@@ -216,3 +216,43 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("fp"),
         min_shingle.alias("min_shingle"),
     )
+
+
+@query(
+    "top_tokens",
+    oracle="""
+    SELECT token, n_occurrences, n_docs
+    FROM (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    )
+    WHERE rn <= 50
+    """,
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode whitespace tokens, count occurrences
+    and document frequency, keep the top 50 (deterministic tie-break on
+    the token itself).
+
+    Scale shape: explode is map-side; the token groupBy is the one
+    shuffle, with map-side partial aggregation shrinking it to
+    |vocab| × partitions; the global top-k is a TakeOrdered over
+    per-partition top-ks — no full sort. Power-law token skew is safe:
+    hot tokens are *pre-aggregated per partition* before the shuffle,
+    so the reducer sees one partial per partition, not one row per
+    occurrence (the two_phase_agg situation never arises)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(words_col()).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(50)
+    )
