@@ -270,3 +270,29 @@ def gtid_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", "user_id", pos.alias("pos"))
         .filter(~gtid_covers_column(F.col("pos"), gs.to_json()))
     )
+
+
+@query(
+    "snapshot_envelope",
+    oracle="""
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT 'create_table' AS op
+        UNION ALL SELECT 'end'
+        UNION ALL SELECT 'insert' FROM region
+    )
+    GROUP BY op
+    """,
+)
+def snapshot_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capture layer through the driver contract: run the per-table
+    snapshot pipeline (A11) on `region` and count envelope rows by op —
+    one create_table control, one insert per row, one end marker
+    (`internal/cannal/fullamount_event.go:24-83`)."""
+    from ..sources.snapshot import ParquetSnapshotSource, snapshot_table
+
+    src = ParquetSnapshotSource(
+        spark, sf_dir, primary_keys={"region": ["r_regionkey"]}
+    )
+    snap = snapshot_table(src, "ds1", "main", "region")
+    return snap.events.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
