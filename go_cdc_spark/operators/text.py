@@ -256,3 +256,28 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(50)
     )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(concat('doc', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100
+          < (CASE WHEN lang = 'en' THEN 10 ELSE 30 END)
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates (en 10%,
+    rest 30% — downsample the over-represented stratum) decided by a
+    hash of the stable key, NOT rand() — reproducible across runs,
+    engines, and retried tasks, which is what makes corpus ablations
+    comparable. Map-side only: a filter, no shuffle, no state."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("doc"), F.col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(30))
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
