@@ -1,0 +1,75 @@
+"""Partition-scoped MERGE: the 100 TB write path.
+
+``apply_changes`` (operators/cdc.py) produces the merged *logical*
+result; at test scale we overwrite the whole table. On a 100 TB base
+table that is absurd — the correct physical strategy is: find the
+partitions the change batch touches (metadata-sized), recompute ONLY
+those partitions' rows, and swap them atomically via Spark's dynamic
+partition overwrite (`spark.sql.sources.partitionOverwriteMode=dynamic`:
+an overwrite write replaces exactly the partitions present in the
+written DataFrame, leaving every other partition's files untouched).
+
+Cost model: reading + rewriting is proportional to |touched partitions|,
+not |table|. Choose the partition column so change locality is high
+(ingest date, tenant, key-bucket) — a change batch touching every
+partition degrades to a full rewrite, which no engine avoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cdc import apply_changes
+
+
+def merge_into_partitioned(
+    spark: SparkSession,
+    base_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    pos_threshold: str | None = None,
+) -> list:
+    """MERGE a typed change batch into a hive-partitioned parquet table,
+    rewriting only the touched partitions. Returns the partition values
+    that were rewritten.
+
+    ``changes`` carries the table's columns (incl. ``partition_col``)
+    plus ``pos``/``op``. Keys must not migrate across partitions (the
+    usual contract: partition column is immutable or part of the key —
+    enforced here by requiring partition_col ∈ keys ∪ immutables is the
+    caller's schema design; a migrated key would need a delete+insert
+    pair, which the envelope already expresses).
+    """
+    # Metadata-sized driver list: which partitions does this batch touch?
+    touched = [
+        r[0] for r in changes.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return []
+
+    base = spark.read.parquet(base_path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    # Align change images to the base schema: an inferred change batch
+    # (e.g. python ints → LongType) must not drift the table's parquet
+    # types — the overwrite would otherwise write mixed-type partitions.
+    aligned = changes.select(
+        *[F.col(f.name).cast(f.dataType) for f in base.schema.fields],
+        "pos",
+        "op",
+    )
+    merged = apply_changes(base, aligned, keys, pos_threshold=pos_threshold)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(base_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return touched
