@@ -176,3 +176,60 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("media_meta.kind").alias("kind"), "media"
     )
     return media.mapInPandas(extract, _FEATURE_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+TARGET_EDGE = 16
+
+
+@query("media_resize")  # rows-only: binary→binary Python transform
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: binary in, binary out, metadata updated — the
+    shape of every media-transform stage (resize, transcode, crop).
+    The real resampler is stubbed like the decoder (no image libs in
+    this container); the stand-in is a deterministic byte downsample
+    (every k-th byte) so output size tracks the target dimensions and
+    the pipeline stays verifiable end to end.
+
+    Scale note: output partitions shrink by the resize ratio — follow
+    with coalesce (not repartition) when writing, to avoid tiny files
+    without an extra shuffle."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for r in pdf.itertuples(index=False):
+                try:  # pragma: no cover - absent by design
+                    import PIL.Image  # noqa: F401
+
+                    raise NotImplementedError("real resample not wired yet")
+                except ImportError:
+                    pass
+                w, h = r.width, r.height
+                scale = max(w, h) / TARGET_EDGE
+                step = max(int(scale), 1)
+                out_rows.append(
+                    {
+                        "doc_id": r.doc_id,
+                        "media": bytes(r.media[::step]),
+                        "width": max(w // step, 1),
+                        "height": max(h // step, 1),
+                    }
+                )
+            yield pd.DataFrame(out_rows, columns=["doc_id", "media", "width", "height"])
+
+    media = with_media(load(spark, sf_dir, "documents")).filter(
+        F.col("media_meta.kind") == "image"
+    ).select(
+        "doc_id", "media", F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+    return media.mapInPandas(resize, _RESIZE_SCHEMA)

@@ -698,3 +698,19 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+@query("agg_quantiles")  # rows-only: sketch results are engine-specific
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (KLL/GK-style approx percentiles): the
+    constant-memory distributed answer to "what does the distribution
+    look like" — exact percentiles need a full sort; the sketch is one
+    map-side pass + tiny merges. Engine-specific results ⇒ rows-only
+    check (DuckDB's approx_quantile uses a different sketch)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10_000).alias(
+            "price_quantiles"
+        ),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
