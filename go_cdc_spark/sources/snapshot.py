@@ -101,8 +101,15 @@ def tuple_le(pk_cols: Sequence[str], values: Sequence) -> str:
 
 
 def _sql_lit(v) -> str:
+    import datetime
+
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        # DATE/DATETIME primary keys: ISO text compares correctly in SQL
+        return "'" + v.isoformat(sep=" ") + "'" if isinstance(
+            v, datetime.datetime
+        ) else "'" + v.isoformat() + "'"
     return str(v)
 
 
@@ -300,10 +307,20 @@ def snapshot_events(
     ``insert`` (stringly map image, like the transport layer of the
     reference), and an ``end`` row carrying the snapshot position the
     incremental handoff resumes from (`fullamount_event.go:24-83`)."""
+    from pyspark.sql import types as T
+
     spark = df.sparkSession
     kv = []
-    for name in df.columns:
-        kv += [F.lit(name), F.col(name).cast("string")]
+    for f in df.schema.fields:
+        # binary columns base64-encode (a raw string cast is lossy for
+        # arbitrary bytes); everything else stringifies like the
+        # reference's []byte→string coercion (mysql_data_source.go:183-188)
+        val = (
+            F.base64(F.col(f.name))
+            if isinstance(f.dataType, T.BinaryType)
+            else F.col(f.name).cast("string")
+        )
+        kv += [F.lit(f.name), val]
     inserts = df.select(
         F.lit(data_source).alias("data_source"),
         F.lit(schema).alias("schema"),

@@ -152,3 +152,25 @@ def test_snapshot_all_prefix_wildcard(spark):
     rules = FilterRules.parse({"global": {"include_tables": ["part_", "orders"]}})
     snaps = snapshot_all(src, "ds1", rules=rules, concurrency=4)
     assert sorted(s.table for s in snaps) == ["orders", "part"]
+
+
+def test_sql_lit_temporal_and_binary_envelope(spark):
+    import datetime
+
+    from go_cdc_spark.sources.snapshot import _sql_lit, snapshot_events
+
+    assert _sql_lit(datetime.date(2024, 3, 1)) == "'2024-03-01'"
+    assert _sql_lit(datetime.datetime(2024, 3, 1, 12, 30)) == "'2024-03-01 12:30:00'"
+    # DuckDB accepts the rendered comparison
+    pred = tuple_gt(["d"], [datetime.date(2024, 3, 1)])
+    assert duckdb.sql(
+        f"SELECT {pred} FROM (SELECT DATE '2024-06-01' AS d)"
+    ).fetchone()[0]
+
+    # binary columns survive the stringly envelope via base64
+    import base64
+
+    df = spark.createDataFrame([(1, bytearray(b"\x00\xff\x10"))], ["id", "blob"])
+    events = snapshot_events(df, "ds1", "main", "t", "DDL", "000000000001")
+    ins = next(r for r in events.collect() if r.op == "insert")
+    assert base64.b64decode(ins.data["blob"]) == b"\x00\xff\x10"
