@@ -46,6 +46,12 @@ def merge_into_partitioned(
     touched = [
         r[0] for r in changes.select(partition_col).distinct().collect()
     ]
+    if None in touched:
+        # NULL never matches isin() — the base rows would silently be
+        # missed and the write would target __HIVE_DEFAULT_PARTITION__.
+        raise ValueError(
+            f"change batch has NULL {partition_col!r}; partition keys must be non-null"
+        )
     if not touched:
         return []
 

@@ -77,3 +77,20 @@ def test_merge_delete_shrinks_partition(spark, tmp_path):
     out = spark.read.parquet(base_path)
     assert out.count() == nation.count() - 1
     assert out.filter(F.col("n_nationkey") == victim.n_nationkey).count() == 0
+
+
+def test_merge_rejects_null_partition_key(spark, tmp_path):
+    import pytest
+
+    base_path = str(tmp_path / "nation")
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet").write.partitionBy(
+        "n_regionkey"
+    ).parquet(base_path)
+    changes = spark.createDataFrame(
+        [(1, "X", None, "insert", "000000000001")],
+        "n_nationkey long, n_name string, n_regionkey int, op string, pos string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        merge_into_partitioned(
+            spark, base_path, changes, keys=["n_nationkey"], partition_col="n_regionkey"
+        )
