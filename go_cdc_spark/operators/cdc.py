@@ -87,12 +87,14 @@ def materialize_changelog(
     after-image (``data`` is NULL, `internal/model/event.go:7-8` —
     Before carries the deleted row), but its key must still tombstone.
     """
+    from go_cdc_spark.sources.changelog import decode_image_value
+
     image_cols = []
     for f in snapshot.schema.fields:
         col = F.col("data").getItem(f.name)
         if f.name in keys:
             col = F.coalesce(col, F.col("before").getItem(f.name))
-        image_cols.append(col.cast(f.dataType).alias(f.name))
+        image_cols.append(decode_image_value(col, f.dataType).alias(f.name))
     typed = changes.select(*image_cols, F.col("pos"), F.col("op"))
     return apply_changes(snapshot, typed, keys, pos_threshold)
 

@@ -22,6 +22,31 @@ from pyspark.sql import functions as F
 
 from .cdc import apply_changes
 
+# Characters Spark's file committer percent-escapes in partition directory
+# names (ExternalCatalogUtils.needsEscaping): control chars + hive-special.
+_ESCAPED_CHARS = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+
+
+def _escape_partition_value(value_str: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPED_CHARS else c for c in value_str
+    )
+
+
+def _delete_partition_dirs(
+    spark: SparkSession, base_path: str, partition_col: str, value_strs: list
+) -> None:
+    """Remove ``{partition_col}={value}`` directories via the Hadoop
+    FileSystem API (works on local/HDFS/S3A alike, unlike shutil)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for s in value_strs:
+        part_dir = jvm.org.apache.hadoop.fs.Path(
+            root, f"{partition_col}={_escape_partition_value(s)}"
+        )
+        fs.delete(part_dir, True)
+
 
 def merge_into_partitioned(
     spark: SparkSession,
@@ -43,9 +68,19 @@ def merge_into_partitioned(
     pair, which the envelope already expresses).
     """
     # Metadata-sized driver list: which partitions does this batch touch?
-    touched = [
-        r[0] for r in changes.select(partition_col).distinct().collect()
-    ]
+    # The string form rides along because it is exactly what the file
+    # committer uses for directory naming (cast-to-string + hive escape)
+    # — needed below to delete partitions the merge empties out.
+    pairs = (
+        changes.select(
+            F.col(partition_col).alias("v"),
+            F.col(partition_col).cast("string").alias("s"),
+        )
+        .distinct()
+        .collect()
+    )
+    touched = [r["v"] for r in pairs]
+    str_of = {r["v"]: r["s"] for r in pairs}
     if None in touched:
         # NULL never matches isin() — the base rows would silently be
         # missed and the write would target __HIVE_DEFAULT_PARTITION__.
@@ -66,16 +101,33 @@ def merge_into_partitioned(
         "pos",
         "op",
     )
-    merged = apply_changes(base, aligned, keys, pos_threshold=pos_threshold)
-
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged = apply_changes(
+        base, aligned, keys, pos_threshold=pos_threshold
+    ).persist()
     try:
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(base_path)
+        # Dynamic overwrite replaces ONLY partitions present in the
+        # written DataFrame. A partition whose every row was deleted is
+        # absent from `merged`, so its old files would survive and the
+        # deleted rows resurface — diff it out and remove it explicitly.
+        present = {
+            r[0] for r in merged.select(partition_col).distinct().collect()
+        }
+        emptied = [str_of[v] for v in touched if v not in present]
+
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
         )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(base_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if emptied:
+            _delete_partition_dirs(spark, base_path, partition_col, emptied)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        merged.unpersist()
     return touched

@@ -706,11 +706,17 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-memory distributed answer to "what does the distribution
     look like" — exact percentiles need a full sort; the sketch is one
     map-side pass + tiny merges. Engine-specific results ⇒ rows-only
-    check (DuckDB's approx_quantile uses a different sketch)."""
+    check (DuckDB's approx_quantile uses a different sketch).
+
+    Output is three scalar DOUBLE columns (p50/p90/p99), never the raw
+    array: the external harness canonicalizes results with a pandas
+    sort over every column, and array cells are unhashable there.
+    """
     li = load(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10_000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10_000).alias(
-            "price_quantiles"
-        ),
+        F.element_at(q, 1).cast("double").alias("p50"),
+        F.element_at(q, 2).cast("double").alias("p90"),
+        F.element_at(q, 3).cast("double").alias("p99"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )

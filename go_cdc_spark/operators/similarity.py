@@ -138,10 +138,17 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k window.
 
     Scale note (100 TB): the cross join with a broadcast query side is a
-    pure map — no shuffle, no skew. The window shuffles |Q|×|C| scored
-    rows on query_id; at real scale insert a per-partition partial top-k
-    (groupBy(query_id, spark_partition_id).agg(max_by slice)) before the
-    global window so only |Q|×k×partitions rows shuffle.
+    pure map — no shuffle, no skew. The top-k window does NOT shuffle the
+    |Q|×|C| scored rows: the ``row_number() ... filter(rank <= k)`` shape
+    triggers Spark's rank-limit pushdown, which inserts
+    ``WindowGroupLimit(..., row_number(), k, Partial)`` BELOW the
+    exchange — each map partition is locally sorted and trimmed to its
+    own top-k per query before shuffling, so only |Q| × k × partitions
+    rows cross the wire (the ``Final`` WindowGroupLimit re-trims after
+    the merge). Plan shape is pinned by
+    tests/test_plans.py::test_sim_topk_partial_topk_before_exchange;
+    keep the ordered row_number + rank filter form or the pushdown
+    (and the bounded shuffle) silently disappears.
     """
     queries, cands = _split(spark, sf_dir)
     scored = F.broadcast(queries).crossJoin(cands).select(

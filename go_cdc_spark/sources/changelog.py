@@ -69,11 +69,24 @@ def changelog_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
     return spark.createDataFrame([norm(r) for r in rows], CHANGE_EVENT_SCHEMA)
 
 
+def decode_image_value(col: F.Column, data_type: T.DataType) -> F.Column:
+    """Stringly envelope value → typed column. Binary columns were
+    base64-encoded by ``snapshot_events`` (a plain string→binary cast
+    would yield the UTF-8 bytes of the base64 TEXT, silently corrupting
+    the round trip), so they decode with ``unbase64``; everything else
+    is a straight cast."""
+    if isinstance(data_type, T.BinaryType):
+        return F.unbase64(col)
+    return col.cast(data_type)
+
+
 def typed_image(df: DataFrame, image_col: str, schema: T.StructType) -> DataFrame:
     """Cast a MAP<STRING,STRING> row image to typed columns (materialization
     boundary: transport stays stringly like the reference, storage is typed)."""
     cols = [
-        F.col(image_col).getItem(f.name).cast(f.dataType).alias(f.name)
+        decode_image_value(F.col(image_col).getItem(f.name), f.dataType).alias(
+            f.name
+        )
         for f in schema.fields
     ]
     return df.select(*cols)

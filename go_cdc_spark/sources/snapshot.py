@@ -35,8 +35,9 @@ Re-expresses the reference's full-sync service
 
 from __future__ import annotations
 
+import itertools
 import threading
-from collections.abc import Callable, Sequence
+from collections.abc import Callable, Iterator, Sequence
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Protocol
@@ -149,7 +150,10 @@ class ParquetSnapshotSource:
     root: str
     schema_name: str = "main"
     primary_keys: dict[str, list[str]] = field(default_factory=dict)
-    _pos: int = 0
+    # itertools.count is GIL-atomic: snapshot_all's thread pool calls
+    # current_position concurrently, and a plain `+= 1` can hand two
+    # tables the same position (breaking the per-table handoff threshold).
+    _pos_counter: Iterator[int] = field(default_factory=lambda: itertools.count(1))
 
     def list_schemas(self) -> list[str]:
         return [self.schema_name]
@@ -186,8 +190,7 @@ class ParquetSnapshotSource:
     def current_position(self) -> str:
         """Monotonic fake position (the parquet dir is immutable; a real
         source reports its log position, A16)."""
-        self._pos += 1
-        return f"{self._pos:012d}"
+        return f"{next(self._pos_counter):012d}"
 
     def read_table(self, schema: str, table: str) -> DataFrame:
         # TIMESTAMP(NANOS) parquet (e.g. the events fixture) is illegal to
@@ -278,14 +281,19 @@ class JdbcSnapshotSource:
                 numPartitions=self.num_partitions,
                 properties=self.properties,
             )
-        # composite / non-numeric PK: sample boundaries, tuple predicates
+        # composite / non-numeric PK: sample boundaries, tuple predicates.
+        # The ORDER BY ends up inside a derived table once Spark wraps the
+        # query (MySQL is free to ignore it there), and parallel JDBC reads
+        # return partitions in arbitrary order — so NEVER trust arrival
+        # order: collect once (bounded at 100k rows), then sort + dedupe
+        # the boundary tuples in Python. Unsorted/duplicate boundaries
+        # would make chunk_predicates overlap and duplicate snapshot rows.
         sample = self._query(
             f"SELECT {', '.join(pks)} FROM {fq} ORDER BY {', '.join(pks)}"
         ).limit(100_000)
-        n = sample.count()
-        step = max(n // self.num_partitions, 1)
-        rows = sample.collect()[step::step]
-        preds = chunk_predicates(pks, [tuple(r) for r in rows])
+        rows = sorted({tuple(r) for r in sample.collect()})
+        step = max(len(rows) // self.num_partitions, 1)
+        preds = chunk_predicates(pks, rows[step::step])
         return self.spark.read.jdbc(self.url, fq, predicates=preds, properties=self.properties)
 
 

@@ -125,12 +125,14 @@ class StreamingMaterializer:
     # -- merge -----------------------------------------------------------
 
     def _typed_changes(self, batch: DataFrame) -> DataFrame:
+        from go_cdc_spark.sources.changelog import decode_image_value
+
         cols = []
         for f in self.schema.fields:
             col = F.col("data").getItem(f.name)
             if f.name in self.keys:
                 col = F.coalesce(col, F.col("before").getItem(f.name))
-            cols.append(col.cast(f.dataType).alias(f.name))
+            cols.append(decode_image_value(col, f.dataType).alias(f.name))
         return batch.select(
             *cols, F.col("pos").alias(POS_COL), F.col("op").alias(OP_COL)
         )

@@ -79,6 +79,29 @@ def test_merge_delete_shrinks_partition(spark, tmp_path):
     assert out.filter(F.col("n_nationkey") == victim.n_nationkey).count() == 0
 
 
+def test_merge_delete_empties_partition(spark, tmp_path):
+    """Deleting EVERY row of a partition must remove the partition
+    itself — dynamic overwrite alone leaves the old files (the partition
+    is absent from the written DataFrame) and the rows would resurface."""
+    base_path = str(tmp_path / "nation")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    nation.write.partitionBy("n_regionkey").parquet(base_path)
+
+    victims = nation.filter(F.col("n_regionkey") == 2).collect()
+    assert victims  # sanity: the partition starts non-empty
+    changes = spark.createDataFrame(
+        [(v.n_nationkey, v.n_name, 2, "delete", "000000000999") for v in victims],
+        ["n_nationkey", "n_name", "n_regionkey", "op", "pos"],
+    )
+    merge_into_partitioned(
+        spark, base_path, changes, keys=["n_nationkey"], partition_col="n_regionkey"
+    )
+    assert not os.path.isdir(os.path.join(base_path, "n_regionkey=2"))
+    out = spark.read.parquet(base_path)
+    assert out.filter(F.col("n_regionkey") == 2).count() == 0
+    assert out.count() == nation.count() - len(victims)
+
+
 def test_merge_rejects_null_partition_key(spark, tmp_path):
     import pytest
 

@@ -1,0 +1,60 @@
+"""Physical-plan shape assertions: the scale story lives in the plan,
+not the result. These tests pin the optimizations the 100 TB design
+depends on, so a refactor that silently loses one (a pushdown that stops
+firing, a broadcast that becomes a shuffle) fails loudly at test scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from go_cdc_spark.plans.queries import QUERIES
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sim_topk_partial_topk_before_exchange(spark, sf_dir):
+    """The brute-force cosine top-k must keep the rank-limit pushdown:
+    a Partial-mode WindowGroupLimit BELOW the exchange trims every map
+    partition to its local top-k per query, so the shuffle carries
+    |Q|*k*partitions rows, never the full |Q|*|C| cross product."""
+    plan = _physical(QUERIES["sim_topk"](spark, sf_dir))
+    partial = re.search(r"WindowGroupLimit .*row_number\(\), \d+, Partial", plan)
+    final = re.search(r"WindowGroupLimit .*row_number\(\), \d+, Final", plan)
+    exchange = re.search(r"Exchange hashpartitioning\(query_id", plan)
+    assert partial, f"no Partial WindowGroupLimit in plan:\n{plan}"
+    assert final and exchange
+    # tree prints root-first: Final above the exchange, Partial below it
+    assert final.start() < exchange.start() < partial.start(), plan
+
+
+def test_sim_topk_scores_computed_before_shuffle(spark, sf_dir):
+    """The cosine expression must be projected once, map-side (below the
+    exchange) — re-deriving it above the shuffle would recompute the dot
+    products |Q|*k*partitions times on the reduce side."""
+    plan = _physical(QUERIES["sim_topk"](spark, sf_dir))
+    exchange = plan.index("Exchange hashpartitioning(query_id")
+    assert "aggregate(zip_with" in plan[exchange:], "cosine not map-side"
+    assert "aggregate(zip_with" not in plan[:exchange], (
+        "cosine recomputed above the shuffle"
+    )
+
+
+def test_q1_partial_agg_and_pushdown(spark, sf_dir):
+    """Q1 keeps map-side combine (partial HashAggregate before the
+    exchange) and the shipdate filter reaches the parquet scan."""
+    plan = _physical(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    first_agg = plan.index("HashAggregate")
+    exchange = plan.index("Exchange hashpartitioning")
+    # root-first print: the agg ABOVE the exchange is final, and another
+    # HashAggregate must exist BELOW it (the map-side partial)
+    assert first_agg < exchange
+    assert "HashAggregate" in plan[exchange:], "no map-side partial aggregate"
+
+
+def test_join_broadcast_is_broadcast(spark, sf_dir):
+    plan = _physical(QUERIES["join_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

@@ -28,6 +28,23 @@ def test_query_matches_oracle(name, spark, sf_dir):
         assert len(df.columns) > 0
 
 
+@pytest.mark.parametrize("name", _names())
+def test_query_output_is_scalar_only(name, spark, sf_dir):
+    """The external harness canonicalizes every result with a pandas
+    sort_values over all columns; array/map/struct cells are unhashable
+    there and crash the whole correctness row (this killed agg_quantiles
+    in round 1). Final projections must be scalar-typed, period."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = QUERIES[name](spark, sf_dir)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name} projects complex-typed columns {bad}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -8,6 +8,7 @@ import itertools
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from go_cdc_spark.functions.rules import FilterRules
 from go_cdc_spark.sources.changelog import (
@@ -174,3 +175,27 @@ def test_sql_lit_temporal_and_binary_envelope(spark):
     events = snapshot_events(df, "ds1", "main", "t", "DDL", "000000000001")
     ins = next(r for r in events.collect() if r.op == "insert")
     assert base64.b64decode(ins.data["blob"]) == b"\x00\xff\x10"
+
+
+def test_binary_column_roundtrip_through_materialize(spark):
+    """snapshot_events → materialize_changelog must return the ORIGINAL
+    bytes: the envelope base64-encodes binary columns, so the typed
+    materialization has to unbase64, not string→binary cast (which would
+    yield the UTF-8 bytes of the base64 text)."""
+    from go_cdc_spark.operators.cdc import materialize_changelog
+    from go_cdc_spark.sources.changelog import DATA_OPS, typed_image
+    from go_cdc_spark.sources.snapshot import snapshot_events
+
+    payload = b"\x00\xff\x10ABC\x80"
+    df = spark.createDataFrame([(1, bytearray(payload))], ["id", "blob"])
+    events = snapshot_events(df, "ds1", "main", "t", "DDL", "000000000001")
+    rows = events.filter(F.col("op").isin(list(DATA_OPS)))
+
+    # direct image decode
+    img = typed_image(rows, "data", df.schema).collect()
+    assert bytes(img[0].blob) == payload
+
+    # full merge path against an empty snapshot
+    empty = spark.createDataFrame([], df.schema)
+    out = materialize_changelog(rows, empty, keys=["id"]).collect()
+    assert bytes(out[0].blob) == payload
