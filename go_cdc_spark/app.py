@@ -1,0 +1,228 @@
+"""The ``main()`` analog: config file → source registry → full sync →
+incremental sync, as one callable entry point plus a CLI.
+
+Mirrors the reference's boot sequence (`cmd/cdc/main.go:15-33`):
+
+1. ``config.LoadConfig("config.toml")``        → :func:`go_cdc_spark.config.load_config`
+2. ``db.InitCDCDataSource()`` (meta DB)        → :class:`CheckpointStore` at ``meta_path``
+3. ``syncdb.InitOrGetDataSource()`` per source → :meth:`Engine.init_sources`
+   (build source, probe start position, persist the source-level meta
+   row, register in the id-keyed holder map,
+   `internal/syncdb/data_source.go:77-112`)
+4. ``FullAmountService.Run``                   → :meth:`Engine.full_sync`
+5. ``NewMySQLIncrementalService(...).Run``     → :meth:`Engine.incremental_sync`
+
+The incremental phase drains each source's changelog directory with an
+``availableNow`` trigger by default (deterministic for tests and batch
+catch-up); pass ``continuous=True`` for a long-lived tail. Query
+restarts are governed by :class:`RestartPolicy` (backoff parity with
+`internal/cannal/incremental.go:100-114`).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .config import EngineConfig, SourceConfig, load_config
+from .functions.rules import FilterRules
+from .sources.meta import CheckpointStore
+from .sources.snapshot import (
+    JdbcSnapshotSource,
+    ParquetSnapshotSource,
+    TableSnapshot,
+    snapshot_all,
+)
+from .streaming.pipeline import StreamingMaterializer, filter_stream, read_changelog_stream
+from .streaming.restart import RestartPolicy, run_with_restart
+
+
+@dataclass
+class SourceHolder:
+    """`DataSourceHolder` analog (`internal/syncdb/data_source.go:42-55`):
+    id + live source + parsed config, registered in the engine map."""
+
+    id: int
+    config: SourceConfig
+    source: object
+    rules: FilterRules
+    start_pos: str
+
+    @property
+    def name(self) -> str:
+        return self.config.name
+
+
+class Engine:
+    """Config-driven multi-source CDC engine (registry + run loop)."""
+
+    def __init__(self, config: EngineConfig, spark: SparkSession | None = None):
+        self.config = config
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark()
+        self.spark = spark
+        self.meta = CheckpointStore(spark, config.meta_path)
+        self.registry: dict[int, SourceHolder] = {}
+        # (source_id, schema, table) -> materializer for the synced table
+        self.tables: dict[tuple[int, str, str], StreamingMaterializer] = {}
+
+    # -- step 3: source registry -----------------------------------------
+
+    def _build_source(self, cfg: SourceConfig):
+        if cfg.type == "parquet":
+            if not cfg.path:
+                raise ValueError(f"source {cfg.name!r}: parquet type needs path")
+            return ParquetSnapshotSource(
+                self.spark,
+                cfg.path,
+                schema_name=cfg.schema_name,
+                primary_keys=cfg.primary_keys,
+            )
+        if cfg.type == "jdbc":
+            return JdbcSnapshotSource(
+                self.spark,
+                cfg.dsn(),
+                cfg.jdbc_properties(),
+                num_partitions=cfg.num_partitions,
+            )
+        raise ValueError(f"source {cfg.name!r}: unknown type {cfg.type!r}")
+
+    def init_sources(self) -> dict[int, SourceHolder]:
+        """Build + register every configured source: probe its current
+        position (A16 binlog bootstrap) and persist the source-level
+        meta row before any sync, like `data_source.go:102-107`."""
+        for cfg in self.config.sources:
+            src = self._build_source(cfg)
+            pos = src.current_position()
+            self.meta.upsert(cfg.name, pos, sync_type="incremental")
+            self.registry[cfg.id] = SourceHolder(
+                id=cfg.id,
+                config=cfg,
+                source=src,
+                rules=cfg.parsed_rules(),
+                start_pos=pos,
+            )
+        return self.registry
+
+    # -- step 4: full sync ------------------------------------------------
+
+    def _state_path(self, holder: SourceHolder, schema: str, table: str) -> str:
+        return os.path.join(
+            self.config.state_dir, f"src{holder.id}", schema, table
+        )
+
+    def full_sync(self, concurrency: int = 10) -> dict[int, list[TableSnapshot]]:
+        """`FullAmountService.Run` analog: per source, discover → filter →
+        bounded-parallel per-table snapshot (checkpointing each table's
+        position), then materialize each table's typed state so the
+        incremental phase has a base to merge into."""
+        results: dict[int, list[TableSnapshot]] = {}
+        for holder in self.registry.values():
+            snaps = snapshot_all(
+                holder.source,
+                holder.name,
+                rules=holder.rules,
+                checkpoint=self.meta,
+                concurrency=concurrency,
+            )
+            results[holder.id] = snaps
+            for snap in snaps:
+                if snap.error is not None:
+                    continue  # rollback event; table skipped (no-PK etc.)
+                typed = holder.source.read_table(snap.schema, snap.table)
+                self.tables[(holder.id, snap.schema, snap.table)] = StreamingMaterializer(
+                    self.spark,
+                    snapshot=typed,
+                    keys=holder.source.get_table_primary_keys(snap.schema, snap.table),
+                    state_path=self._state_path(holder, snap.schema, snap.table),
+                    pos_threshold=snap.pos,
+                    meta=self.meta,
+                    data_source_id=holder.name,
+                    table=snap.table,
+                )
+        return results
+
+    # -- step 5: incremental sync -----------------------------------------
+
+    def incremental_sync(
+        self,
+        continuous: bool = False,
+        restart_policy: RestartPolicy | None = None,
+    ) -> None:
+        """Tail each source's changelog directory and MERGE into the
+        materialized tables. ``availableNow`` (default) drains what
+        exists and stops — the deterministic test/batch mode;
+        ``continuous`` runs until stopped, restarting per
+        :class:`RestartPolicy` on failure."""
+        def make_start(holder: SourceHolder, schema: str, table: str, mat):
+            cfg = holder.config
+
+            def start():
+                stream = read_changelog_stream(
+                    self.spark, cfg.changelog, cfg.max_files_per_trigger
+                )
+                stream = filter_stream(stream, holder.rules)
+                stream = stream.filter(
+                    (F.col("schema") == schema) & (F.col("table") == table)
+                )
+                ckpt = os.path.join(
+                    self.config.checkpoint_dir, f"src{holder.id}", schema, table
+                )
+                return mat.start(
+                    stream, ckpt, query_name=f"{cfg.name}.{schema}.{table}"
+                )
+
+            return start
+
+        work = [
+            make_start(self.registry[src_id], schema, table, mat)
+            for (src_id, schema, table), mat in self.tables.items()
+            if self.registry[src_id].config.changelog
+        ]
+        if continuous and len(work) > 1:
+            # long-lived tails must run concurrently (one blocked
+            # awaitTermination would starve the rest); each gets its own
+            # restart loop, like the reference's per-source goroutine
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(work)) as pool:
+                futures = [
+                    pool.submit(run_with_restart, s, restart_policy) for s in work
+                ]
+                for f in futures:
+                    f.result()
+        else:
+            for s in work:
+                run_with_restart(s, restart_policy)
+
+    # -- the whole boot sequence ------------------------------------------
+
+    def run(self, continuous: bool = False) -> dict:
+        self.init_sources()
+        snaps = self.full_sync()
+        self.incremental_sync(continuous=continuous)
+        return {
+            "sources": {h.id: h.name for h in self.registry.values()},
+            "tables": {
+                f"{sid}/{sc}/{tb}": mat.state_path
+                for (sid, sc, tb), mat in self.tables.items()
+            },
+            "snapshots": {
+                sid: [(s.schema, s.table, s.pos, s.error) for s in lst]
+                for sid, lst in snaps.items()
+            },
+        }
+
+    def read_table(self, source_id: int, schema: str, table: str):
+        """Queryable current state of a synced table (tombstones hidden)."""
+        return self.tables[(source_id, schema, table)].read_table()
+
+
+def run(config_path: str, spark: SparkSession | None = None, continuous: bool = False) -> dict:
+    """`cmd/cdc/main.go` in one call: load config, boot, sync."""
+    return Engine(load_config(config_path), spark=spark).run(continuous=continuous)

@@ -1,0 +1,128 @@
+"""Engine configuration: TOML/JSON file → typed config objects.
+
+Mirrors the reference's boot configuration (`pkg/config/db.go:8,41-56`:
+``LoadConfig("config.toml")`` parsing a ``CdcConfig`` with one ``[[db]]``
+block per source, each carrying a numeric id, connection fields, and the
+include/exclude filter rules) and its DSN assembly
+(`internal/db/cdc_datasouce.go:58-69`).
+
+File layout (TOML; `.json` with the same shape also accepted):
+
+    [engine]
+    meta_path      = "/data/cdc/meta"
+    state_dir      = "/data/cdc/state"
+    checkpoint_dir = "/data/cdc/ckpt"
+
+    [[source]]
+    id          = 1                 # replication server-id analog
+    name        = "dev"
+    type        = "parquet"         # parquet | jdbc
+    path        = "/data/seed"      # parquet root (type=parquet)
+    schema_name = "main"
+    changelog   = "/data/changelog" # incremental segment dir (optional)
+    [source.primary_keys]
+    region = ["r_regionkey"]
+    [source.rules.global]
+    include_tables = ["region", "nation"]
+
+JDBC sources take either a full ``url`` or the reference's discrete
+host/port/user/password/database fields, assembled by :meth:`SourceConfig.dsn`.
+"""
+
+from __future__ import annotations
+
+import json
+import tomllib
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from .functions.rules import FilterRules
+
+
+@dataclass
+class SourceConfig:
+    """One ``[[source]]`` block (the reference's per-DB config +
+    ``DataSourceHolder`` id, `internal/syncdb/data_source.go:42-55`)."""
+
+    id: int
+    name: str
+    type: str = "parquet"  # parquet | jdbc
+    # parquet
+    path: str | None = None
+    schema_name: str = "main"
+    primary_keys: dict[str, list[str]] = field(default_factory=dict)
+    # jdbc
+    url: str | None = None
+    host: str | None = None
+    port: int = 3306
+    user: str | None = None
+    password: str | None = None
+    database: str | None = None
+    properties: dict[str, str] = field(default_factory=dict)
+    num_partitions: int = 8
+    # incremental
+    changelog: str | None = None
+    max_files_per_trigger: int = 1
+    # filtering
+    rules: dict = field(default_factory=dict)
+
+    def parsed_rules(self) -> FilterRules:
+        return FilterRules.parse(self.rules)
+
+    def dsn(self) -> str:
+        """JDBC URL — given directly, or assembled from discrete fields
+        like the reference's ``fmt.Sprintf`` DSN
+        (`internal/db/cdc_datasouce.go:58-69`); credentials stay in
+        ``properties`` (JDBC drivers take user/password out-of-band,
+        unlike Go's in-DSN form)."""
+        if self.url:
+            return self.url
+        if not (self.host and self.database):
+            raise ValueError(f"source {self.name!r}: need url or host+database")
+        return f"jdbc:mysql://{self.host}:{self.port}/{self.database}"
+
+    def jdbc_properties(self) -> dict[str, str]:
+        props = dict(self.properties)
+        if self.user is not None:
+            props.setdefault("user", self.user)
+        if self.password is not None:
+            props.setdefault("password", self.password)
+        return props
+
+
+@dataclass
+class EngineConfig:
+    meta_path: str
+    state_dir: str
+    checkpoint_dir: str
+    sources: list[SourceConfig] = field(default_factory=list)
+
+
+def _build(raw: dict) -> EngineConfig:
+    eng = raw.get("engine", {})
+    for key in ("meta_path", "state_dir", "checkpoint_dir"):
+        if key not in eng:
+            raise ValueError(f"[engine] missing required key {key!r}")
+    sources = [SourceConfig(**s) for s in raw.get("source", [])]
+    ids = [s.id for s in sources]
+    if len(ids) != len(set(ids)):
+        raise ValueError(f"duplicate source ids: {ids}")
+    return EngineConfig(
+        meta_path=eng["meta_path"],
+        state_dir=eng["state_dir"],
+        checkpoint_dir=eng["checkpoint_dir"],
+        sources=sources,
+    )
+
+
+def load_config(path: str) -> EngineConfig:
+    """`config.LoadConfig` analog (`pkg/config/db.go:41-56`): parse the
+    file by extension (.toml or .json) and validate."""
+    p = Path(path)
+    if p.suffix == ".toml":
+        raw = tomllib.loads(p.read_text())
+    elif p.suffix == ".json":
+        raw = json.loads(p.read_text())
+    else:
+        raise ValueError(f"unsupported config format: {p.suffix!r} (toml/json)")
+    return _build(raw)

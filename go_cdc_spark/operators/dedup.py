@@ -10,8 +10,8 @@ The scale story (100 TB corpus, ~10^10 docs):
   band trade recall vs candidate volume; jaccard verification touches
   candidates only.
 - **SimHash**: 64-bit signature via bit voting — near-dup buckets by
-  Hamming distance; vectorized numpy in an Arrow-batched pandas UDF
-  (no JVM bit-vote builtin).
+  Hamming distance; expression-only (aggregate/zip_with bit-count fold
+  over per-token md5 nibbles), fully JVM-side and oracle-checked.
 
 Every oracle-checked query keeps hashing engine-portable: md5 only
 (identical hex in Spark and DuckDB) — xxhash64 etc. are Spark-private.
@@ -19,9 +19,6 @@ Every oracle-checked query keeps hashing engine-portable: md5 only
 
 from __future__ import annotations
 
-import hashlib
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -199,36 +196,87 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: 64-bit bit-voting has no portable SQL form
+_SIMHASH_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), th AS (
+    SELECT doc_id, substring(md5(tok), 1, 16) AS h FROM tok
+), bits AS (
+    SELECT doc_id, p.j,
+           ((strpos('0123456789abcdef', substring(th.h, (p.j // 4) + 1, 1)) - 1)
+             >> (3 - (p.j % 4))) & 1 AS bit
+    FROM th, (SELECT unnest(range(0, 64)) AS j) p
+), votes AS (
+    SELECT doc_id, j, SUM(bit) AS ones, COUNT(*) AS n
+    FROM bits GROUP BY doc_id, j
+), sig AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN 2 * ones > n THEN
+                 CASE WHEN j = 0 THEN -9223372036854775808
+                      ELSE (CAST(1 AS BIGINT) << (63 - j)) END
+               ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM sig GROUP BY simhash
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) near-dup buckets: per-token md5-derived 64-bit hashes,
-    bit-voted into one signature per doc (vectorized numpy over Arrow
-    batches), then grouped. Deterministic across runs/engines."""
-    import numpy as np
-    from pyspark.sql.types import LongType
+    """SimHash(64) near-dup buckets, expression-only — NO Python in the
+    row path (the round-1 pandas-UDF form ran a per-row/per-token Python
+    loop, the slowest stage at 10^10 docs; this is the JVM reformulation
+    VERDICT.md asked for, and it made the operator oracle-checkable).
 
-    @F.pandas_udf(LongType())
-    def simhash64(texts: pd.Series) -> pd.Series:
-        def one(t: str) -> int:
-            toks = t.split(" ")
-            # uint64 hashes can exceed int64; unpack bytes → bits in numpy
-            # (frombuffer is unsigned-safe), one row per token.
-            raw = b"".join(
-                hashlib.md5(tok.encode("utf-8")).digest()[:8] for tok in toks
-            )
-            bytes_arr = np.frombuffer(raw, dtype=np.uint8).reshape(len(toks), 8)
-            bits = np.unpackbits(bytes_arr, axis=1)  # big-endian bit order
-            votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
-            sig = 0
-            for bit in votes > 0:  # MSB-first, matches int.from_bytes("big")
-                sig = (sig << 1) | int(bit)
-            return sig - (1 << 64) if sig >= (1 << 63) else sig
+    Semantics (bit-identical to the old UDF, verified): per-token 64-bit
+    hash = first 16 hex nibbles of md5(token), MSB-first; bit-voting is
+    ONE fold over the token hashes with a 64-wide count accumulator
+    (``aggregate`` + ``zip_with``); signature bit j = 1 iff more than
+    half the tokens set it; the int64 packs via shiftleft|or (bitwise,
+    so no ANSI overflow on the sign bit).
 
-        return texts.map(one)
+    Scale: tokenize/hash/vote are all map-side whole-stage-codegen; the
+    only shuffle is the final signature groupBy. Staged projections keep
+    split/md5 bound once (the 30x re-derivation trap)."""
+
+    def bits_of(h: Column) -> Column:
+        # 16 hex nibbles -> 64 bits, MSB-first (nibble value via conv;
+        # the oracle uses strpos('0123..f') — same result, lowercase md5)
+        bits = []
+        for p in range(16):
+            v = F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int")
+            for b in (3, 2, 1, 0):
+                bits.append(F.shiftright(v, b).bitwiseAND(F.lit(1)))
+        return F.array(*bits)
 
     docs = fan_out(load(spark, sf_dir, "documents"))
-    return (
-        docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
-        .groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    hashed = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.transform("toks", lambda t: F.substring(F.md5(t), 1, 16)).alias("hashes"),
+    )
+    counted = hashed.select(
+        "doc_id",
+        "n_toks",
+        F.aggregate(
+            "hashes",
+            F.array_repeat(F.lit(0), 64),
+            lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, b: a + b),
+        ).alias("ones"),
+    )
+    sig = counted.select(
+        "doc_id",
+        F.aggregate(
+            "ones",
+            F.lit(0).cast("bigint"),
+            lambda acc, c: F.shiftleft(acc, 1).bitwiseOR(
+                F.when(c * 2 > F.col("n_toks"), F.lit(1).cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint"))
+            ),
+        ).alias("simhash"),
+    )
+    return sig.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id")
     )

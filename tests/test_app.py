@@ -1,0 +1,189 @@
+"""Boot-sequence integration (`cmd/cdc/main.go` analog): a TOML config
+file drives source registration, full sync, changelog drain, and the
+handoff rule — asserting final table state AND checkpoint contents.
+Plus the restart policy's backoff/give-up behavior (`incremental.go:100-114`).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from go_cdc_spark.app import Engine, run
+from go_cdc_spark.config import load_config
+from go_cdc_spark.sources.meta import CheckpointStore
+from go_cdc_spark.streaming.restart import (
+    RestartPolicy,
+    RetriesExhausted,
+    run_with_restart,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_config(tmp_path, changelog_dir) -> str:
+    cfg = f"""
+[engine]
+meta_path      = "{tmp_path}/meta"
+state_dir      = "{tmp_path}/state"
+checkpoint_dir = "{tmp_path}/ckpt"
+
+[[source]]
+id        = 1
+name      = "dev"
+type      = "parquet"
+path      = "{SF}"
+changelog = "{changelog_dir}"
+[source.primary_keys]
+region = ["r_regionkey"]
+nation = ["n_nationkey"]
+[source.rules.global]
+include_tables = ["region", "nation"]
+"""
+    p = tmp_path / "config.toml"
+    p.write_text(cfg)
+    return str(p)
+
+
+def _event(pos, op, data, before=None, table="region"):
+    return {
+        "data_source": "dev",
+        "schema": "main",
+        "table": table,
+        "op": op,
+        "data": data,
+        "before": before,
+        "ts": None,
+        "pos": str(pos).zfill(12),
+        "txn_id": None,
+    }
+
+
+def test_config_loader_validates(tmp_path):
+    p = tmp_path / "bad.toml"
+    p.write_text('[engine]\nmeta_path = "x"\n')
+    with pytest.raises(ValueError, match="state_dir"):
+        load_config(str(p))
+    p2 = tmp_path / "dup.toml"
+    p2.write_text(
+        '[engine]\nmeta_path="m"\nstate_dir="s"\ncheckpoint_dir="c"\n'
+        '[[source]]\nid=1\nname="a"\n[[source]]\nid=1\nname="b"\n'
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        load_config(str(p2))
+
+
+def test_jdbc_dsn_assembly():
+    from go_cdc_spark.config import SourceConfig
+
+    s = SourceConfig(id=2, name="db", type="jdbc", host="h", database="d", user="u", password="p")
+    assert s.dsn() == "jdbc:mysql://h:3306/d"
+    assert s.jdbc_properties() == {"user": "u", "password": "p"}
+    with pytest.raises(ValueError, match="url or host"):
+        SourceConfig(id=3, name="x", type="jdbc").dsn()
+
+
+def test_run_from_config_end_to_end(spark, tmp_path):
+    """Full boot: snapshot both tables, drain a changelog straddling the
+    snapshot position, assert merged state + checkpoint rows."""
+    seg_dir = tmp_path / "changelog"
+    seg_dir.mkdir()
+    cfg_path = _write_config(tmp_path, seg_dir)
+
+    engine = Engine(load_config(cfg_path), spark=spark)
+    engine.init_sources()
+    # source registered under its numeric id with a probed position
+    assert 1 in engine.registry and engine.registry[1].start_pos is not None
+    snaps = engine.full_sync()
+    table_pos = {s.table: s.pos for s in snaps[1]}
+
+    p = int(table_pos["region"])
+    events = [
+        # at/below snapshot pos: already in the snapshot, must NOT apply
+        _event(p, "update", {"r_regionkey": "1", "r_name": "STALE"}),
+        # above: must apply
+        _event(p + 1, "update", {"r_regionkey": "2", "r_name": "ASIA-v2"}),
+        _event(p + 2, "insert", {"r_regionkey": "99", "r_name": "ATLANTIS"}),
+        _event(p + 3, "delete", None, {"r_regionkey": "0", "r_name": "AFRICA"}),
+        # different table, filtered to its own materializer
+        _event(p + 4, "update", {"n_nationkey": "3", "n_name": "CANADA-v2",
+                                 "n_regionkey": "1"}, table="nation"),
+    ]
+    with open(seg_dir / "seg0.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    engine.incremental_sync()
+
+    base = spark.read.parquet(f"{SF}/region.parquet")
+    state = {r.r_regionkey: r.r_name for r in engine.read_table(1, "main", "region").collect()}
+    expect = {r.r_regionkey: r.r_name for r in base.collect()}
+    assert state.get(1) == expect[1] != "STALE"
+    expect[2] = "ASIA-v2"
+    expect[99] = "ATLANTIS"
+    del expect[0]
+    assert state == expect
+
+    nation_state = {
+        r.n_nationkey: r.n_name for r in engine.read_table(1, "main", "nation").collect()
+    }
+    assert nation_state[3] == "CANADA-v2"
+
+    # checkpoint contents: source-level row + per-table full rows +
+    # incremental watermark advanced to the changelog head
+    meta = CheckpointStore(spark, f"{tmp_path}/meta")
+    rows = meta.all()
+    assert ("dev", None, None) in rows  # init_sources source-level row
+    assert rows[("dev", "main", "region")].sync_type == "full"
+    assert rows[("dev", None, "region")].last_pos == str(p + 3).zfill(12)
+    assert rows[("dev", None, "nation")].last_pos == str(p + 4).zfill(12)
+
+
+def test_run_entry_point(spark, tmp_path):
+    """The one-call `run(config_path)` boots end-to-end and reports."""
+    seg_dir = tmp_path / "changelog"
+    seg_dir.mkdir()  # empty changelog: nothing to drain, still must work
+    summary = run(_write_config(tmp_path, seg_dir), spark=spark)
+    assert summary["sources"] == {1: "dev"}
+    assert sorted(summary["tables"]) == ["1/main/nation", "1/main/region"]
+    assert all(err is None for _, _, _, err in summary["snapshots"][1])
+
+
+# -- restart policy ---------------------------------------------------------
+
+
+def test_restart_backoff_sequence():
+    p = RestartPolicy()
+    gen = p.delays()
+    assert [next(gen) for _ in range(7)] == [1, 2, 4, 8, 16, 30, 30]
+
+
+def test_restart_exhausts_after_max_attempts():
+    """A poisoned query (fails every start) must back off and give up
+    after max_attempts consecutive failures."""
+    calls = {"n": 0}
+    slept: list[float] = []
+
+    class BoomQuery:
+        def awaitTermination(self):
+            calls["n"] += 1
+            raise RuntimeError("poisoned batch")
+
+    with pytest.raises(RetriesExhausted) as ei:
+        run_with_restart(
+            lambda: BoomQuery(),
+            RestartPolicy(max_attempts=4, base_delay=1.0),
+            sleep=slept.append,
+        )
+    assert calls["n"] == 4
+    assert slept == [1.0, 2.0, 4.0]  # no sleep after the final failure
+    assert ei.value.attempts == 4
+
+
+def test_restart_returns_on_clean_termination():
+    class CleanQuery:
+        def awaitTermination(self):
+            return None
+
+    run_with_restart(lambda: CleanQuery(), RestartPolicy(max_attempts=1))
