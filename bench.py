@@ -55,6 +55,49 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+REGRESSION_FACTOR = 1.5  # round-over-round per-query budget
+NOISE_FLOOR_SEC = 0.15  # sub-150ms timings are scheduler noise, not plans
+
+
+def load_prev_bench(repo_dir: str) -> dict | None:
+    """Latest BENCH_r{N}.json from earlier rounds (the driver writes one
+    per round) — the round-over-round comparison base."""
+    benches = sorted(
+        f
+        for f in os.listdir(repo_dir)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    if not benches:
+        return None
+    with open(os.path.join(repo_dir, benches[-1])) as f:
+        prior = json.load(f)
+    return prior.get("parsed") or prior
+
+
+def vs_prev(times: dict[str, float], prev: dict | None) -> dict:
+    """Per-query ratio vs the prior round; names any query slower than
+    REGRESSION_FACTOR× (above the noise floor) so a regression is loud
+    in the bench line itself, not buried in a diff."""
+    if not prev or "queries" not in prev:
+        return {"prev_found": False, "regressions": []}
+    ratios = {}
+    regressions = []
+    for name, t in times.items():
+        p = prev["queries"].get(name)
+        if p is None or p <= 0:
+            continue
+        ratio = round(t / p, 2)
+        ratios[name] = ratio
+        if ratio > REGRESSION_FACTOR and t > NOISE_FLOOR_SEC:
+            regressions.append(name)
+    return {
+        "prev_found": True,
+        "prev_total": prev.get("value"),
+        "ratios": ratios,
+        "regressions": regressions,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -69,6 +112,7 @@ def main() -> None:
     for name in HEADLINE:
         times[name] = round(min(run_one(spark, name, sf_dir) for _ in range(2)), 3)
 
+    comparison = vs_prev(times, load_prev_bench(os.path.dirname(os.path.abspath(__file__))))
     print(
         json.dumps(
             {
@@ -77,10 +121,18 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "vs_prev": comparison,
             }
         )
     )
     spark.stop()
+    if comparison["regressions"]:
+        # fail loudly: a >1.5× per-query regression is a build defect
+        print(
+            f"REGRESSION vs previous round: {comparison['regressions']}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -155,7 +155,26 @@ def _decode_media(payload: bytes, kind: str) -> dict:
     }
 
 
-@query("media_features")  # rows-only: Arrow-batched Python feature extraction
+_FEATURES_ORACLE = """
+WITH m AS (
+    SELECT doc_id, md5(text) AS hx,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind
+    FROM documents
+), b AS (
+    SELECT doc_id, kind,
+           SUM(16 * (strpos('0123456789abcdef', substring(hx, 2 * i - 1, 1)) - 1)
+               + (strpos('0123456789abcdef', substring(hx, 2 * i, 1)) - 1)) AS sum_bytes
+    FROM m, (SELECT unnest(range(1, 17)) AS i)
+    GROUP BY doc_id, kind
+)
+SELECT doc_id, kind, CAST(16 AS INTEGER) AS n_bytes,
+       CAST(sum_bytes AS DOUBLE) / 16 AS byte_mean,
+       'stubbed' AS decode_status
+FROM b
+"""
+
+
+@query("media_features", oracle=_FEATURES_ORACLE)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over media bytes via ``mapInPandas``: Arrow
     moves each partition's (doc_id, media, kind) in columnar batches;
