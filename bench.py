@@ -31,6 +31,10 @@ from go_cdc_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "scan_project_filter",
     "join_broadcast",
     "join_sortmerge",
