@@ -280,3 +280,120 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: candidate PAIRS → connected components → one
+# survivor per cluster. The step every real training-data dedup needs
+# after LSH (pairs alone over-delete: a~b, b~c must collapse to ONE
+# cluster {a,b,c}, not two independent pair-drops).
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 50
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list → (node, cluster_id)
+    with cluster_id = min node id in the component.
+
+    Scale story: the edge list is the LSH candidate set (near-dup docs
+    only), orders of magnitude smaller than the corpus. Each iteration
+    is one join + one groupBy-min, converging in O(component diameter)
+    rounds — near-dup clusters are shallow (diameter ≤ ~3) in practice.
+    ``localCheckpoint`` cuts lineage each round so Catalyst analysis
+    stays O(1) per iteration instead of growing with the loop; the
+    convergence probe is a metadata-sized count, not a collect of data.
+    For adversarial graphs (long chains) switch to large-star/small-star
+    — same public pattern, fewer rounds.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"), F.col("label")
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+# DuckDB oracle: transitive closure by recursive CTE (fine at oracle
+# scale — the candidate graph is tiny), min reachable id = cluster id.
+_EDGES_SQL = f"(SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}))"
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM {_EDGES_SQL}
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM {_EDGES_SQL}
+), reach(a, b) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs: every
+    doc in a near-dup relation gets its component's min doc_id as
+    cluster_id (docs with no near-dup are implicit singletons and not
+    listed — they join back in dedup_survivors)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM {_EDGES_SQL}
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM {_EDGES_SQL}
+), reach(a, b) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), members AS (
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN members m ON d.doc_id = m.doc_id
+WHERE m.doc_id IS NULL OR m.doc_id = m.cluster_id
+"""
+
+
+@query("dedup_survivors", oracle=_SURVIVORS_ORACLE)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduped corpus: drop every clustered doc except its
+    cluster's min-id representative; untouched docs survive as
+    singletons. This is the end-to-end contract of near-dedup — corpus
+    in, strictly-smaller corpus out, one doc per near-dup class."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    members = dedup_clusters(spark, sf_dir)
+    non_reps = members.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(non_reps, "doc_id", "left_anti")

@@ -896,3 +896,104 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / pivot / analytic-window extensions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           {_sql_sum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over):
+    per-(flag,status), per-flag, and grand total in ONE pass — Spark
+    expands to a single Expand + hash aggregate, not three scans.
+    GROUPING() disambiguates real NULLs from subtotal rows."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "pivot_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {", ".join(
+               f"COUNT(CASE WHEN o_orderpriority = '{p}' THEN 1 END) AS p{i + 1}"
+               for i, p in enumerate(_PRIORITIES)
+           )}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts by status × priority. Explicit
+    value list, so Spark skips the extra distinct-values job and the
+    plan is a single aggregate — the only correct way to pivot at scale
+    (an inferred value list is a full extra pass AND a nondeterministic
+    column set)."""
+    o = load(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot names columns by value; alias to stable p1..p5 (driver
+    # compares by column name, and spaces in names break nothing but
+    # readability)
+    renamed = out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}") for i, p in enumerate(_PRIORITIES)],
+    )
+    return renamed
+
+
+@query(
+    "win_analytics",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           NTILE(4)       OVER w AS quartile,
+           CUME_DIST()    OVER w AS cume,
+           PERCENT_RANK() OVER w AS prank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per partition: ntile quartiles, cumulative
+    distribution, percent rank — one Window exec, one shuffle on the
+    partition key. The unique (acctbal, custkey) order makes peer groups
+    singletons, so cume/prank are engine-portable ratios."""
+    cu = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cu.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("prank"),
+    )

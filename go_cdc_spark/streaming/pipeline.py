@@ -177,6 +177,49 @@ class StreamingMaterializer:
         )
 
 
+def stream_commit_join(
+    rows: DataFrame,
+    commits: DataFrame,
+    interval: str = "10 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: enrich row events with their
+    transaction's commit event (the streaming form of A22's buffer-until-
+    XID — instead of holding rows in explicit state, the join's interval
+    bound holds them, and the watermark ages the buffer out).
+
+    Both sides carry a watermark and the join condition bounds commit
+    time to [row ts, row ts + interval], so Spark can discard state for
+    rows whose commit window has passed — state is O(events in flight
+    within the interval), not O(stream)."""
+    r = (
+        rows.filter(F.col("op") != "commit")
+        .select(
+            F.col("txn_id"),
+            F.col("pos").alias("row_pos"),
+            F.col("ts").cast("timestamp").alias("row_ts"),
+            F.col("table").alias("row_table"),
+        )
+        .withWatermark("row_ts", watermark_delay)
+    )
+    c = (
+        commits.filter(F.col("op") == "commit")
+        .select(
+            F.col("txn_id").alias("c_txn_id"),
+            F.col("pos").alias("commit_pos"),
+            F.col("ts").cast("timestamp").alias("commit_ts"),
+        )
+        .withWatermark("commit_ts", watermark_delay)
+    )
+    return r.join(
+        c,
+        (F.col("txn_id") == F.col("c_txn_id"))
+        & (F.col("commit_ts") >= F.col("row_ts"))
+        & (F.col("commit_ts") <= F.col("row_ts") + F.expr(f"INTERVAL {interval}")),
+        "inner",
+    ).select("txn_id", "row_table", "row_pos", "row_ts", "commit_pos", "commit_ts")
+
+
 # -- streaming windowed aggregations (A18/A19's analytic consumers) -------
 
 

@@ -1,0 +1,31 @@
+"""connected_components unit semantics: chains collapse transitively
+(the a~b, b~c case pair-dropping gets wrong), components are labeled by
+min id, convergence happens within the diameter bound."""
+
+from __future__ import annotations
+
+from go_cdc_spark.operators.dedup import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, "src", "dst")
+    return {r.node: r.cluster_id for r in out.collect()}
+
+
+def test_chain_collapses_to_one_cluster(spark):
+    # 1-2, 2-3, 3-4: transitive closure must label all with 1
+    assert _cc(spark, [(1, 2), (2, 3), (3, 4)]) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components_keep_separate_labels(spark):
+    got = _cc(spark, [(5, 9), (9, 7), (20, 30), (40, 40)])
+    assert got == {5: 5, 9: 5, 7: 5, 20: 20, 30: 20, 40: 40}
+
+
+def test_long_chain_converges(spark):
+    n = 24
+    edges = [(i, i + 1) for i in range(1, n)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {1}
+    assert len(got) == n

@@ -187,3 +187,52 @@ def test_stream_session_window(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM session_sink ORDER BY session_start").collect()
     assert [(r.user_id, r.n_events) for r in rows] == [(7, 2), (7, 1)]
+
+
+def test_stream_stream_commit_join(spark, tmp_path):
+    """Row events join their txn's commit event within the interval
+    bound (stream-stream inner join with watermarks on both sides):
+    committed txn rows emit enriched, uncommitted ones never do."""
+    from go_cdc_spark.streaming.pipeline import stream_commit_join
+
+    rows_dir = tmp_path / "rows"
+    commits_dir = tmp_path / "commits"
+
+    def ev(op, pos, txn, minute):
+        return {
+            "data_source": "ds1",
+            "schema": "bank",
+            "table": "accounts",
+            "op": op,
+            "data": {"id": str(pos)} if op != "commit" else None,
+            "before": None,
+            "ts": f"2024-01-01T00:{minute:02d}:00.000000",
+            "pos": format_pos(pos),
+            "txn_id": txn,
+        }
+
+    _write_segment(rows_dir, "seg0.json", [
+        ev("insert", 1, "t1", 0),
+        ev("insert", 2, "t1", 1),
+        ev("insert", 3, "t2", 1),   # t2 never commits
+        ev("insert", 4, "t3", 0),   # t3 commits OUTSIDE the interval
+    ])
+    _write_segment(commits_dir, "seg0.json", [
+        ev("commit", 10, "t1", 5),
+        ev("commit", 11, "t3", 59),  # 59 min later > 10-minute bound
+    ])
+
+    rows = read_changelog_stream(spark, str(rows_dir))
+    commits = read_changelog_stream(spark, str(commits_dir))
+    joined = stream_commit_join(rows, commits, interval="10 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.txn_id, r.row_pos) for r in spark.sql("SELECT * FROM ssj").collect()}
+    assert got == {("t1", format_pos(1)), ("t1", format_pos(2))}
