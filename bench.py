@@ -34,7 +34,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q8_market_share",
     "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_volume",
+    "q21_waiting_supplier",
     "scan_project_filter",
     "join_broadcast",
     "join_sortmerge",

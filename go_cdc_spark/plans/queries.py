@@ -11,6 +11,7 @@ from ..operators import (  # noqa: F401  (registers on import)
     relational,
     similarity,
     text,
+    tpch,
 )
 
 from .registry import ORACLE, QUERIES
