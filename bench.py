@@ -53,6 +53,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_topk",
     "text_stats",
+    "decontaminate_ngrams",
+    "quality_repetition",
 ]
 
 
@@ -113,12 +115,14 @@ def main() -> None:
 
     run_one(spark, HEADLINE[0], sf_dir)  # warmup: JVM + codegen + parquet footer
 
-    # min of 2 runs per query: single cold runs of sub-second plans swing
-    # 3× on JIT/GC noise; the min is the steady-state number the 100 TB
-    # comparison cares about.
+    # min of 3 runs per query: single cold runs of sub-second plans swing
+    # 3× on JIT/GC noise, and a heavy-codegen plan (e.g. the 128-dim
+    # cosine fold) can stay slow for TWO consecutive runs while C2
+    # compiles in the background; the min is the steady-state number the
+    # 100 TB comparison cares about.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        times[name] = round(min(run_one(spark, name, sf_dir) for _ in range(2)), 3)
+        times[name] = round(min(run_one(spark, name, sf_dir) for _ in range(3)), 3)
 
     comparison = vs_prev(times, load_prev_bench(os.path.dirname(os.path.abspath(__file__))))
     print(

@@ -1,0 +1,260 @@
+"""Training-data curation operators: decontamination, repetition-based
+quality filtering, boilerplate n-gram mining.
+
+These extend the text/dedup suite (operators/text.py, operators/dedup.py)
+with the remaining curation stages a large-scale LLM data pipeline runs
+between raw crawl and training shards:
+
+- **decontamination** — remove training documents that share n-grams
+  with an evaluation/benchmark set (the standard guard against test-set
+  leakage). The eval set is small by construction (benchmark suites are
+  thousands of documents, not billions), so its distinct-shingle set is
+  broadcast and the whole check is a map-side semi-probe: no shuffle of
+  the 100 TB training side except the per-doc hit count aggregation,
+  keyed by unique doc_id (no skew by construction).
+- **repetition quality** (Gopher-style rules): fraction of duplicate
+  tokens / dominant-token share / duplicate 2-gram share per document.
+  Two-level aggregation (token counts, then per-doc rollup) keyed by
+  (doc_id, token) then doc_id — map-side partial aggregation applies at
+  both levels, and doc_id keys are unique → uniformly distributed.
+- **boilerplate mining** — n-grams present in more than a fixed share
+  of all documents (navigation chrome, license headers, templated
+  spam). One explode + one count-distinct-docs aggregation keyed by the
+  n-gram itself; the document-count scalar joins in via a 1-row
+  broadcast, so the threshold is computed without any driver round-trip.
+
+All row-path expressions are JVM built-ins inside whole-stage codegen
+(split / transform / sequence lambdas shared with operators/text.py);
+no Python UDFs anywhere.
+
+Parity note: the reference (go-cdc, a CDC replicator) has no curation
+surface; these belong to the derived LLM-pipeline surface SURVEY.md §2.B
+requires alongside dedup/similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..tables import load
+from .text import shingles_col
+
+EVAL_SOURCE = "src0"  # stand-in benchmark set: one source shard
+
+# DuckDB n-gram list builders (same NULL-skipping concat_ws semantics as
+# text.shingles_col: out-of-range list indexes are NULL, concat_ws drops
+# them, so a doc shorter than n yields its whole text as one shingle).
+
+
+def _sql_shingles(n: int) -> str:
+    parts = ",\n         ".join(f"string_split(text, ' ')[i + {k}]" for k in range(n))
+    return f"""
+list_transform(
+    range(1, greatest(len(string_split(text, ' ')) - {n - 1}, 1) + 1),
+    i -> concat_ws(' ',
+         {parts}))
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: training docs sharing any 3-gram with the eval set.
+# ---------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = f"""
+WITH ev AS (
+    SELECT DISTINCT unnest({_sql_shingles(3)}) AS sh
+    FROM documents WHERE source = '{EVAL_SOURCE}'
+),
+tr AS (
+    SELECT doc_id, unnest(list_distinct({_sql_shingles(3)})) AS sh
+    FROM documents WHERE source <> '{EVAL_SOURCE}'
+),
+hits AS (
+    SELECT doc_id, COUNT(*) AS shared_ngrams
+    FROM tr JOIN ev USING (sh)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.shared_ngrams, 0) AS BIGINT) AS shared_ngrams,
+       CASE WHEN COALESCE(h.shared_ngrams, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.source <> '{EVAL_SOURCE}'
+"""
+
+
+@query("decontaminate_ngrams", oracle=_DECONTAM_ORACLE)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the number of
+    distinct 3-gram shingles it shares with the eval set (here: the
+    ``src0`` shard) and a contaminated flag.
+
+    Scale shape (100 TB training / small eval): the eval shingle set is
+    built once and **broadcast** — the training side is never shuffled
+    against it; each partition probes the broadcast hash table with its
+    own exploded shingles. The only shuffle is the per-doc hit count
+    (unique doc_id keys) plus the final left join back to the doc list,
+    both keyed identically so AQE coalesces them. Contrast with a naive
+    shingle-equi-join of two exploded 100 TB sides.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ev = (
+        docs.filter(F.col("source") == EVAL_SOURCE)
+        .select(F.explode(F.array_distinct(shingles_col())).alias("sh"))
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != EVAL_SOURCE)
+    hits = (
+        train.select("doc_id", F.explode(F.array_distinct(shingles_col())).alias("sh"))
+        .join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("shared_ngrams", F.lit(0)).cast("long").alias("shared_ngrams"),
+            F.when(F.coalesce("shared_ngrams", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality rules (Gopher-style).
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = f"""
+WITH tc AS (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY doc_id, tok
+),
+agg AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_uniq,
+           MAX(c) AS top_c
+    FROM tc GROUP BY doc_id
+),
+tg AS (
+    SELECT doc_id,
+           len(list_distinct({_sql_shingles(2)})) AS d2,
+           greatest(len(string_split(text, ' ')) - 1, 1) AS n2
+    FROM documents
+)
+SELECT a.doc_id,
+       a.n_tokens,
+       CAST(a.n_uniq AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS uniq_token_frac,
+       CAST(a.top_c AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS top_token_frac,
+       1.0 - CAST(tg.d2 AS DOUBLE) / CAST(tg.n2 AS DOUBLE) AS dup_2gram_frac,
+       CASE WHEN CAST(a.top_c AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) <= 0.125
+                 AND 1.0 - CAST(tg.d2 AS DOUBLE) / CAST(tg.n2 AS DOUBLE) <= 0.125
+            THEN 1 ELSE 0 END AS keep
+FROM agg a JOIN tg USING (doc_id)
+"""
+
+
+@query("quality_repetition", oracle=_REPETITION_ORACLE)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per document, unique-token
+    fraction, dominant-token share, and duplicate-2-gram share, plus the
+    resulting keep/drop decision.
+
+    Scale shape: token counts are a (doc_id, token)-keyed aggregation
+    with map-side partials, rolled up to doc_id — both keys unique or
+    near-unique, no skew. The 2-gram distinctness is computed **inside
+    the row** (array_distinct over the shingle array, no explode): a
+    document's 2-gram set never leaves its partition. The final join is
+    doc_id-to-doc_id on two already-co-keyed aggregates.
+    """
+    docs = load(spark, sf_dir, "documents")
+    agg = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_uniq"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    tg = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(shingles_col(n=2))).alias("d2"),
+        F.greatest(F.size(F.split("text", " ")) - 1, F.lit(1)).alias("n2"),
+    )
+    top_frac = F.col("top_c").cast("double") / F.col("n_tokens").cast("double")
+    dup2_frac = F.lit(1.0) - F.col("d2").cast("double") / F.col("n2").cast("double")
+    return (
+        agg.join(tg, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_uniq").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "uniq_token_frac"
+            ),
+            top_frac.alias("top_token_frac"),
+            dup2_frac.alias("dup_2gram_frac"),
+            F.when((top_frac <= 0.125) & (dup2_frac <= 0.125), 1)
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram mining: 2-grams present in ≥5% of all documents.
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, unnest(list_distinct({_sql_shingles(2)})) AS ngram
+    FROM documents
+),
+df AS (SELECT ngram, COUNT(*) AS doc_freq FROM sh GROUP BY ngram),
+total AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT df.ngram, df.doc_freq,
+       CAST(df.doc_freq AS DOUBLE) / CAST(t.n_docs AS DOUBLE) AS doc_share
+FROM df, total t
+WHERE df.doc_freq * 20 >= t.n_docs
+"""
+
+
+@query("boilerplate_ngrams", oracle=_BOILERPLATE_ORACLE)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: 2-grams whose document frequency is ≥5% of
+    the corpus (template chrome / license headers / repeated spam), with
+    their document share.
+
+    Scale shape: per-doc distinct shingles explode map-side; one
+    aggregation keyed by the n-gram (hot n-grams are exactly what we're
+    looking for, and a count-only aggregate is skew-immune thanks to
+    map-side partial counts). The corpus document count is a 1-row
+    aggregate **cross-broadcast** into the filter — integer-arithmetic
+    threshold (`doc_freq * 20 >= n_docs`), no driver collect, no float
+    threshold drift.
+    """
+    docs = load(spark, sf_dir, "documents")
+    df = (
+        docs.select("doc_id", F.explode(F.array_distinct(shingles_col(n=2))).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    total = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        df.crossJoin(F.broadcast(total))
+        .filter(F.col("doc_freq") * 20 >= F.col("n_docs"))
+        .select(
+            "ngram",
+            "doc_freq",
+            (F.col("doc_freq").cast("double") / F.col("n_docs").cast("double")).alias(
+                "doc_share"
+            ),
+        )
+    )

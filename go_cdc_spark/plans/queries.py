@@ -5,7 +5,9 @@ registers its queries on import) and expose the driver-contract dicts.
 from __future__ import annotations
 
 from ..operators import (  # noqa: F401  (registers on import)
+    behavior,
     cdc,
+    curation,
     dedup,
     multimodal,
     relational,

@@ -58,3 +58,38 @@ def test_q1_partial_agg_and_pushdown(spark, sf_dir):
 def test_join_broadcast_is_broadcast(spark, sf_dir):
     plan = _physical(QUERIES["join_broadcast"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_eval_side_is_broadcast(spark, sf_dir):
+    """The eval shingle set must broadcast: the training side probes it
+    map-side. If this degrades to a SortMergeJoin the full exploded
+    training shingle stream shuffles on the shingle string — the exact
+    all-pairs blowup decontamination is designed to avoid."""
+    plan = _physical(QUERIES["decontaminate_ngrams"](spark, sf_dir))
+    assert "BroadcastHashJoin [sh" in plan, plan
+    assert "SortMergeJoin [sh" not in plan, "eval probe fell back to SMJ"
+
+
+def test_cohort_user_dim_is_broadcast(spark, sf_dir):
+    """first-event-per-user joins back onto the event stream as a
+    broadcast — the stream side must not shuffle for the join."""
+    plan = _physical(QUERIES["cohort_retention"](spark, sf_dir))
+    assert "BroadcastHashJoin [user_id" in plan, plan
+
+
+def test_boilerplate_partial_agg_before_exchange(spark, sf_dir):
+    """Doc-frequency counting must keep map-side combine: hot n-grams
+    are the whole point of the query, and without partial aggregation
+    the hottest key lands on one reducer with its full row stream."""
+    plan = _physical(QUERIES["boilerplate_ngrams"](spark, sf_dir))
+    exchange = plan.index("Exchange hashpartitioning(ngram")
+    assert "HashAggregate" in plan[exchange:], "no map-side partial aggregate"
+
+
+def test_funnel_type_filters_pushed(spark, sf_dir):
+    """Each funnel stage re-scans events with its event_type filter
+    pushed to parquet — the scan reads one type's row groups, not the
+    full stream filtered post-hoc."""
+    plan = _physical(QUERIES["funnel_conversion"](spark, sf_dir))
+    for t in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{t})" in plan, f"{t} filter not pushed:\n{plan}"
