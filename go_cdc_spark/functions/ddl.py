@@ -1,0 +1,154 @@
+"""MySQL DDL → Spark schema evolution.
+
+The reference classifies replication query events as DDL by prefix
+(`internal/cannal/incremental.go:210-223`) and forwards them downstream;
+a materializing consumer must then evolve the target table or silently
+drop the new columns' data. This module is that consumer-side half:
+parse the ALTER statements a MySQL binlog actually emits and fold them
+into a Spark ``StructType``.
+
+Scope: ``ALTER TABLE … ADD [COLUMN] name type`` and ``DROP [COLUMN]
+name`` (comma-separated multi-clause supported) — the additive/
+subtractive evolutions a latest-wins materialized table can apply
+retroactively (old rows read NULL for added columns). RENAME/MODIFY
+change history semantics and are surfaced as unsupported rather than
+guessed at.
+
+Everything here is driver-side, O(statement length) — DDL events are
+catalog-rate, not row-rate.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import types as T
+
+__all__ = [
+    "UnsupportedDdl",
+    "mysql_to_spark_type",
+    "parse_alter",
+    "evolve_schema",
+]
+
+
+class UnsupportedDdl(ValueError):
+    """ALTER clause whose semantics we refuse to guess (MODIFY/RENAME)."""
+
+
+_ALTER_RE = re.compile(r"^\s*ALTER\s+TABLE\s+`?([\w$]+)`?(?:\.`?([\w$]+)`?)?\s+(.*)$",
+                       re.IGNORECASE | re.DOTALL)
+_ADD_RE = re.compile(
+    r"^ADD\s+(?:COLUMN\s+)?`?([\w$]+)`?\s+([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+    re.IGNORECASE,
+)
+_DROP_RE = re.compile(r"^DROP\s+(?:COLUMN\s+)?`?([\w$]+)`?\s*$", re.IGNORECASE)
+_UNSUPPORTED_RE = re.compile(r"^(MODIFY|CHANGE|RENAME)\b", re.IGNORECASE)
+# non-column ADD/DROP targets a binlog can carry inside ALTER
+_NONCOLUMN = {
+    "primary", "foreign", "unique", "fulltext", "spatial",
+    "index", "key", "constraint", "partition",
+}
+
+_INT_TYPES = {"tinyint", "smallint", "mediumint", "int", "integer", "bigint", "year"}
+_STRING_TYPES = {
+    "varchar", "char", "text", "tinytext", "mediumtext", "longtext",
+    "enum", "set", "json", "time",
+}
+_BINARY_TYPES = {"blob", "tinyblob", "mediumblob", "longblob", "binary", "varbinary"}
+
+
+def mysql_to_spark_type(decl: str) -> T.DataType:
+    """Map a MySQL column type declaration to the Spark type the
+    changelog envelope decodes into (`sources/changelog.py
+    decode_image_value`). Integer families widen to LONG — the envelope
+    is stringly and widening costs nothing, while a narrow guess
+    overflows silently."""
+    m = re.match(r"\s*([A-Za-z]+)\s*(?:\(\s*(\d+)(?:\s*,\s*(\d+))?\s*\))?", decl)
+    if not m:
+        raise UnsupportedDdl(f"unparseable type {decl!r}")
+    base, p, s = m.group(1).lower(), m.group(2), m.group(3)
+    if base == "tinyint" and p == "1":
+        return T.BooleanType()
+    if base in ("bool", "boolean"):
+        return T.BooleanType()
+    if base in _INT_TYPES:
+        return T.LongType()
+    if base in ("float", "double", "real"):
+        return T.DoubleType()
+    if base in ("decimal", "numeric"):
+        return T.DecimalType(int(p or 10), int(s or 0))
+    if base in ("datetime", "timestamp"):
+        return T.TimestampNTZType()
+    if base == "date":
+        return T.DateType()
+    if base in _STRING_TYPES:
+        return T.StringType()
+    if base in _BINARY_TYPES:
+        return T.BinaryType()
+    raise UnsupportedDdl(f"unmapped MySQL type {base!r}")
+
+
+def parse_alter(query: str):
+    """Parse an ALTER TABLE statement into
+    ``(table, [("add", name, type) | ("drop", name), ...])``.
+    Returns ``None`` for non-ALTER DDL (CREATE/DROP TABLE/TRUNCATE are
+    table-lifecycle events the materializer handles elsewhere)."""
+    m = _ALTER_RE.match(query.strip().rstrip(";"))
+    if not m:
+        return None
+    table = m.group(2) or m.group(1)
+    actions = []
+    # split multi-clause ALTER on top-level commas (type args hold no
+    # commas except inside parens)
+    depth, start, clauses = 0, 0, []
+    body = m.group(3)
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            clauses.append(body[start:i])
+            start = i + 1
+    clauses.append(body[start:])
+    for clause in (c.strip() for c in clauses):
+        if not clause:
+            continue
+        if _UNSUPPORTED_RE.match(clause):
+            raise UnsupportedDdl(f"unsupported ALTER clause {clause!r}")
+        add = _ADD_RE.match(clause)
+        if add and add.group(1).lower() not in _NONCOLUMN:
+            actions.append(("add", add.group(1), mysql_to_spark_type(add.group(2))))
+            continue
+        drop = _DROP_RE.match(clause)
+        if drop and drop.group(1).lower() not in _NONCOLUMN:
+            actions.append(("drop", drop.group(1)))
+            continue
+        # index/key/constraint clauses don't touch the row schema
+    return table, actions
+
+
+def evolve_schema(schema: T.StructType, query: str, table: str | None = None):
+    """Apply an ALTER statement to ``schema``; returns the (possibly
+    unchanged) schema. ``table`` filters cross-table DDL. Idempotent:
+    re-adding an existing column or re-dropping a missing one is a no-op
+    (redelivered DDL events must not error)."""
+    parsed = parse_alter(query)
+    if parsed is None:
+        return schema
+    target, actions = parsed
+    if table is not None and target != table:
+        return schema
+    fields = list(schema.fields)
+    names = {f.name for f in fields}
+    for action in actions:
+        if action[0] == "add" and action[1] not in names:
+            fields.append(T.StructField(action[1], action[2]))
+            names.add(action[1])
+        elif action[0] == "drop" and action[1] in names:
+            fields = [f for f in fields if f.name != action[1]]
+            names.discard(action[1])
+    if [f.name for f in fields] == [f.name for f in schema.fields]:
+        return schema
+    return T.StructType(fields)

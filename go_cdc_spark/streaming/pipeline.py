@@ -31,6 +31,7 @@ import uuid as uuidlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ddl import UnsupportedDdl, evolve_schema
 from ..operators.cdc import cdc_collapse
 from ..sources.changelog import CHANGE_EVENT_SCHEMA, OP_DELETE
 from ..sources.meta import CheckpointStore
@@ -112,6 +113,11 @@ class StreamingMaterializer:
                 POS_COL, F.lit(pos_threshold or "").cast("string")
             ).withColumn(OP_COL, F.lit("insert"))
             init.write.mode("overwrite").parquet(state_path)
+        else:
+            # restart: the persisted state is the schema authority — it
+            # carries any DDL evolution applied since the snapshot, which
+            # the caller's snapshot frame predates
+            self.schema = self.state().drop(POS_COL, OP_COL).schema
 
     # -- state access ----------------------------------------------------
 
@@ -137,13 +143,55 @@ class StreamingMaterializer:
             *cols, F.col("pos").alias(POS_COL), F.col("op").alias(OP_COL)
         )
 
+    def _apply_ddl(self, changes: DataFrame) -> None:
+        """Evolve the target schema from this batch's DDL events (A19's
+        downstream half). DDL is catalog-rate — collecting it is O(few
+        statements), never row data. Binlog order (pos) is preserved;
+        dropping a merge key is refused, and redelivered statements are
+        no-ops (evolve_schema is idempotent)."""
+        ddl = (
+            changes.filter(F.col("op") == "ddl")
+            .select("pos", F.col("data").getItem("query").alias("q"))
+            .collect()
+        )
+        for r in sorted(ddl, key=lambda r: r.pos):
+            if not r.q:
+                continue
+            new = evolve_schema(self.schema, r.q, table=self.table)
+            if new is not self.schema:
+                lost = set(self.keys) - {f.name for f in new.fields}
+                if lost:
+                    raise UnsupportedDdl(f"DDL drops merge key(s) {sorted(lost)}")
+                self.schema = new
+
+    def _aligned_state(self) -> DataFrame:
+        """Current state projected to the (possibly evolved) schema:
+        added columns surface as typed NULLs on pre-DDL rows, dropped
+        columns vanish. Pure projection — no rewrite until the merge
+        write that follows anyway."""
+        state = self.state()
+        have = set(state.columns)
+        return state.select(
+            *[
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in self.schema.fields
+            ],
+            POS_COL,
+            OP_COL,
+        )
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         changes = batch
         if self.pos_threshold is not None:
             changes = changes.filter(F.col("pos") > F.lit(self.pos_threshold))
-        typed = self._typed_changes(changes)
+        self._apply_ddl(changes)
+        typed = self._typed_changes(
+            changes.filter(F.col("op").isin("insert", "update", "delete"))
+        )
         merged = cdc_collapse(
-            self.state().unionByName(typed),
+            self._aligned_state().unionByName(typed),
             self.keys,
             pos_col=POS_COL,
             op_col=OP_COL,

@@ -1,0 +1,204 @@
+"""DDL-driven schema evolution (A19's consumer-side half): MySQL ALTER
+statements arriving in the changelog evolve the materialized table —
+added columns backfill NULL on pre-DDL rows, dropped columns vanish,
+and the evolved schema survives a materializer restart (the persisted
+state, not the original snapshot, is the schema authority)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_cdc_spark.functions.ddl import (
+    UnsupportedDdl,
+    evolve_schema,
+    mysql_to_spark_type,
+    parse_alter,
+)
+from go_cdc_spark.sources.changelog import format_pos
+from go_cdc_spark.streaming.pipeline import StreamingMaterializer, read_changelog_stream
+
+# ---------------------------------------------------------------------------
+# parser units
+# ---------------------------------------------------------------------------
+
+
+def test_parse_add_column_variants():
+    t, actions = parse_alter(
+        "ALTER TABLE bank.accounts ADD COLUMN `note` varchar(40), ADD flag tinyint(1)"
+    )
+    assert t == "accounts"
+    assert actions[0][:2] == ("add", "note")
+    assert isinstance(actions[0][2], T.StringType)
+    assert actions[1][:2] == ("add", "flag")
+    assert isinstance(actions[1][2], T.BooleanType)
+
+
+def test_parse_drop_column_and_ignores_index_clauses():
+    t, actions = parse_alter(
+        "alter table accounts drop column note, ADD INDEX idx_name (name), DROP PRIMARY KEY"
+    )
+    assert t == "accounts"
+    assert actions == [("drop", "note")]
+
+
+def test_parse_non_alter_returns_none():
+    assert parse_alter("CREATE TABLE t (id INT)") is None
+    assert parse_alter("TRUNCATE TABLE t") is None
+
+
+def test_parse_unsupported_clause_raises():
+    with pytest.raises(UnsupportedDdl):
+        parse_alter("ALTER TABLE t MODIFY COLUMN a bigint")
+
+
+@pytest.mark.parametrize(
+    ("decl", "expected"),
+    [
+        ("bigint", T.LongType()),
+        ("int(11)", T.LongType()),
+        ("tinyint(1)", T.BooleanType()),
+        ("decimal(12, 4)", T.DecimalType(12, 4)),
+        ("datetime", T.TimestampNTZType()),
+        ("varbinary(64)", T.BinaryType()),
+        ("text", T.StringType()),
+    ],
+)
+def test_type_mapping(decl, expected):
+    assert mysql_to_spark_type(decl) == expected
+
+
+def test_evolve_schema_idempotent_and_table_filtered():
+    base = T.StructType([T.StructField("id", T.LongType())])
+    q = "ALTER TABLE accounts ADD COLUMN note varchar(10)"
+    s1 = evolve_schema(base, q, table="accounts")
+    assert [f.name for f in s1.fields] == ["id", "note"]
+    assert evolve_schema(s1, q, table="accounts") is s1  # re-delivery no-op
+    assert evolve_schema(base, q, table="other_table") is base  # cross-table
+
+
+# ---------------------------------------------------------------------------
+# end-to-end through the materializer
+# ---------------------------------------------------------------------------
+
+ACCOUNTS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def _ev(op, pos, *, id_=None, data=None, query=None, minute=0):
+    e = {
+        "data_source": "ds1",
+        "schema": "bank",
+        "table": "accounts",
+        "op": op,
+        "ts": f"2024-01-01T00:{minute:02d}:00.000000",
+        "pos": format_pos(pos),
+        "txn_id": f"uuid1:{pos}",
+    }
+    if op == "ddl":
+        e["data"] = {"query": query}
+    elif op == "delete":
+        e["before"] = {"id": str(id_)}
+    else:
+        e["data"] = dict({"id": str(id_)}, **(data or {}))
+    return e
+
+
+def _write_segment(dirpath, name, events):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    with open(dirpath / name, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _mat(spark, tmp_path, **kw):
+    snap = spark.createDataFrame(
+        [Row(id=1, name="alice"), Row(id=2, name="bob")], ACCOUNTS_SCHEMA
+    )
+    return StreamingMaterializer(
+        spark,
+        snap,
+        keys=["id"],
+        state_path=str(tmp_path / "state"),
+        pos_threshold=format_pos(100),
+        table="accounts",
+        **kw,
+    )
+
+
+def _run(mat, spark, seg, ckpt):
+    q = mat.start(read_changelog_stream(spark, str(seg)), str(ckpt))
+    q.awaitTermination(120)
+
+
+def test_add_column_mid_stream(spark, tmp_path):
+    seg = tmp_path / "seg"
+    _write_segment(seg, "s1.json", [
+        _ev("insert", 110, id_=3, data={"name": "carol"}, minute=1),
+        _ev("ddl", 120, query="ALTER TABLE accounts ADD COLUMN note varchar(40)", minute=2),
+        _ev("insert", 130, id_=4, data={"name": "dave", "note": "vip"}, minute=3),
+        _ev("update", 140, id_=1, data={"name": "alice2", "note": "gold"}, minute=4),
+    ])
+    mat = _mat(spark, tmp_path)
+    _run(mat, spark, seg, tmp_path / "ckpt")
+
+    out = {r.id: r for r in mat.read_table().collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[4].note == "vip" and out[1].note == "gold"
+    # pre-DDL rows backfill NULL
+    assert out[2].note is None and out[3].note is None
+
+
+def test_drop_column_mid_stream(spark, tmp_path):
+    seg = tmp_path / "seg"
+    _write_segment(seg, "s1.json", [
+        _ev("ddl", 110, query="ALTER TABLE accounts DROP COLUMN name", minute=1),
+        _ev("insert", 120, id_=3, minute=2),
+    ])
+    mat = _mat(spark, tmp_path)
+    _run(mat, spark, seg, tmp_path / "ckpt")
+    df = mat.read_table()
+    assert df.columns == ["id"]
+    assert {r.id for r in df.collect()} == {1, 2, 3}
+
+
+def test_drop_merge_key_refused(spark, tmp_path):
+    seg = tmp_path / "seg"
+    _write_segment(seg, "s1.json", [
+        _ev("ddl", 110, query="ALTER TABLE accounts DROP COLUMN id", minute=1),
+    ])
+    mat = _mat(spark, tmp_path)
+    q = mat.start(read_changelog_stream(spark, str(seg)), str(tmp_path / "ckpt"))
+    with pytest.raises(Exception, match="merge key"):
+        q.awaitTermination(120)
+        q.stop()
+
+
+def test_evolution_survives_restart(spark, tmp_path):
+    seg = tmp_path / "seg"
+    _write_segment(seg, "s1.json", [
+        _ev("ddl", 110, query="ALTER TABLE accounts ADD COLUMN note varchar(40)", minute=1),
+        _ev("insert", 120, id_=3, data={"name": "carol", "note": "n3"}, minute=2),
+    ])
+    mat = _mat(spark, tmp_path)
+    _run(mat, spark, seg, tmp_path / "ckpt")
+    assert "note" in mat.read_table().columns
+
+    # new materializer instance from the ORIGINAL (pre-DDL) snapshot:
+    # must adopt the evolved persisted schema, not regress it
+    mat2 = _mat(spark, tmp_path)
+    assert "note" in [f.name for f in mat2.schema.fields]
+    _write_segment(seg, "s2.json", [
+        _ev("update", 130, id_=3, data={"name": "carol", "note": "n3b"}, minute=3),
+    ])
+    _run(mat2, spark, seg, tmp_path / "ckpt")
+    out = {r.id: r for r in mat2.read_table().collect()}
+    assert out[3].note == "n3b"
