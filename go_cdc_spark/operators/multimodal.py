@@ -223,27 +223,37 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     without an extra shuffle."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_rows = []
-            for r in pdf.itertuples(index=False):
-                try:  # pragma: no cover - absent by design
-                    import PIL.Image  # noqa: F401
+        # import-gate ONCE per task, not per row: when a real resampler
+        # lands, this branch point is batch-level and the loop below
+        # stays the only per-item work (decoding an image is inherently
+        # per-item; everything else is vectorized)
+        try:  # pragma: no cover - absent by design
+            import PIL.Image  # noqa: F401
 
-                    raise NotImplementedError("real resample not wired yet")
-                except ImportError:
-                    pass
-                w, h = r.width, r.height
-                scale = max(w, h) / TARGET_EDGE
-                step = max(int(scale), 1)
-                out_rows.append(
-                    {
-                        "doc_id": r.doc_id,
-                        "media": bytes(r.media[::step]),
-                        "width": max(w // step, 1),
-                        "height": max(h // step, 1),
-                    }
-                )
-            yield pd.DataFrame(out_rows, columns=["doc_id", "media", "width", "height"])
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        import numpy as np
+
+        for pdf in batches:
+            if have_pil:  # pragma: no cover - absent by design
+                raise NotImplementedError("real resample not wired yet")
+            # step = floor(max(w,h)/edge), clamped ≥1 — all vectorized
+            step = np.maximum(
+                np.maximum(pdf["width"], pdf["height"]) // TARGET_EDGE, 1
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    # byte-slicing a variable-length blob is per-item by
+                    # nature (C-speed slice, no Python arithmetic inside)
+                    "media": [
+                        bytes(m[::k]) for m, k in zip(pdf["media"], step)
+                    ],
+                    "width": np.maximum(pdf["width"] // step, 1).astype("int32"),
+                    "height": np.maximum(pdf["height"] // step, 1).astype("int32"),
+                }
+            )
 
     media = with_media(load(spark, sf_dir, "documents")).filter(
         F.col("media_meta.kind") == "image"

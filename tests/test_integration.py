@@ -111,3 +111,57 @@ def test_snapshot_then_stream_handoff(spark, tmp_path):
     expect[99] = "ATLANTIS"
     del expect[0]
     assert state == expect
+
+
+def test_torn_parallel_snapshot_reconciled_by_replay(spark, tmp_path):
+    """A7's parallel mode, reconciled: chunked JDBC reads each open
+    their own connection, so two chunks can observe DIFFERENT
+    transaction states — a "torn" snapshot. The DBLog-style repair this
+    engine relies on: record the low-watermark position BEFORE the read,
+    then replay the changelog from it with latest-wins MERGE. Any row a
+    chunk observed post-event is simply overwritten with the same value
+    (idempotent); any row observed pre-event is corrected; events below
+    the watermark never regress anything.
+
+    This pins the semantics that make `JdbcSnapshotSource(num_partitions
+    > 1)` safe to run against a live table.
+    """
+    base = spark.read.parquet(f"{SF}/region.parquet")  # state at lo=100
+
+    lo = 100
+    events = [
+        # below the low watermark: already in every chunk, must not apply
+        _event(90, "update", {"r_regionkey": "1", "r_name": "PRE-SNAPSHOT"}),
+        # concurrent with the chunked read (lo < pos <= hi)
+        _event(110, "update", {"r_regionkey": "2", "r_name": "ASIA-v2"}),
+        _event(120, "insert", {"r_regionkey": "77", "r_name": "LEMURIA"}),
+        _event(130, "delete", None, {"r_regionkey": "0", "r_name": "AFRICA"}),
+    ]
+
+    # torn snapshot: chunk A (keys 0-2) read at pos=100 (saw none of the
+    # events); chunk B (keys 3+) read at pos=130 (saw all of them — but
+    # its key range only contains untouched rows 3,4 plus... nothing:
+    # the concurrent writes hit chunk A's range and a new key). To make
+    # the tear REAL, chunk B also observed the new row 77 and chunk A
+    # still holds the deleted row 0 and stale rows 1,2.
+    chunk_a = base.filter(F.col("r_regionkey") <= 2)  # as of pos 100
+    chunk_b = base.filter(F.col("r_regionkey") > 2).unionByName(
+        spark.createDataFrame(
+            [(77, "LEMURIA")],
+            schema=base.schema,
+        )
+    )  # as of pos 130
+    torn = chunk_a.unionByName(chunk_b)
+
+    changes = changelog_df(spark, events)
+    final = materialize_changelog(
+        changes, torn, keys=["r_regionkey"], pos_threshold=str(lo).zfill(12)
+    )
+    state = {r.r_regionkey: r.r_name for r in final.collect()}
+
+    # ground truth: state at hi=130 with all events applied
+    expect = {r.r_regionkey: r.r_name for r in base.collect()}
+    expect[2] = "ASIA-v2"
+    expect[77] = "LEMURIA"
+    del expect[0]
+    assert state == expect  # and key 1 kept its base name (pos 90 discarded)
