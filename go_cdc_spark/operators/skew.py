@@ -80,3 +80,102 @@ def two_phase_agg(
     )
     partial = salted.groupBy(*keys, "__salt").agg(*first)
     return partial.groupBy(*keys).agg(*second)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked query forms: the salted paths must produce EXACTLY the
+# unsalted results (that's the whole contract of skew mitigation).
+# ---------------------------------------------------------------------------
+
+from ..plans.registry import query  # noqa: E402
+from ..tables import load  # noqa: E402
+from .relational import DEC  # noqa: E402
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Salted fact-dim join, aggregated per nation — hash-identical to
+    the plain join (the oracle runs the unsalted form).
+
+    Scale note: at THIS dim size you would broadcast and skew couldn't
+    exist; the salted path is for the 100 TB regime where the dim is
+    too large to broadcast and a handful of fact keys are hot enough
+    that even AQE's skew split leaves one reducer over budget. The salt
+    is row-uniform on the fact side (a key-derived salt would re-hash
+    the hot key to one partition), and the dim replicates n_salts ways
+    — bounded by the dim being the small side.
+    """
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast(DEC)
+        .alias("rev"),
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        salted_join(li, sup, on=["s_suppkey"], n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "agg_skew_twophase",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_twophase(spark, sf_dir):
+    """Two-phase (salted) aggregation over a low-cardinality hot key —
+    hash-identical to the one-shot groupBy (the oracle runs it).
+
+    event_type has single-digit cardinality: the worst reduce-skew
+    shape, where every partial for a key converges on one reducer. The
+    salt spreads phase one over n_salts reducers per key; phase two
+    combines n_salts rows per key — O(keys × salts), trivial. Sums
+    stay on the exact-decimal accumulation policy, so splitting the
+    fold cannot change the result (decimal addition is associative;
+    double addition is not).
+    """
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast(DEC).alias("v"),
+        "value",
+    )
+    out = two_phase_agg(
+        ev,
+        ["event_type"],
+        {
+            "total_value": ("v", "sum"),
+            "n_events": ("value", "count"),
+            "max_value": ("value", "max"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("total_value").cast("double").alias("total_value"),
+        "n_events",
+        "max_value",
+    )

@@ -516,8 +516,11 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the qualifying order keys are a tiny aggregate output
     (p99 of per-order quantity is ~260), broadcast as a left-semi build
-    side into lineitem BEFORE the customer/orders joins — the expensive
-    joins run on the surviving ~1% of rows. Top-100 is
+    side into BOTH fact scans — lineitem AND orders — before anything
+    joins. The customer join then sees only the surviving ~1% of
+    orders (broadcast build side), so neither customers nor orders
+    ever shuffle; the large-large form (customer⋈orders first, reduce
+    later) would shuffle both full tables. Top-100 is
     TakeOrderedAndProject with a deterministic orderkey tie-break."""
     li = load(spark, sf_dir, "lineitem")
     big = (
@@ -527,11 +530,17 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     li_big = li.join(F.broadcast(big), "l_orderkey", "left_semi")
-    o = load(spark, sf_dir, "orders")
+    o_big = load(spark, sf_dir, "orders").join(
+        F.broadcast(big.withColumnRenamed("l_orderkey", "o_orderkey")),
+        "o_orderkey",
+        "left_semi",
+    )
     cu = load(spark, sf_dir, "customer")
+    reduced = li_big.join(
+        F.broadcast(o_big), F.col("l_orderkey") == F.col("o_orderkey")
+    )
     return (
-        cu.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li_big, F.col("o_orderkey") == F.col("l_orderkey"))
+        cu.join(F.broadcast(reduced), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum(F.col("l_quantity")).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -639,12 +648,16 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     late) over sibling lineitems.
 
     Scale shape: both existentials depend only on per-order supplier
-    sets, so they decorrelate into ONE per-order aggregate (distinct
-    suppliers, distinct LATE suppliers) joined back — the two
-    correlated sub-scans of lineitem collapse into a single extra
-    aggregate over rows already joined for the main path. EXISTS ≡
-    n_supp ≥ 2; NOT EXISTS ≡ the late-supplier set is exactly {self}
-    ≡ n_late_supp = 1 (l1 is itself late)."""
+    sets, so they decorrelate into per-order WINDOW aggregates
+    (distinct suppliers, distinct LATE suppliers) over the already-
+    joined rows — ONE scan of lineitem⋈orders and ONE shuffle on
+    l_orderkey, versus the aggregate-then-self-join form that scans
+    and shuffles the join twice (measured 2× slower at sf0.1; no
+    ReusedExchange fires there because the two branches differ by the
+    is_late filter). Per-order state is bounded by suppliers-per-order
+    (single digits). EXISTS ≡ n_supp ≥ 2; NOT EXISTS ≡ the late-
+    supplier set is exactly {self} ≡ n_late_supp = 1 (l1 is itself
+    late)."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     lo = (
@@ -657,19 +670,20 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late"),
         )
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    w = Window.partitionBy("l_orderkey")
+    lo = lo.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)),
     )
     su = load(spark, sf_dir, "supplier")
     na = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     return (
-        lo.filter(F.col("is_late"))
-        .join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        lo.filter(
+            F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -12,6 +12,7 @@ from ..operators import (  # noqa: F401  (registers on import)
     multimodal,
     relational,
     similarity,
+    skew,
     text,
     tpch,
 )
