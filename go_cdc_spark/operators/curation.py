@@ -258,3 +258,148 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: greedy fixed-budget concatenation within hash buckets.
+# ---------------------------------------------------------------------------
+
+SEQ_BUDGET = 256  # tokens per packed training sequence
+N_PACK_BUCKETS = 16
+
+_PACK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(concat('0x', substr(md5(concat('pack', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT)
+               % {N_PACK_BUCKETS} AS bucket
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens, bucket,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM t
+)
+SELECT doc_id, n_tokens, bucket,
+       cum_before // {SEQ_BUDGET} AS seq_in_bucket,
+       cum_before % {SEQ_BUDGET} AS offset_in_seq
+FROM c
+"""
+
+
+@query("pack_sequences", oracle=_PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    sequences by greedy concatenation in stable (doc_id) order — the
+    standard pretraining step that turns ragged documents into dense
+    fixed-length samples. A document starting at offset ``o`` in
+    sequence ``s`` straddles into ``s+1`` when ``o + n_tokens`` exceeds
+    the budget (concat-then-chunk semantics).
+
+    Scale shape: packing runs **within hash buckets**, each an
+    independent window — shuffle keyed by bucket, running-sum state is
+    O(1) per row. The tempting global version (one ORDER BY doc_id
+    window over the corpus) serializes 100 TB through a single
+    partition; the bucket count is the parallelism knob, and bucket
+    assignment is a deterministic hash so re-runs produce identical
+    shards.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pack"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % N_PACK_BUCKETS
+    )
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        bucket.alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        F.expr(f"cum_before div {SEQ_BUDGET}").alias("seq_in_bucket"),
+        (F.col("cum_before") % SEQ_BUDGET).alias("offset_in_seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture sampling (XLM-R style, α = 0.5).
+# ---------------------------------------------------------------------------
+
+_TEMPERATURE_ORACLE = """
+WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+m AS (SELECT MIN(n_l) AS n_min FROM c),
+r AS (
+    SELECT lang,
+           CAST(floor(sqrt(CAST(m.n_min AS DOUBLE) / CAST(c.n_l AS DOUBLE)) * 10000)
+                AS BIGINT) AS thr
+    FROM c, m
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN r USING (lang)
+WHERE CAST(concat('0x', substr(md5(concat('temp', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT)
+      % 10000 < r.thr
+"""
+
+
+@query("sample_temperature", oracle=_TEMPERATURE_ORACLE)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture (α = 0.5): per-language
+    keep-rate ``sqrt(n_rarest / n_lang)`` — the rarest language keeps
+    everything, dominant languages downsample toward a flatter mixture
+    (the multilingual-pretraining rebalance). Selection is hash-of-key,
+    not rand(): reproducible across runs, engines, and task retries.
+
+    Float-parity note: α = 0.5 makes the rate a ``sqrt``, which IEEE 754
+    requires to be correctly rounded — bit-identical in Spark and DuckDB.
+    A general ``pow(x, α)`` is NOT correctly-rounded and could flip a
+    floor() at a threshold boundary between engines.
+
+    Scale shape: language counts are a tiny aggregate, broadcast back;
+    the keep decision is a map-side filter. Nothing shuffles except the
+    O(#languages) rate table.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_l").cast("double"))
+            * 10000
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("thr"))
+        .select("doc_id", "lang", "source")
+    )
