@@ -72,6 +72,24 @@ def cosine_col(a: Column | str, b: Column | str) -> Column:
     return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
 
 
+def norm_col(vec: Column | str) -> Column:
+    """sqrt(v·v) — precompute ONCE per vector (map-side) so each
+    candidate pair evaluates one fold (the cross dot product) instead
+    of three. Bit-identical to the inline form: same values feed the
+    same multiply-then-divide, so oracle hashes are unchanged."""
+    return F.sqrt(dot_col(vec, vec))
+
+
+def cosine_from(dot: Column, na: Column | str, nb: Column | str) -> Column:
+    """cos = dot / (‖a‖·‖b‖) from precomputed norms — the pair-time
+    half of :func:`norm_col`'s split."""
+    if isinstance(na, str):
+        na = F.col(na)
+    if isinstance(nb, str):
+        nb = F.col(nb)
+    return dot / (na * nb)
+
+
 def _sql_dot(a: str, b: str) -> str:
     return (
         f"list_reduce(list_transform(list_zip({a}, {b}), "
@@ -110,10 +128,14 @@ def _sql_bucket(vec: str) -> str:
 def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_col("embedding").alias("q_norm"),
     )
     cands = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        norm_col("embedding").alias("c_norm"),
     )
     return queries, cands
 
@@ -152,7 +174,9 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     queries, cands = _split(spark, sf_dir)
     scored = F.broadcast(queries).crossJoin(cands).select(
-        "query_id", "cand_id", cosine_col("q_emb", "c_emb").alias("cosine")
+        "query_id",
+        "cand_id",
+        cosine_from(dot_col("q_emb", "c_emb"), "q_norm", "c_norm").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -188,15 +212,28 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits an executor, and salt or raise b if occupancy skews.
     """
     emb = load(spark, sf_dir, "embeddings")
-    b = emb.select("vec_id", "embedding", bucket_col("embedding").alias("bucket"))
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        bucket_col("embedding").alias("bucket"),
+        norm_col("embedding").alias("norm"),
+    )
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+        F.col("norm").alias("q_norm"),
     )
     c = b.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket"
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+        F.col("norm").alias("c_norm"),
     )
     scored = F.broadcast(q).join(c, "bucket").select(
-        "query_id", "cand_id", cosine_col("q_emb", "c_emb").alias("cosine")
+        "query_id",
+        "cand_id",
+        cosine_from(dot_col("q_emb", "c_emb"), "q_norm", "c_norm").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -257,13 +294,21 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "centroid_id")
     )
     q = cell.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "centroid_id"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "centroid_id",
+        norm_col("embedding").alias("q_norm"),
     )
     c = cell.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "centroid_id"
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        "centroid_id",
+        norm_col("embedding").alias("c_norm"),
     )
     scored = q.join(c, "centroid_id").select(
-        "query_id", "cand_id", cosine_col("q_emb", "c_emb").alias("cosine")
+        "query_id",
+        "cand_id",
+        cosine_from(dot_col("q_emb", "c_emb"), "q_norm", "c_norm").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -290,13 +335,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh. The self-join fan-out is bounded by bucket
     occupancy; threshold and bits trade recall vs candidate volume."""
     emb = load(spark, sf_dir, "embeddings")
-    b = emb.select("vec_id", "embedding", bucket_col("embedding").alias("bucket"))
-    a = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
-    c = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        bucket_col("embedding").alias("bucket"),
+        norm_col("embedding").alias("norm"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+        F.col("norm").alias("na"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        "bucket",
+        F.col("norm").alias("nb"),
+    )
     return (
         a.join(c, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cosine_col("ea", "eb"))
+        .withColumn("cosine", cosine_from(dot_col("ea", "eb"), "na", "nb"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
         .select("vec_a", "vec_b", "cosine")
     )
