@@ -137,3 +137,90 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(18,6))) AS v
+    FROM events GROUP BY event_type, day
+),
+stats AS (
+    SELECT event_type, day,
+           CAST(v AS DOUBLE) AS x,
+           CAST(CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER (PARTITION BY event_type)
+                     AS VARCHAR) AS DOUBLE) AS s,
+           CAST(CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6)))
+                     OVER (PARTITION BY event_type) AS VARCHAR) AS DOUBLE) AS s2,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+)
+SELECT event_type, day, x AS daily_value,
+       (x - s / n) / sqrt((s2 - (s / n) * s) / (n - 1)) AS zscore,
+       CASE WHEN abs((x - s / n) / sqrt((s2 - (s / n) * s) / (n - 1))) > 2.0
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM stats
+"""
+
+
+@query("anomaly_zscore", oracle=_ANOMALY_ORACLE)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: per event type, flag days whose
+    total value is more than 2 sample standard deviations from that
+    type's mean — the monitoring query a CDC-fed events table exists to
+    answer.
+
+    Float-parity design: a naive STDDEV() would never hash-match across
+    engines (different accumulation orders). Instead every sum — the
+    daily totals, their per-type total, and the sum of squares — runs on
+    the exact-decimal policy (order-independent); squares are
+    decimal×decimal (exact integer arithmetic — squaring the double
+    first trips each engine's own double→decimal rounding); and the
+    decimal→double conversions go THROUGH A STRING, because string
+    parsing is correctly rounded in both engines while DuckDB's direct
+    int128→double path double-rounds past 2^53. The z-score is then
+    assembled from those identical scalars with the same double
+    expression tree on both sides: (x - s/n) / sqrt((s2 - (s/n)*s) /
+    (n-1)). Same inputs, same op order → identical bits.
+
+    Scale shape: one (type, day)-keyed aggregation with map-side
+    partials, then a window over event_type — per-type day counts are
+    tiny (the window state is O(days), not O(events))."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    w = Window.partitionBy("event_type")
+    x = F.col("v").cast("double")
+    stats = daily.select(
+        "event_type",
+        "day",
+        x.alias("x"),
+        # decimal → double goes THROUGH A STRING on both sides: string
+        # parsing is correctly rounded everywhere, while DuckDB's direct
+        # int128→double path double-rounds once the scaled integer
+        # exceeds 2^53 (bit-flip observed on s2 at sf0.01)
+        F.sum(F.col("v").cast("decimal(38,6)")).over(w)
+        .cast("string").cast("double").alias("s"),
+        # the square is decimal×decimal (EXACT integer arithmetic in
+        # both engines) — squaring the double first would hit each
+        # engine's own double→decimal rounding and drift a ulp
+        F.sum(
+            F.col("v").cast("decimal(18,6)") * F.col("v").cast("decimal(18,6)")
+        ).over(w)
+        .cast("string").cast("double").alias("s2"),
+        F.count("*").over(w).alias("n"),
+    )
+    mean = F.col("s") / F.col("n")
+    z = (F.col("x") - mean) / F.sqrt(
+        (F.col("s2") - mean * F.col("s")) / (F.col("n") - 1)
+    )
+    return stats.select(
+        "event_type",
+        "day",
+        F.col("x").alias("daily_value"),
+        z.alias("zscore"),
+        F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anomaly"),
+    )

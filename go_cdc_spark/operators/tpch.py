@@ -756,3 +756,61 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year. Adapted: no partsupp in
+# the fixture, so "profit" is discounted revenue (the supplycost term
+# drops); the plan shape — part-name filter fanned through a 5-way
+# join, grouped by (nation, year) — is Q9's.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS supp_nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {_sql_sum('l_extendedprice * (1 - l_discount)')} AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY supp_nation, o_year
+    ORDER BY supp_nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product family, per supplier
+    nation per order year — the widest join fan in the suite (lineitem
+    against part, supplier, orders, nation at once).
+
+    Scale shape: the part-name filter is the selectivity driver — it
+    prunes the part side BEFORE the join (filter above the scan,
+    broadcast the survivors), so the big lineitem⋈orders join runs on
+    pre-filtered lineitems. supplier/nation broadcast as dims; the only
+    big shuffle is lineitem⋈orders on orderkey, then the tiny
+    (nation, year) aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    na = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
+        .orderBy(F.asc("supp_nation"), F.desc("o_year"))
+    )
