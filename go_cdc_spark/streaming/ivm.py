@@ -1,0 +1,156 @@
+"""Incremental view maintenance: keep an aggregate table current from
+the change stream without ever re-scanning the base table.
+
+The materializer (streaming/pipeline.py) maintains the *row* state; a
+100 TB deployment usually also serves aggregates (revenue per region,
+events per user, …), and recomputing them per micro-batch costs a full
+base-table scan each time. For distributive aggregates (SUM/COUNT, and
+AVG = SUM/COUNT at read time) the change stream IS the derivative:
+
+    insert  → +data image
+    delete  → −before image
+    update  → +data image − before image
+
+so each micro-batch folds into the aggregate state as a signed delta —
+cost O(batch + groups), independent of base-table size. Because
+addition commutes, the fold is order-independent ACROSS batches too: a
+delete that arrives before its insert parks the group at a negative
+count in state (hidden from reads) until the matching event lands.
+Only the exact identity (count 0, sum 0) is compacted away.
+
+Delivery contract: deltas are NOT idempotent under redelivery (applying
+an insert twice adds twice). The streaming checkpoint's exactly-once
+batch replay makes ``foreachBatch`` safe on restart for deterministic
+sources like the file-replay changelog; under an at-least-once source
+put ``stream_dedup`` (pipeline.py) in front. Update/delete events must
+carry full before-images (MySQL ``binlog_row_image=FULL``, the
+reference's assumption — `internal/cannal/incremental.go` row events).
+
+Sums accumulate in DECIMAL(38,6) (exact, order-independent — the
+repo-wide float policy), cast to double only in ``read_table``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid as uuidlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.changelog import OP_DELETE, decode_image_value
+
+OP_INSERT = "insert"
+OP_UPDATE = "update"
+
+_SUM_T = "decimal(38,6)"
+
+
+class IncrementalAggregate:
+    """SUM/COUNT (and derived AVG) per group, maintained from the
+    changelog envelope stream.
+
+    ``group_cols``/``value_col`` name fields inside the row images;
+    ``types`` maps each to its Spark type (group keys default STRING).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        group_cols: list[str],
+        value_col: str,
+        state_path: str,
+        types: dict | None = None,
+    ):
+        self.spark = spark
+        self.group_cols = group_cols
+        self.value_col = value_col
+        self.state_path = state_path
+        self.types = types or {}
+
+    # -- envelope → signed contributions --------------------------------
+
+    def _image(self, batch: DataFrame, image_col: str, sign: int) -> DataFrame:
+        from pyspark.sql import types as T
+
+        cols = [
+            decode_image_value(
+                F.col(image_col).getItem(c), self.types.get(c, T.StringType())
+            ).alias(c)
+            for c in self.group_cols
+        ]
+        val = F.col(image_col).getItem(self.value_col).cast(_SUM_T)
+        return batch.select(*cols, val.alias("__v"), F.lit(sign).alias("__sign"))
+
+    def _delta(self, batch: DataFrame) -> DataFrame:
+        plus = self._image(
+            batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE)), "data", 1
+        )
+        minus = self._image(
+            batch.filter(F.col("op").isin(OP_DELETE, OP_UPDATE)), "before", -1
+        )
+        both = plus.unionByName(minus)
+        return both.groupBy(*self.group_cols).agg(
+            F.sum(F.col("__sign") * F.col("__v")).cast(_SUM_T).alias("sum_val"),
+            F.sum("__sign").cast("long").alias("n_rows"),
+        )
+
+    # -- state ----------------------------------------------------------
+
+    def _state(self) -> DataFrame | None:
+        if not os.path.exists(self.state_path):
+            return None
+        return self.spark.read.parquet(self.state_path)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        delta = self._delta(batch)
+        state = self._state()
+        merged = delta if state is None else state.unionByName(delta)
+        # keep groups whose running count is negative or whose sum is
+        # non-zero: a delete can arrive BEFORE its insert (cross-segment
+        # reordering), and dropping the in-flight negative would lose it
+        # — deltas are only commutative if nothing is discarded. The one
+        # safe compaction is the exact identity (n=0 AND sum=0).
+        combined = (
+            merged.groupBy(*self.group_cols)
+            .agg(
+                F.sum("sum_val").cast(_SUM_T).alias("sum_val"),
+                F.sum("n_rows").cast("long").alias("n_rows"),
+            )
+            .filter(~((F.col("n_rows") == 0) & (F.col("sum_val") == 0)))
+        )
+        tmp = f"{self.state_path}.tmp-{uuidlib.uuid4().hex[:8]}"
+        combined.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.state_path):
+            old = f"{self.state_path}.old-{uuidlib.uuid4().hex[:8]}"
+            os.rename(self.state_path, old)
+            os.rename(tmp, self.state_path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(tmp, self.state_path)
+
+    def read_table(self) -> DataFrame:
+        """Current aggregate: group cols, row count, exact sum (as
+        double) and the derived average."""
+        state = self._state()
+        if state is None:
+            raise FileNotFoundError(f"no IVM state at {self.state_path}")
+        state = state.filter(F.col("n_rows") > 0)  # hide in-flight negatives
+        return state.select(
+            *self.group_cols,
+            "n_rows",
+            F.col("sum_val").cast("double").alias("sum_val"),
+            (F.col("sum_val").cast("double") / F.col("n_rows")).alias("avg_val"),
+        )
+
+    def start(
+        self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "ivm"
+    ):
+        return (
+            changes_stream.writeStream.queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
