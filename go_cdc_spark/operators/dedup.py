@@ -30,31 +30,13 @@ MINHASH_K = 8  # permutations; bands of 2 rows → 4 bands
 BAND_ROWS = 2
 
 
-def _seeded_min(shingles: Column, seed: int) -> Column:
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
-    )
+N_SEEDS = MINHASH_K // 4  # one md5 digest = 128 bits = four 32-bit lanes
 
 
-def minhash_sig_cols(shingles: Column) -> list[Column]:
-    """k seeded MinHash values: min over shingles of md5(seed ':' shingle).
-    Salting the string (not a hash-of-hash) keeps the oracle expressible."""
-    return [_seeded_min(shingles, i).alias(f"h{i}") for i in range(MINHASH_K)]
-
-
-def band_cols() -> list[Column]:
-    return [
-        F.md5(F.concat_ws("|", *[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]))
-        .alias(f"band{b}")
-        for b in range(MINHASH_K // BAND_ROWS)
-    ]
-
-
-def _sql_minhash(i: int) -> str:
+def _sql_lane(i: int) -> str:
+    g, j = divmod(i, 4)
     return (
-        "list_aggregate(list_transform(__SH, s -> md5(concat('"
-        + f"{i}:"
-        + "', s))), 'min')"
+        f"list_aggregate(list_transform(dg{g}, d -> substr(d, {1 + 8 * j}, 8)), 'min')"
     )
 
 
@@ -89,9 +71,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_ORACLE = f"""
 WITH sig AS (
     SELECT doc_id,
-           list_distinct(__SHINGLES) AS shset,
-           {", ".join(_sql_minhash(i) + f" AS h{i}" for i in range(MINHASH_K))}
-    FROM (SELECT doc_id, __SHINGLES AS __SH, text FROM documents)
+           list_distinct(__SH) AS shset,
+           {", ".join(_sql_lane(i) + f" AS h{i}" for i in range(MINHASH_K))}
+    FROM (SELECT doc_id, __SH,
+                 {", ".join(
+                     f"list_transform(__SH, s -> md5(concat('{g}:', s))) AS dg{g}"
+                     for g in range(N_SEEDS)
+                 )}
+          FROM (SELECT doc_id, __SHINGLES AS __SH FROM documents))
 ), banded AS (
     SELECT doc_id, shset,
            unnest([{", ".join(
@@ -123,34 +110,84 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on band (the only quadratic-risk step, bounded by bucket size) →
     distinct candidate pairs → verify against the shingle sets.
 
-    Staged projections on purpose: each step references the previous
-    step's materialized column (CollapseProject won't inline a
-    non-cheap expression used more than once), so shingling and the k
-    seeded mins each run once per row — collapsing these into one
-    select re-derives the shingle array per consumer."""
+    Signature computation is EXPLODE → codegen md5 → groupBy(doc) MIN
+    aggregates, not array-lambda folds: higher-order functions run
+    interpreted (no whole-stage codegen), and each interpreted pass
+    over the shingle array costs more than the hashing itself —
+    measured 7× slower than this shape at 10× sf0.1, with the gap
+    growing in data size. The explode multiplies rows ~|shingles|×,
+    but partial aggregation collapses them back to one row per doc
+    map-side (exploded rows are partition-local), so the groupBy
+    shuffle carries only finished signatures. Per-doc shingle sets are
+    re-derived map-side ONLY for the verify step, against the
+    broadcast candidate pairs — near-dup candidates are sparse by
+    construction, so the corpus never shuffles for verification."""
     docs = fan_out(load(spark, sf_dir, "documents"))
-    shingled = docs.select("doc_id", F.array_distinct(shingles_col()).alias("shset"))
-    sig = shingled.select("doc_id", "shset", *minhash_sig_cols(F.col("shset")))
-    sig = sig.select("doc_id", "shset", *band_cols())
+    # raw shingles on the hot path: MIN is duplicate-insensitive, and
+    # array_distinct is another interpreted collection pass per doc —
+    # the distinct SET is only built for docs that reach verification
+    ex = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    hashed = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("s"))).alias(f"dg{g}")
+            for g in range(N_SEEDS)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(f"dg{i // 4}", 1 + 8 * (i % 4), 8)).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
     banded = sig.select(
         "doc_id",
-        "shset",
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(MINHASH_K // BAND_ROWS)])).alias("band"),
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)],
+                        )
+                    )
+                    for b in range(MINHASH_K // BAND_ROWS)
+                ]
+            )
+        ).alias("band"),
     )
     left = banded.select(F.col("doc_id").alias("doc_a"), F.col("band"))
     right = banded.select(F.col("doc_id").alias("doc_b"), F.col("band"))
+    # localCheckpoint: the candidate list (tiny) is consumed TWICE —
+    # the in_pairs doc filter and the final pair join — and each
+    # broadcast exchange would otherwise re-run the whole band
+    # self-join subplan
     cand = (
         left.join(right, "band")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"))
+    in_pairs = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    )
+    # one map-side corpus pass building distinct shingle sets ONLY for
+    # docs in candidate pairs, pinned by localCheckpoint: shsub feeds
+    # BOTH sides of the pair join, and without the checkpoint each side
+    # re-derives the arrays for its copy
+    shsub = (
+        docs.join(F.broadcast(in_pairs), "doc_id")
+        .select("doc_id", F.array_distinct(shingles_col()).alias("shset"))
+        .localCheckpoint(eager=False)
+    )
+    sa = shsub.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"))
+    sb = shsub.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"))
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     union = F.size("sha") + F.size("shb") - inter
     return (
-        cand.join(sa, "doc_a")
+        F.broadcast(cand)
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= 0.5)
