@@ -241,10 +241,14 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold drift.
     """
     docs = load(spark, sf_dir, "documents")
+    # raw explode + count-distinct, not array_distinct + count: the
+    # per-doc array_distinct is an interpreted collection pass (see
+    # dedup.py); distinct-(doc,ngram) folds into the two-phase
+    # count-distinct aggregate, fully codegen
     df = (
-        docs.select("doc_id", F.explode(F.array_distinct(shingles_col(n=2))).alias("ngram"))
+        docs.select("doc_id", F.explode(shingles_col(n=2)).alias("ngram"))
         .groupBy("ngram")
-        .agg(F.count("*").alias("doc_freq"))
+        .agg(F.count_distinct("doc_id").alias("doc_freq"))
     )
     total = docs.agg(F.count("*").alias("n_docs"))
     return (

@@ -217,10 +217,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact jaccard of every candidate pair (no threshold — the caller
     filters)."""
     docs = fan_out(load(spark, sf_dir, "documents"))
-    fp = docs.select("doc_id", shingles_col().alias("sh")).select(
-        "doc_id",
-        F.array_distinct(F.col("sh")).alias("shset"),
-        F.array_min(F.transform(F.col("sh"), lambda s: F.md5(s))).alias("bucket"),
+    # one explode + one aggregation builds BOTH the distinct shingle set
+    # (collect_set) and the blocking key (min md5) — no interpreted
+    # array-lambda passes (see dedup_minhash_lsh for why those are the
+    # bottleneck); array_intersect/size downstream are order-insensitive
+    # so collect_set's unordered output is fine
+    fp = (
+        docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("s").alias("shset"),
+            F.min(F.md5("s")).alias("bucket"),
+        )
     )
     a = fp.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"), "bucket")
     b = fp.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"), "bucket")
@@ -267,53 +275,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT.md asked for, and it made the operator oracle-checkable).
 
     Semantics (bit-identical to the old UDF, verified): per-token 64-bit
-    hash = first 16 hex nibbles of md5(token), MSB-first; bit-voting is
-    ONE fold over the token hashes with a 64-wide count accumulator
-    (``aggregate`` + ``zip_with``); signature bit j = 1 iff more than
-    half the tokens set it; the int64 packs via shiftleft|or (bitwise,
-    so no ANSI overflow on the sign bit).
+    hash = first 16 hex nibbles of md5(token), MSB-first; signature bit
+    j = 1 iff more than half the tokens set it; the int64 packs via a
+    shiftleft|or chain (bitwise, so no ANSI overflow on the sign bit).
 
-    Scale: tokenize/hash/vote are all map-side whole-stage-codegen; the
-    only shuffle is the final signature groupBy. Staged projections keep
-    split/md5 bound once (the 30x re-derivation trap)."""
-
-    def bits_of(h: Column) -> Column:
-        # 16 hex nibbles -> 64 bits, MSB-first (nibble value via conv;
-        # the oracle uses strpos('0123..f') — same result, lowercase md5)
-        bits = []
-        for p in range(16):
-            v = F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int")
-            for b in (3, 2, 1, 0):
-                bits.append(F.shiftright(v, b).bitwiseAND(F.lit(1)))
-        return F.array(*bits)
+    Scale: bit-voting is EXPLODE → codegen md5 → groupBy with 64
+    conditional-sum partials — fully whole-stage-codegen, like the
+    MinHash signatures above (the earlier ``aggregate``+``zip_with``
+    fold ran interpreted per token and was the 0.5-exponent outlier in
+    SCALE.md). Map-side partial aggregation collapses the exploded
+    token rows before the only shuffle (doc_id-keyed votes)."""
 
     docs = fan_out(load(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    hashed = toks.select(
-        "doc_id",
-        F.size("toks").alias("n_toks"),
-        F.transform("toks", lambda t: F.substring(F.md5(t), 1, 16)).alias("hashes"),
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hashed = tok.select("doc_id", F.substring(F.md5("tok"), 1, 16).alias("h"))
+
+    def bit(j: int) -> Column:
+        # bit j of the 64-bit hash: nibble j//4 (conv hex→int), MSB-first
+        v = F.conv(F.substring("h", j // 4 + 1, 1), 16, 10).cast("int")
+        return F.shiftright(v, 3 - j % 4).bitwiseAND(F.lit(1))
+
+    votes = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        *[F.sum(bit(j)).alias(f"c{j}") for j in range(64)],
     )
-    counted = hashed.select(
-        "doc_id",
-        "n_toks",
-        F.aggregate(
-            "hashes",
-            F.array_repeat(F.lit(0), 64),
-            lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, b: a + b),
-        ).alias("ones"),
-    )
-    sig = counted.select(
-        "doc_id",
-        F.aggregate(
-            "ones",
-            F.lit(0).cast("bigint"),
-            lambda acc, c: F.shiftleft(acc, 1).bitwiseOR(
-                F.when(c * 2 > F.col("n_toks"), F.lit(1).cast("bigint"))
-                .otherwise(F.lit(0).cast("bigint"))
-            ),
-        ).alias("simhash"),
-    )
+    packed = F.lit(0).cast("bigint")
+    for j in range(64):
+        packed = F.shiftleft(packed, 1).bitwiseOR(
+            F.when(F.col(f"c{j}") * 2 > F.col("n_toks"), F.lit(1).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+    sig = votes.select("doc_id", packed.alias("simhash"))
     return sig.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id")
     )
