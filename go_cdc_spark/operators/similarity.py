@@ -19,9 +19,10 @@ Three tiers, each a `queries()` entry with a bit-exact DuckDB oracle:
   map-side (the centroid table is broadcast); a query probes only its
   own cell. nprobe=1 here; scale knob is (n_centroids, nprobe).
 
-Plus **embedding-cosine near-dup** (`dedup_embedding_cosine`): LSH-
-blocked candidate pairs verified at a cosine threshold — the vector
-analog of MinHash near-dedup (see operators/dedup.py).
+Plus **embedding-cosine near-dup** (`dedup_embedding_cosine`): multi-
+table LSH blocking with occupancy-adaptive bits (E2LSH-style (b, L)
+scaling — see _nd_knobs) and exact cosine verification — the vector
+analog of MinHash band blocking (see operators/dedup.py).
 
 Float determinism: cosine is computed in DOUBLE with a left-fold over
 the zipped arrays in BOTH engines (Spark ``aggregate(zip_with(...))``,
@@ -35,6 +36,8 @@ north star adds on top (repo:BASELINE.json).
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -101,26 +104,28 @@ def _sql_cosine(a: str, b: str) -> str:
     return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
 
 
-def _plane_lit(j: int) -> Column:
-    return F.array(*[F.lit(v) for v in _HYPERPLANES[j]])
+def _plane_lit(j: int, planes: list[list[float]] | None = None) -> Column:
+    return F.array(*[F.lit(v) for v in (planes or _HYPERPLANES)[j]])
 
 
-def _sql_plane(j: int) -> str:
-    return "[" + ", ".join(repr(v) for v in _HYPERPLANES[j]) + "]"
+def _sql_plane(j: int, planes: list[list[float]] | None = None) -> str:
+    return "[" + ", ".join(repr(v) for v in (planes or _HYPERPLANES)[j]) + "]"
 
 
-def bucket_col(vec: Column | str) -> Column:
+def bucket_col(vec: Column | str, planes: list[list[float]] | None = None) -> Column:
     """Sign-random-projection bucket id: bit j = sign(vec · plane_j)."""
     b = F.lit(0)
-    for j in range(N_BITS):
-        b = b + F.when(dot_col(vec, _plane_lit(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    for j in range(len(planes) if planes is not None else N_BITS):
+        b = b + F.when(dot_col(vec, _plane_lit(j, planes)) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
     return b.cast("int")
 
 
-def _sql_bucket(vec: str) -> str:
+def _sql_bucket(vec: str, planes: list[list[float]] | None = None) -> str:
     terms = " + ".join(
-        f"(CASE WHEN {_sql_dot(vec, _sql_plane(j))} > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(N_BITS)
+        f"(CASE WHEN {_sql_dot(vec, _sql_plane(j, planes))} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(len(planes) if planes is not None else N_BITS)
     )
     return f"CAST({terms} AS INTEGER)"
 
@@ -318,44 +323,120 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multi-table, occupancy-adaptive LSH for near-dup blocking -------------
+#
+# One fixed-width hash table goes quadratic as the corpus grows: bucket
+# occupancy scales with n, so candidate pairs scale with n²/2^bits
+# (measured exponent ~1.1 at 10x sf0.1 with the old single-table form).
+# The scale-sane shape is the vector analog of MinHash banding:
+#
+# - **bits grow with n** to pin expected bucket occupancy at
+#   {NEAR_DUP_TARGET_OCC}: bits = log2(n / target). Candidate volume is
+#   then ~ n * occupancy * tables / 2 — LINEAR in n.
+# - **tables grow to hold recall**: one table of b bits finds a
+#   cos-{NEAR_DUP_COS} pair with prob p^b (p = 1 - theta/pi); L
+#   independent tables lift that to 1-(1-p^b)^L. L is chosen as the
+#   smallest count matching the recall of the (4-bit, 2-table) anchor
+#   the oracle pins, so growing the corpus never silently degrades
+#   recall. This is classic E2LSH-style (b, L) scaling — candidates
+#   from any table union, dedup, then exact-verify.
+#
+# The DuckDB oracle hard-codes the anchor knobs, which _nd_knobs
+# reproduces exactly at the driver's sf0.01 (n=500 -> bits=4, L=2);
+# larger corpora get more buckets/tables Spark-side only.
+
+NEAR_DUP_TARGET_OCC = 32
+_ND_P = 1.0 - math.acos(NEAR_DUP_COS) / math.pi  # P[one hyperplane agrees]
+_ND_ANCHOR_TABLES = 2
+
+
+def _nd_knobs(n: int) -> tuple[int, int]:
+    """(bits, tables) for a corpus of n vectors — anchor knobs at the
+    oracle's scale, occupancy-pinned bits + recall-pinned tables above."""
+    bits = max(N_BITS, int(math.log2(max(n / NEAR_DUP_TARGET_OCC, 1.0))))
+    anchor_miss = (1.0 - _ND_P**N_BITS) ** _ND_ANCHOR_TABLES
+    # round before ceil: at bits == N_BITS the ratio is exactly 2 up to
+    # float noise, and ceil(2.0000000000000004) would give 3
+    tables = max(1, math.ceil(round(math.log(anchor_miss) / math.log(1.0 - _ND_P**bits), 6)))
+    return bits, tables
+
+
+def _nd_planes(t: int, bits: int) -> list[list[float]]:
+    """Hyperplanes for table t. Row-major RandomState fill means plane j
+    is the same no matter how many bits are drawn, so growing `bits`
+    extends a table's planes without rehashing the early ones."""
+    return np.random.RandomState(101 + t).standard_normal((bits, DIM)).tolist()
+
+
+_ND_ORACLE_PLANES = [_nd_planes(t, N_BITS) for t in range(_ND_ANCHOR_TABLES)]
+
 _NEARDUP_ORACLE = f"""
-WITH b AS (SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket FROM embeddings)
-SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-       {_sql_cosine("a.embedding", "c.embedding")} AS cosine
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE {_sql_cosine("a.embedding", "c.embedding")} >= {NEAR_DUP_COS}
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+tb AS (
+  SELECT vec_id, 0 AS tbl, {_sql_bucket("embedding", _ND_ORACLE_PLANES[0])} AS bucket FROM e
+  UNION ALL
+  SELECT vec_id, 1 AS tbl, {_sql_bucket("embedding", _ND_ORACLE_PLANES[1])} AS bucket FROM e
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM tb a JOIN tb c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT vec_a, vec_b, {_sql_cosine("ea.embedding", "eb.embedding")} AS cosine
+FROM cand
+JOIN e ea ON ea.vec_id = cand.vec_a
+JOIN e eb ON eb.vec_id = cand.vec_b
+WHERE {_sql_cosine("ea.embedding", "eb.embedding")} >= {NEAR_DUP_COS}
 """
 
 
 @query("dedup_embedding_cosine", oracle=_NEARDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH bucket as the blocking
-    key (map-side), exact cosine verification at threshold
-    {NEAR_DUP_COS} inside buckets — the vector-space sibling of
-    dedup_minhash_lsh. The self-join fan-out is bounded by bucket
-    occupancy; threshold and bits trade recall vs candidate volume."""
+    """Embedding-cosine near-duplicate pairs: multi-table LSH blocking
+    (map-side bucket signatures), exact cosine verification at threshold
+    {NEAR_DUP_COS} on the deduped candidate union — the vector-space
+    sibling of dedup_minhash_lsh's band blocking.
+
+    Scale shape: (bits, tables) adapt to corpus size (see _nd_knobs) so
+    candidate volume grows ~linearly, not quadratically; the bucket
+    self-join shuffles only (tbl, bucket, vec_id) — embeddings rejoin
+    at verify time by vec_id, so vectors never ride through the
+    quadratic-risk step. Candidate-side joins are left to AQE: tiny
+    candidate sets broadcast, dup-heavy ones shuffle-hash."""
     emb = load(spark, sf_dir, "embeddings")
-    b = emb.select(
+    bits, tables = _nd_knobs(emb.count())
+    planes = [_nd_planes(t, bits) for t in range(tables)]
+    base = emb.select("vec_id", "embedding", norm_col("embedding").alias("norm"))
+    tb = base.select(
         "vec_id",
-        "embedding",
-        bucket_col("embedding").alias("bucket"),
-        norm_col("embedding").alias("norm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        bucket_col("embedding", planes[t]).alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a = tb.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    c = tb.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        a.join(c, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    a = b.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        "bucket",
-        F.col("norm").alias("na"),
+    ea = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("na")
     )
-    c = b.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        "bucket",
-        F.col("norm").alias("nb"),
+    eb = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb")
     )
     return (
-        a.join(c, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .withColumn("cosine", cosine_from(dot_col("ea", "eb"), "na", "nb"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
         .select("vec_a", "vec_b", "cosine")
