@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import query
 from ..tables import load
-from .text import shingles_col
+from .text import marker_hits, shingles_col, words_col
 
 EVAL_SOURCE = "src0"  # stand-in benchmark set: one source shard
 
@@ -406,4 +406,219 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "lang")
         .filter(bucket < F.col("thr"))
         .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup (RefinedWeb-style "paragraph" dedup): split
+# every document into fixed windows of CHUNK_WORDS words, drop every
+# chunk that appeared earlier in the corpus (first occurrence by
+# (doc_id, pos) survives), reassemble the surviving chunks in document
+# order. Catches boilerplate repeated ACROSS documents that whole-doc
+# hashing misses, without the recall limits of shingle LSH.
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 10
+_POS_ENC = 10_000  # keeper key = doc_id * _POS_ENC + pos (pos < 10k by construction)
+_MAX_CHUNKS = 40  # oracle-side position range bound (docs are <= 100 words)
+
+_PARA_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), ch AS (
+    SELECT doc_id, r.i - 1 AS pos,
+           array_to_string(list_slice(ws, (r.i - 1) * {CHUNK_WORDS} + 1,
+                                      (r.i - 1) * {CHUNK_WORDS} + {CHUNK_WORDS}), ' ') AS chunk
+    FROM w, (SELECT unnest(range(1, {_MAX_CHUNKS} + 1)) AS i) r
+    WHERE r.i <= CAST(ceil(len(ws) / {CHUNK_WORDS}.0) AS BIGINT)
+), keeper AS (
+    SELECT chunk, MIN(doc_id * {_POS_ENC} + pos) AS keeper_key
+    FROM ch GROUP BY chunk
+), kept AS (
+    SELECT ch.doc_id, ch.pos, ch.chunk
+    FROM ch JOIN keeper USING (chunk)
+    WHERE ch.doc_id * {_POS_ENC} + ch.pos = keeper.keeper_key
+), reassembled AS (
+    SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text_deduped,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       COALESCE(r.text_deduped, '') AS text_deduped,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       CAST(ceil(len(w.ws) / {CHUNK_WORDS}.0) AS BIGINT) AS n_total
+FROM w LEFT JOIN reassembled r USING (doc_id)
+"""
+
+
+@query("dedup_paragraphs", oracle=_PARA_ORACLE)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide chunk dedup: {CHUNK_WORDS}-word windows, global first
+    occurrence (min (doc_id, pos), encoded as one BIGINT so the survivor
+    pick is a plain MIN aggregate) survives; documents are rebuilt from
+    their surviving chunks in order.
+
+    Scale shape: chunking is map-side (the word array is bound once per
+    row — the staged-projection rule); the dedup itself is ONE
+    hash-groupBy on the chunk text plus an equi-join back, both keyed by
+    the chunk — no window over the corpus, no skew beyond genuinely hot
+    boilerplate chunks (which AQE skew-split handles). Reassembly
+    aggregates ~{CHUNK_WORDS}0-word docs by unique doc_id.
+    """
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n_chunks = F.ceil(F.size("ws") / F.lit(float(CHUNK_WORDS))).cast("int")
+    chunked = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice("ws", i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    enc = F.col("doc_id") * _POS_ENC + F.col("pos")
+    keeper = chunked.groupBy("chunk").agg(F.min(enc).alias("keeper_key"))
+    kept = chunked.join(keeper, "chunk").filter(enc == F.col("keeper_key"))
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        staged.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.ceil(F.size("ws") / F.lit(float(CHUNK_WORDS))).cast("long").alias("n_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: the scrub pass every crawl corpus runs before training.
+# Pure regexp_replace chain — map-side, whole-stage codegen, no shuffle
+# at all. Patterns are deliberately RE2-compatible (no backrefs, no
+# lookaround) so the same strings run in Java regex (Spark) and RE2
+# (DuckDB) with identical semantics.
+# ---------------------------------------------------------------------------
+
+_PII_PATTERNS = [
+    # order matters: emails contain digit runs and dots, so they redact first
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("number", r"\b\d{6,}\b", "<NUM>"),
+]
+
+_PII_COUNT_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in _PII_PATTERNS
+)
+_PII_REDACT_SQL = "text"
+for _, _pat, _rep in _PII_PATTERNS:
+    _PII_REDACT_SQL = f"regexp_replace({_PII_REDACT_SQL}, '{_pat}', '{_rep}', 'g')"
+
+_PII_ORACLE = f"""
+SELECT doc_id,
+       {_PII_REDACT_SQL} AS text_redacted,
+       CAST({_PII_COUNT_SQL} AS BIGINT) AS n_redactions
+FROM documents
+"""
+
+
+@query("pii_redact", oracle=_PII_ORACLE)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / IPv4s / long digit runs with typed placeholder
+    tokens, counting the redactions per document. Counting runs against
+    the ORIGINAL text (a replacement could otherwise create or destroy a
+    later pattern's match), and replacement order is pinned so the
+    passes compose deterministically."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.lit(0).cast("long")
+    for _, pat, _ in _PII_PATTERNS:
+        n = n + F.regexp_count("text", F.lit(pat))
+    redacted = F.col("text")
+    for _, pat, rep in _PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, rep)
+    return docs.select(
+        "doc_id",
+        redacted.alias("text_redacted"),
+        n.alias("n_redactions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style composite keep/drop filter: the cheap lexical rules run
+# together in one map-side pass (no shuffle anywhere) with per-rule
+# flags kept in the output so downstream can audit WHY a doc dropped —
+# the operational shape of every production corpus filter.
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS = 50
+C4_MAX_WORD_LEN = 20
+C4_MIN_STOP_RATIO = 0.05
+
+_C4_ORACLE = f"""
+SELECT doc_id,
+       n_words,
+       too_short,
+       has_long_word,
+       stop_ratio,
+       low_stopword,
+       CASE WHEN too_short = 0 AND has_long_word = 0 AND low_stopword = 0
+            THEN 1 ELSE 0 END AS keep
+FROM (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CASE WHEN len(string_split(text, ' ')) < {C4_MIN_WORDS} THEN 1 ELSE 0 END AS too_short,
+           CASE WHEN len(regexp_extract_all(text, '[^ ]{{{C4_MAX_WORD_LEN + 1},}}')) > 0
+                THEN 1 ELSE 0 END AS has_long_word,
+           CAST(len(list_filter(string_split(text, ' '), w_ -> w_ IN ('the', 'a', 'of'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+           CASE WHEN CAST(len(list_filter(string_split(text, ' '), w_ -> w_ IN ('the', 'a', 'of'))) AS DOUBLE)
+                     / len(string_split(text, ' ')) < {C4_MIN_STOP_RATIO} THEN 1 ELSE 0 END AS low_stopword
+    FROM documents
+)
+"""
+
+
+@query("c4_quality_filter", oracle=_C4_ORACLE)
+def c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite lexical quality filter (C4-flavored): minimum length,
+    no over-long tokens (mangled markup/base64 blobs), minimum stopword
+    ratio (natural-language check) — each rule surfaced as its own flag
+    plus the combined keep decision. Everything is one codegen
+    projection over the corpus; the over-long-token rule is a
+    regexp_count on the raw text, not a per-word array pass."""
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(words_col()).cast("long")
+    too_short = F.when(n_words < C4_MIN_WORDS, 1).otherwise(0)
+    has_long_word = F.when(
+        F.regexp_count("text", F.lit(f"[^ ]{{{C4_MAX_WORD_LEN + 1},}}")) > 0, 1
+    ).otherwise(0)
+    stop_ratio = marker_hits("en").cast("double") / F.size(words_col())
+    low_stopword = F.when(stop_ratio < C4_MIN_STOP_RATIO, 1).otherwise(0)
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        too_short.alias("too_short"),
+        has_long_word.alias("has_long_word"),
+        stop_ratio.alias("stop_ratio"),
+        low_stopword.alias("low_stopword"),
+    )
+    return base.withColumn(
+        "keep",
+        F.when(
+            (F.col("too_short") == 0)
+            & (F.col("has_long_word") == 0)
+            & (F.col("low_stopword") == 0),
+            1,
+        ).otherwise(0),
     )
