@@ -55,6 +55,8 @@ HEADLINE = [
     "text_stats",
     "decontaminate_ngrams",
     "quality_repetition",
+    "dedup_paragraphs",
+    "dedup_embedding_cosine",
 ]
 
 
