@@ -276,9 +276,10 @@ FROM scored WHERE rn <= {TOP_K}
 @query("sim_ivf", oracle=_IVF_ORACLE)
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF(nlist={N_CENTROIDS}, nprobe=1) ANN: fixed coarse centroids
-    (vec_id < {N_CENTROIDS} — a stand-in for k-means output, which would
-    be trained offline and broadcast the same way); each vector joins
-    its nearest cell map-side; queries search their own cell only.
+    (vec_id < {N_CENTROIDS} — the seed set `kmeans_centroids` trains
+    from in-engine; trained centroids broadcast the same way); each
+    vector joins its nearest cell map-side; queries search their own
+    cell only.
 
     Scale note: assignment is a broadcast cross join against nlist
     centroids (map-side argmax, no shuffle); the cell equi-join is the
@@ -440,4 +441,130 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", cosine_from(dot_col("ea", "eb"), "na", "nb"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) centroid training: the in-engine answer to sim_ivf's
+# "centroids trained offline". Deterministic init (vec_id < K seeds,
+# the same set sim_ivf probes), cosine assignment identical to
+# sim_ivf's, elementwise-mean update. Two fixed iterations so the
+# whole run is expressible as plain SQL for the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+KMEANS_ITERS = 2
+
+
+def _centroid_arrays(updates: DataFrame) -> DataFrame:
+    """(centroid_id, dim, value) -> (centroid_id, cent: array<double>)
+    with elements in dim order — array_sort on (dim, value) structs is
+    deterministic, so the rebuilt array is reproducible."""
+    return updates.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "value"))),
+            lambda s: s["value"],
+        ).alias("cent")
+    )
+
+
+def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid by cosine (argmax, ties to min centroid_id) —
+    the exact assignment rule sim_ivf uses, so trained centroids drop
+    straight into its probe."""
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc(cosine_col("embedding", "cent")), F.asc("centroid_id")
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+
+
+def _update(members: DataFrame) -> DataFrame:
+    """Elementwise mean per centroid, exact across engines: elements
+    quantize to fixed-point integers (floor(x·10⁶) — float→double is
+    exact, the double multiply and floor are deterministic IEEE ops in
+    both engines), sums are then order-independent integer arithmetic,
+    and the mean is the same two-division double expression on both
+    sides. DECIMAL casts are NOT usable here: float32 values round at
+    the 6th decimal digit, and Spark (half-up on the exact binary
+    expansion) and DuckDB disagree on those roundings — observed 1-ulp
+    sum drift at sf0.01."""
+    ex = members.select(
+        "centroid_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("centroid_id", (F.col("pos") + 1).alias("dim"), "val")
+    q = F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast("long")
+    return ex.groupBy("centroid_id", "dim").agg(
+        (
+            F.sum(q).cast("double") / F.lit(1000000.0) / F.count(F.lit(1)).cast("double")
+        ).alias("value"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def _sql_kmeans_round(prev_cent: str, out: str) -> str:
+    """One Lloyd round as SQL CTE text: assign to `prev_cent`, update
+    into `{out}_u` (long form) and `{out}` (arrays)."""
+    return f"""
+{out}_a AS (
+    SELECT e.vec_id, e.embedding, p.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_cosine("e.embedding", "p.cent")} DESC,
+                                       p.centroid_id) AS rn
+    FROM e CROSS JOIN {prev_cent} p
+),
+{out}_u AS (
+    SELECT centroid_id, d.dim,
+           CAST(SUM(CAST(floor(CAST(embedding[d.dim] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS value,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM {out}_a, (SELECT unnest(range(1, {DIM} + 1)) AS dim) d
+    WHERE rn = 1
+    GROUP BY centroid_id, d.dim
+),
+{out} AS (
+    SELECT centroid_id, list(value ORDER BY dim) AS cent
+    FROM {out}_u GROUP BY centroid_id
+)""".strip()
+
+
+_KMEANS_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (SELECT vec_id AS centroid_id, embedding AS cent FROM e WHERE vec_id < {N_CENTROIDS}),
+{_sql_kmeans_round("c0", "r1")},
+{_sql_kmeans_round("r1", "r2")}
+SELECT centroid_id, CAST(dim AS INT) AS dim, value, n_members FROM r2_u
+"""
+
+
+@query("kmeans_centroids", oracle=_KMEANS_ORACLE)
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train IVF coarse centroids in-engine: {KMEANS_ITERS} Lloyd
+    iterations (seed = the vec_id < {N_CENTROIDS} vectors, assignment =
+    sim_ivf's cosine argmax, update = decimal-exact elementwise mean).
+    Output is long-form (centroid_id, dim, value, n_members) — scalar
+    columns only, per the harness rule.
+
+    Scale shape per iteration: assignment is a broadcast cross join
+    against K centroids (map-side argmax, no shuffle of the corpus);
+    update is ONE groupBy keyed by (centroid_id, dim) — K×{DIM} groups,
+    partial aggregation map-side, so the shuffle carries K×{DIM}
+    partial sums per partition regardless of corpus size. Centroids
+    round-trip between iterations as a K-row aggregate (never the
+    driver), and the iteration count is a fixed small constant —
+    lineage stays shallow without checkpoints."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent")
+    )
+    updates: DataFrame | None = None
+    for _ in range(KMEANS_ITERS):
+        members = _assign(emb, cent)
+        updates = _update(members)
+        cent = _centroid_arrays(updates)
+    assert updates is not None
+    return updates.select(
+        "centroid_id", F.col("dim").cast("int").alias("dim"), "value", "n_members"
     )
