@@ -568,3 +568,84 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updates.select(
         "centroid_id", F.col("dim").cast("int").alias("dim"), "value", "n_members"
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization of the embedding column — the storage/serve
+# form every large vector corpus ships (4x smaller, SIMD-friendly).
+# Output is per-vector affine params + a checksum/sum of the quantized
+# codes (scalar columns only; the codes themselves are an array and the
+# harness forbids array cells).
+# ---------------------------------------------------------------------------
+
+_QUANT_LEVELS = 255
+
+
+def _quant_codes(vec: Column | str) -> Column:
+    """q_i = floor((x_i - min) / scale + 0.5), 0..255 — floor(+0.5)
+    instead of round() because round's tie rule (half-up vs half-even)
+    differs between engines while floor is exact IEEE in both. Constant
+    vectors (scale = 0) quantize to all-zeros."""
+    if isinstance(vec, str):
+        vec = F.col(vec)
+    mn = F.array_min(vec).cast("double")
+    mx = F.array_max(vec).cast("double")
+    scale = (mx - mn) / F.lit(float(_QUANT_LEVELS))
+    return F.transform(
+        vec,
+        lambda x: F.when(mx == mn, F.lit(0).cast("long")).otherwise(
+            F.floor((x.cast("double") - mn) / scale + F.lit(0.5)).cast("long")
+        ),
+    )
+
+
+_QUANT_SQL_CODES = f"""
+list_transform(embedding, x_ -> CASE
+    WHEN CAST(list_aggregate(embedding, 'max') AS DOUBLE) = CAST(list_aggregate(embedding, 'min') AS DOUBLE)
+    THEN CAST(0 AS BIGINT)
+    ELSE CAST(floor((CAST(x_ AS DOUBLE) - CAST(list_aggregate(embedding, 'min') AS DOUBLE))
+                    / ((CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+                        - CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / {_QUANT_LEVELS}.0)
+                    + 0.5) AS BIGINT) END)
+""".strip()
+
+_QUANT_ORACLE = f"""
+SELECT vec_id,
+       CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS zero_point,
+       (CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+        - CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / {_QUANT_LEVELS}.0 AS scale_step,
+       md5(array_to_string({_QUANT_SQL_CODES}, ',')) AS q_checksum,
+       CAST(list_aggregate({_QUANT_SQL_CODES}, 'sum') AS BIGINT) AS q_sum
+FROM embeddings
+"""
+
+
+@query("embed_quantize", oracle=_QUANT_ORACLE)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affine int8 quantization per vector: zero_point = min, scale =
+    (max-min)/{_QUANT_LEVELS}; emits the dequantization params plus an
+    md5 checksum and exact integer sum of the code sequence (the
+    harness-checkable stand-ins for the code array itself).
+
+    Scale shape: pure map — one pass per vector, no shuffle at all; the
+    quantized corpus writes as a parquet BINARY column in practice
+    (multimodal.py shows that plumbing)."""
+    emb = load(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    codes = _quant_codes("embedding")
+    staged = emb.select(
+        "vec_id",
+        mn.alias("zero_point"),
+        ((mx - mn) / F.lit(float(_QUANT_LEVELS))).alias("scale_step"),
+        codes.alias("q"),
+    )
+    return staged.select(
+        "vec_id",
+        "zero_point",
+        "scale_step",
+        F.md5(F.array_join(F.transform("q", lambda c: c.cast("string")), ",")).alias(
+            "q_checksum"
+        ),
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, c: acc + c).alias("q_sum"),
+    )
