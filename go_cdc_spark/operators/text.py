@@ -281,3 +281,58 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(30))
     return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching (entity resolution): similar-but-not-equal name
+# pairs via blocked self-join + edit-distance verification. The
+# classic record-linkage shape: blocking keys bound the quadratic
+# step (like LSH buckets for vectors/shingles), the exact distance
+# runs only inside blocks.
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 4
+_FUZZY_BAND = 4  # length-band width: second blocking key
+
+
+@query(
+    "fuzzy_name_match",
+    oracle=f"""
+    WITH n AS (SELECT DISTINCT p_name AS nm FROM part),
+    k AS (
+        SELECT nm, string_split(nm, ' ')[1] AS fw,
+               CAST(floor(length(nm) / {_FUZZY_BAND}.0) AS INT) AS band
+        FROM n
+    )
+    SELECT a.nm AS name_a, b.nm AS name_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+    FROM k a JOIN k b ON a.fw = b.fw AND a.band = b.band AND a.nm < b.nm
+    WHERE levenshtein(a.nm, b.nm) <= {FUZZY_MAX_DIST}
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part-name pairs: block on (first word, length
+    band), verify levenshtein <= {FUZZY_MAX_DIST} inside blocks only.
+
+    Scale shape: names dedupe to the distinct-vocabulary level first
+    (entity resolution runs over entities, not rows), the self-join
+    fan-out is bounded by block occupancy, and the O(len²) edit
+    distance runs on candidates only. The length band means a pair
+    straddling a band edge is missed — the standard blocking recall
+    trade, tuned by {_FUZZY_BAND}; widen bands or add a second pass
+    with offset bands for higher recall."""
+    names = load(spark, sf_dir, "part").select(F.col("p_name").alias("nm")).distinct()
+    keyed = names.select(
+        "nm",
+        F.split("nm", " ")[0].alias("fw"),
+        F.floor(F.length("nm") / F.lit(float(_FUZZY_BAND))).cast("int").alias("band"),
+    )
+    a = keyed.select(F.col("nm").alias("name_a"), "fw", "band")
+    b = keyed.select(F.col("nm").alias("name_b"), "fw", "band")
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, ["fw", "band"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", dist.cast("long").alias("dist"))
+    )
