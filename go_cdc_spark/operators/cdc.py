@@ -298,3 +298,59 @@ def snapshot_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap = snapshot_table(src, "ds1", "main", "region")
     return snap.events.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history materialization: every change becomes a VERSIONED row
+# with a validity interval — the lakehouse pattern for "what did this
+# row look like at time T". The reference materializes only current
+# state (cdc_latest's semantics); SCD2 is the other standard target
+# mode, derivable from the same ordered change stream.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_scd2",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM events
+    ), vers AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+        FROM seq WHERE event_type <> 'error'
+    )
+    SELECT user_id, CAST(version AS INT) AS version, ts AS valid_from, valid_to,
+           event_type AS attr_type, value AS attr_value,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM vers
+    """,
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from the change stream: each
+    non-tombstone event opens a version valid from its own timestamp
+    until the NEXT event of the key (tombstones close the prior
+    interval without opening one — a key whose last event is a delete
+    has no current row). ``is_current`` marks open intervals.
+
+    Plan shape: two window passes over the same (user_id) partitioning
+    — lead() runs over ALL events (so a tombstone can close an
+    interval), row_number() over the surviving versions; Spark reuses
+    one exchange for both since the partition key is identical. One
+    shuffle total, keyed by the entity id."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("valid_to", F.lead("ts").over(w))
+    vers = (
+        seq.filter(F.col("event_type") != "error")
+        .withColumn("version", F.row_number().over(w))
+    )
+    return vers.select(
+        "user_id",
+        F.col("version").cast("int").alias("version"),
+        F.col("ts").alias("valid_from"),
+        "valid_to",
+        F.col("event_type").alias("attr_type"),
+        F.col("value").alias("attr_value"),
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_current"),
+    )
