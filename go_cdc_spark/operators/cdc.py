@@ -354,3 +354,51 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("attr_value"),
         F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+SCD2_ASOF_TS = "2024-01-15 00:00:00"
+
+
+@query(
+    "cdc_scd2_asof",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM events
+    )
+    SELECT user_id, ts AS valid_from, valid_to,
+           event_type AS attr_type, value AS attr_value
+    FROM seq
+    WHERE event_type <> 'error'
+      AND ts <= TIMESTAMP '{SCD2_ASOF_TS}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{SCD2_ASOF_TS}')
+    """,
+)
+def cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time travel) lookup over the SCD2 history: the
+    row version of every entity that was live AT the probe timestamp —
+    interval containment over the validity ranges cdc_scd2 derives.
+    Note a tombstoned-at-T entity correctly vanishes: its last interval
+    closed before T.
+
+    Scale shape: same single entity-keyed window shuffle as cdc_scd2;
+    the containment predicate is a post-window filter. Against a
+    MATERIALIZED scd2 table this becomes a pure scan filter — and with
+    the table partitioned on date_trunc(valid_from), partition pruning
+    bounds it further."""
+    ev = load(spark, sf_dir, "events")
+    t = F.lit(SCD2_ASOF_TS).cast("timestamp_ntz")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("valid_to", F.lead("ts").over(w))
+    return (
+        seq.filter(F.col("event_type") != "error")
+        .filter((F.col("ts") <= t) & (F.col("valid_to").isNull() | (F.col("valid_to") > t)))
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("event_type").alias("attr_type"),
+            F.col("value").alias("attr_value"),
+        )
+    )

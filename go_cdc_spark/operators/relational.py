@@ -1007,3 +1007,57 @@ def win_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.percent_rank().over(w).alias("prank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE-style): per-column stats in one pass — the
+# metadata query every warehouse runs before planning/quality checks.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_val,
+       CAST(MAX({c}) AS DOUBLE) AS max_val
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_numeric", oracle=_PROFILE_ORACLE)
+def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column profile of lineitem: row/null/exact-distinct
+    counts + min/max per column, long format. min/max stay DOUBLE
+    (selections of input values — exactly portable, unlike formatted
+    strings or float sums).
+
+    Scale shape: ONE aggregation job — multiple exact COUNT(DISTINCT)s
+    compile to Spark's Expand strategy (input ×{len(_PROFILE_COLS)}
+    rows map-side, then partial aggregation), so the table scans once
+    regardless of column count. The shuffle carries one row per
+    (column, distinct-value) partial — bounded by actual cardinality,
+    the same cost ANALYZE pays. approx_count_distinct drops that to
+    sketch size when exactness isn't required (agg_approx_distinct)."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__nd, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )
