@@ -1,0 +1,122 @@
+"""Incremental SCD2 (type-2 history) maintenance over the change
+stream: every insert/update opens a version interval keyed by binlog
+position, the key's next event closes it, deletes close without
+opening. The streaming twin of the batch ``cdc_scd2`` operator
+(operators/cdc.py) — same semantics, maintained micro-batch by
+micro-batch instead of derived from the full log.
+
+Parity: the reference materializes only current state
+(internal/cannal/fullamount_service.go + incremental apply); SCD2 is
+the standard history-preserving target mode layered on the identical
+ordered-event contract (pos = binlog position, A17/A21).
+
+Scale shape per batch: closed intervals are IMMUTABLE — they never
+ride through the merge again (at 100 TB the history table partitions
+by date(valid-from) and closed partitions are never rewritten; this
+parquet-swap implementation rewrites for the same reason
+StreamingMaterializer does — no transactional format in-container).
+The interval recomputation windows over (open intervals ∪ batch
+events) only, keyed by entity — one shuffle proportional to live
+entities + batch size, never to history length.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid as uuidlib
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..sources.changelog import OP_DELETE
+from .pipeline import OP_COL, POS_COL, StreamingMaterializer
+
+VF_COL = "__valid_from_pos"
+VT_COL = "__valid_to_pos"
+
+
+class Scd2Materializer(StreamingMaterializer):
+    """Maintains a versioned history table instead of current state.
+
+    State layout: the target schema's fields + ``__valid_from_pos`` /
+    ``__valid_to_pos`` (NULL = open interval). ``current()`` restores
+    the exact read_table() contract of the current-state materializer
+    — proven equal in tests/test_scd2_stream.py."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # Re-init state in interval layout if the parent wrote the flat
+        # current-state form (fresh start only; restarts see VF_COL).
+        state = self.state()
+        if VF_COL not in state.columns:
+            init = (
+                state.drop(OP_COL)
+                .withColumnRenamed(POS_COL, VF_COL)
+                .withColumn(VT_COL, F.lit(None).cast("string"))
+            )
+            self._swap_state(init)
+
+    # -- views -----------------------------------------------------------
+
+    def history(self) -> DataFrame:
+        """All versions with validity-position intervals."""
+        return self.state()
+
+    def current(self) -> DataFrame:
+        """Open versions — identical contract to read_table()."""
+        return self.state().filter(F.col(VT_COL).isNull()).drop(VF_COL, VT_COL)
+
+    def asof(self, pos: str) -> DataFrame:
+        """Versions live at position `pos` (interval containment)."""
+        s = self.state()
+        return s.filter(
+            (F.col(VF_COL) <= pos) & (F.col(VT_COL).isNull() | (F.col(VT_COL) > pos))
+        ).drop(VF_COL, VT_COL)
+
+    # -- merge -----------------------------------------------------------
+
+    def _swap_state(self, df: DataFrame) -> None:
+        tmp = f"{self.state_path}.tmp-{uuidlib.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{self.state_path}.old-{uuidlib.uuid4().hex[:8]}"
+        os.rename(self.state_path, old)
+        os.rename(tmp, self.state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        changes = batch
+        if self.pos_threshold is not None:
+            changes = changes.filter(F.col("pos") > F.lit(self.pos_threshold))
+        typed = self._typed_changes(
+            changes.filter(F.col("op").isin("insert", "update", "delete"))
+        ).dropDuplicates([*self.keys, POS_COL])  # redelivery guard
+        state = self.state()
+        fields = [f.name for f in self.schema.fields]
+        open_rows = state.filter(F.col(VT_COL).isNull())
+        closed_rows = state.filter(F.col(VT_COL).isNotNull())
+        # open intervals re-enter the window as pseudo-events at their
+        # own open position, so a batch event for the key closes them
+        pseudo = open_rows.select(
+            *fields,
+            F.col(VF_COL).alias(POS_COL),
+            F.lit("insert").alias(OP_COL),
+        )
+        w = Window.partitionBy(*self.keys).orderBy(POS_COL)
+        recomputed = (
+            pseudo.unionByName(typed)
+            .withColumn(VT_COL, F.lead(POS_COL).over(w))
+            .filter(F.col(OP_COL) != OP_DELETE)
+            .select(*fields, F.col(POS_COL).alias(VF_COL), VT_COL)
+        )
+        self._swap_state(closed_rows.unionByName(recomputed))
+        if self.meta is not None:
+            top = changes.agg(F.max("pos").alias("p")).first().p
+            if top is not None:
+                self.meta.upsert(
+                    self.data_source_id,
+                    top,
+                    sc=None,
+                    tb=self.table,
+                    sync_type="incremental",
+                )
