@@ -426,3 +426,44 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = dedup_clusters(spark, sf_dir)
     non_reps = members.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs.join(non_reps, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Windowed event dedup: telemetry duplicate suppression — keep one
+# event per (entity, type) within each 10-minute bucket. The batch
+# twin of the streaming dropDuplicatesWithinWatermark path
+# (streaming/pipeline.py stream_dedup); same keys, bounded window.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_events_windowed",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+           CAST(minute(ts) // 10 AS INT) AS slot,
+           user_id, event_type,
+           MIN(event_id) AS keep_event_id,
+           COUNT(*) AS n_in_window
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def dedup_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-event-wins dedup per (user, event_type) in 10-minute
+    tumbling buckets: one hash-groupBy shuffle keyed by (bucket, user,
+    type) — high-cardinality keys, map-side partial aggregation, no
+    window-function sort. date_trunc returns LTZ, so the bucket column
+    re-casts to NTZ (the tz-probe rule in tables.load)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("bucket_hour"),
+            F.floor(F.minute("ts") / F.lit(10)).cast("int").alias("slot"),
+            "user_id",
+            "event_type",
+        )
+        .agg(
+            F.min("event_id").alias("keep_event_id"),
+            F.count(F.lit(1)).alias("n_in_window"),
+        )
+    )
