@@ -30,6 +30,7 @@ import uuid as uuidlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.ddl import UnsupportedDdl, evolve_schema
 from ..operators.cdc import cdc_collapse
@@ -99,6 +100,7 @@ class StreamingMaterializer:
         meta: CheckpointStore | None = None,
         data_source_id: str = "ds1",
         table: str | None = None,
+        quarantine_path: str | None = None,
     ):
         self.spark = spark
         self.keys = keys
@@ -108,6 +110,7 @@ class StreamingMaterializer:
         self.meta = meta
         self.data_source_id = data_source_id
         self.table = table
+        self.quarantine_path = quarantine_path
         if not os.path.exists(state_path):
             init = snapshot.withColumn(
                 POS_COL, F.lit(pos_threshold or "").cast("string")
@@ -182,13 +185,45 @@ class StreamingMaterializer:
             OP_COL,
         )
 
+    def _quarantine_split(self, rows: DataFrame) -> DataFrame:
+        """Dead-letter poison rows: an event carrying ANY value that
+        does not decode to its target type — under ANSI mode (Spark 4
+        default) ONE such row aborts the whole micro-batch, and for a
+        merge key there is no sane fallback at all. With a quarantine
+        path set, the RAW envelopes of such rows (detected via
+        try_cast) append to a parquet dead-letter table for
+        replay/inspection — the reference's log-and-skip error path,
+        made durable — and the batch proceeds without them. Without
+        one, they raise: fail-stop beats silent loss."""
+        poison = F.lit(False)
+        for f in self.schema.fields:
+            if isinstance(f.dataType, T.BinaryType):
+                continue  # unbase64 never throws; bad base64 yields NULL
+            raw = F.col("data").getItem(f.name)
+            if f.name in self.keys:
+                raw = F.coalesce(raw, F.col("before").getItem(f.name))
+            poison = poison | (raw.isNotNull() & raw.try_cast(f.dataType).isNull())
+        bad = rows.filter(poison)
+        if self.quarantine_path is None:
+            n = bad.limit(1).count()
+            if n:
+                raise ValueError(
+                    "poison change rows (merge key fails to decode); "
+                    "set quarantine_path to dead-letter them"
+                )
+            return rows
+        bad.write.mode("append").parquet(self.quarantine_path)
+        return rows.filter(~poison)
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         changes = batch
         if self.pos_threshold is not None:
             changes = changes.filter(F.col("pos") > F.lit(self.pos_threshold))
         self._apply_ddl(changes)
         typed = self._typed_changes(
-            changes.filter(F.col("op").isin("insert", "update", "delete"))
+            self._quarantine_split(
+                changes.filter(F.col("op").isin("insert", "update", "delete"))
+            )
         )
         merged = cdc_collapse(
             self._aligned_state().unionByName(typed),

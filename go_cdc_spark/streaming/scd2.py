@@ -89,7 +89,9 @@ class Scd2Materializer(StreamingMaterializer):
         if self.pos_threshold is not None:
             changes = changes.filter(F.col("pos") > F.lit(self.pos_threshold))
         typed = self._typed_changes(
-            changes.filter(F.col("op").isin("insert", "update", "delete"))
+            self._quarantine_split(
+                changes.filter(F.col("op").isin("insert", "update", "delete"))
+            )
         ).dropDuplicates([*self.keys, POS_COL])  # redelivery guard
         state = self.state()
         fields = [f.name for f in self.schema.fields]
