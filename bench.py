@@ -57,6 +57,8 @@ HEADLINE = [
     "quality_repetition",
     "dedup_paragraphs",
     "dedup_embedding_cosine",
+    "cdc_scd2",
+    "kmeans_centroids",
 ]
 
 
