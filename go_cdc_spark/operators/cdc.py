@@ -402,3 +402,133 @@ def cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("attr_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Replication reconciliation: the operational pair every CDC deployment
+# ends up needing — "did the replica drift?" answered cheaply
+# (bucketed checksums, pt-table-checksum style) and precisely
+# (row-level diff classification). The reference ships neither; its
+# users run pt-table-checksum by hand.
+# ---------------------------------------------------------------------------
+
+_RECON_BUCKETS = 16  # first md5 nibble of the PK
+# row representation: every column cast to string, NULL-safe, joined
+# with a separator that cannot appear in the data
+_RECON_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _row_repr_spark() -> Column:
+    return F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in _RECON_COLS]
+    )
+
+
+_ROW_REPR_SQL = "concat_ws('|', " + ", ".join(
+    f"COALESCE(CAST({c} AS VARCHAR), '\\N')" for c in _RECON_COLS
+) + ")"
+
+@query(
+    "table_checksum",
+    oracle=f"""
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(digest) AS BIGINT) AS checksum
+    FROM (
+        SELECT CAST(strpos('0123456789abcdef', substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1 AS INT) AS bucket,
+               CAST(('0x' || substring(md5({_ROW_REPR_SQL}), 1, 15)) AS BIGINT) AS digest
+        FROM customer
+    )
+    GROUP BY bucket
+    """,
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed table checksum (pt-table-checksum's shape, engine-
+    portable): md5 row digests XOR-folded per PK-hash bucket. XOR is
+    commutative, so the aggregation is order-independent WITHOUT any
+    float caveats, and map-side partials apply. Comparing source and
+    replica checksums moves {_RECON_BUCKETS} rows per table instead of
+    the table; a mismatched bucket scopes the expensive row-level diff
+    (table_diff) to 1/{_RECON_BUCKETS} of the keys (raise the bucket
+    count with table size — it is just more md5 nibbles).
+
+    Scale shape: one scan + one {_RECON_BUCKETS}-group aggregate;
+    the shuffle carries a handful of partial rows per partition."""
+    cust = load(spark, sf_dir, "customer")
+    bucket = (
+        (F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1), 16, 10))
+        .cast("int")
+        .alias("bucket")
+    )
+    digest = F.conv(F.substring(F.md5(_row_repr_spark()), 1, 15), 16, 10).cast("long")
+    return (
+        cust.select(bucket, digest.alias("digest"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("digest").alias("checksum"),
+        )
+    )
+
+
+@query(
+    "table_diff",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 50 = 0 THEN c_name || '_drift' ELSE c_name END AS c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE c_custkey % 97 <> 0
+    )
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN t.c_custkey IS NULL THEN 'missing_in_target'
+                WHEN s.c_custkey IS NULL THEN 'extra_in_target'
+                ELSE 'changed' END AS diff_kind
+    FROM customer s
+    FULL OUTER JOIN target t ON s.c_custkey = t.c_custkey
+    WHERE t.c_custkey IS NULL OR s.c_custkey IS NULL
+       OR s.c_name <> t.c_name OR s.c_nationkey <> t.c_nationkey
+       OR s.c_acctbal <> t.c_acctbal OR s.c_mktsegment <> t.c_mktsegment
+    """,
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level source/replica diff: full outer join on the PK,
+    classify missing / extra / changed. The demo target derives from
+    the source with injected drift (dropped keys, mutated names) so
+    the operator exercises all three classes deterministically.
+
+    Scale shape: one PK-keyed shuffle join; in production, run it only
+    on the buckets table_checksum flagged, which prunes both scans by
+    the PK-hash predicate pushed into parquet."""
+    src = load(spark, sf_dir, "customer")
+    tgt = (
+        src.filter(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 50 == 0, F.concat(F.col("c_name"), F.lit("_drift"))
+            ).otherwise(F.col("c_name")),
+        )
+    )
+    s = src.select(*[F.col(c).alias(f"s_{c}") for c in _RECON_COLS])
+    t = tgt.select(*[F.col(c).alias(f"t_{c}") for c in _RECON_COLS])
+    joined = s.join(t, s.s_c_custkey == t.t_c_custkey, "full_outer")
+    changed = (
+        (F.col("s_c_name") != F.col("t_c_name"))
+        | (F.col("s_c_nationkey") != F.col("t_c_nationkey"))
+        | (F.col("s_c_acctbal") != F.col("t_c_acctbal"))
+        | (F.col("s_c_mktsegment") != F.col("t_c_mktsegment"))
+    )
+    return (
+        joined.filter(
+            F.col("t_c_custkey").isNull() | F.col("s_c_custkey").isNull() | changed
+        )
+        .select(
+            F.coalesce("s_c_custkey", "t_c_custkey").alias("c_custkey"),
+            F.when(F.col("t_c_custkey").isNull(), "missing_in_target")
+            .when(F.col("s_c_custkey").isNull(), "extra_in_target")
+            .otherwise("changed")
+            .alias("diff_kind"),
+        )
+    )
