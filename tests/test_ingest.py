@@ -1,0 +1,58 @@
+"""Continuous dedup ingestion: cross-batch duplicate suppression with a
+persistent fingerprint store, deterministic survivors, append-only
+corpus."""
+
+from __future__ import annotations
+
+import json
+
+from go_cdc_spark.streaming.ingest import DedupIngest, read_docs_stream
+
+
+def _doc(doc_id, text, lang="en", source="s1"):
+    return {"doc_id": doc_id, "text": text, "lang": lang, "source": source}
+
+
+def _write_segment(dirpath, name, docs):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    with open(dirpath / name, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+
+def test_cross_batch_dedup_keeps_first_occurrence(spark, tmp_path):
+    seg = tmp_path / "docs"
+    _write_segment(seg, "seg1.json", [
+        _doc(10, "alpha beta"),
+        _doc(11, "gamma delta"),
+        _doc(12, "alpha beta"),     # within-batch dup of 10
+    ])
+    _write_segment(seg, "seg2.json", [
+        _doc(20, "alpha beta"),     # cross-batch dup of 10
+        _doc(21, "epsilon zeta"),   # novel
+        _doc(22, "gamma delta"),    # cross-batch dup of 11
+    ])
+    ing = DedupIngest(spark, str(tmp_path / "corpus"), str(tmp_path / "fps"))
+    q = ing.start(
+        read_docs_stream(spark, str(seg), max_files_per_trigger=1),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    corpus = {r["doc_id"]: r["text"] for r in ing.corpus().collect()}
+    assert corpus == {10: "alpha beta", 11: "gamma delta", 21: "epsilon zeta"}
+
+
+def test_restart_does_not_double_ingest(spark, tmp_path):
+    seg = tmp_path / "docs"
+    _write_segment(seg, "seg1.json", [_doc(1, "one two")])
+    ing = DedupIngest(spark, str(tmp_path / "corpus"), str(tmp_path / "fps"))
+    stream = read_docs_stream(spark, str(seg))
+    ing.start(stream, str(tmp_path / "ckpt")).awaitTermination(120)
+    # second segment arrives; restart from the same checkpoint
+    _write_segment(seg, "seg2.json", [_doc(2, "one two"), _doc(3, "three four")])
+    ing2 = DedupIngest(spark, str(tmp_path / "corpus"), str(tmp_path / "fps"))
+    ing2.start(
+        read_docs_stream(spark, str(seg)), str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+    corpus = sorted(r["doc_id"] for r in ing2.corpus().collect())
+    assert corpus == [1, 3]  # doc 2 deduped against the store; no re-ingest of 1
