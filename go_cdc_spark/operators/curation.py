@@ -622,3 +622,52 @@ def c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition report: the mixture table every training run is
+# configured from (docs/tokens per source × language, with shares).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_composition",
+    oracle="""
+    WITH per AS (
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source, lang
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS t_tokens
+        FROM per
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           CAST(n_docs AS DOUBLE) / t_docs AS share_docs,
+           CAST(n_tokens AS DOUBLE) / t_tokens AS share_tokens
+    FROM per CROSS JOIN tot
+    """,
+)
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs and whitespace-token counts per (source, language) with
+    corpus shares — the input to mixture weighting (sample_temperature
+    consumes exactly these rates). Integer counts divide as doubles at
+    the end, so shares are engine-exact. One groupBy + a 1-row
+    broadcast total; no other shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words_col())).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("n_tokens").alias("t_tokens")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast("double") / F.col("t_docs")).alias("share_docs"),
+        (F.col("n_tokens").cast("double") / F.col("t_tokens")).alias("share_tokens"),
+    )
