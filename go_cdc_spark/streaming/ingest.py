@@ -92,3 +92,141 @@ def read_docs_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dup ingestion: MinHash signature store + band-key
+# candidate lookup. The batch pipeline's dedup_minhash_lsh
+# (operators/dedup.py) answers "find all near-dup pairs in a corpus";
+# ingestion needs the online form: "is this incoming doc a near-dup of
+# ANYTHING already accepted?" — answered per batch against a persistent
+# (band_key, doc_id, signature) store, no corpus rescan.
+# ---------------------------------------------------------------------------
+
+from ..operators.dedup import BAND_ROWS, MINHASH_K, N_SEEDS  # noqa: E402
+from ..operators.text import shingles_col  # noqa: E402
+
+SIG_COLS = [f"h{i}" for i in range(MINHASH_K)]
+NEAR_DUP_EST = 0.5  # signature-agreement threshold (lane-match fraction)
+
+
+def _signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{MINHASH_K-1}) via the codegen explode-aggregate
+    shape (see dedup_minhash_lsh for why not array-lambda folds)."""
+    ex = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    hashed = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("s"))).alias(f"dg{g}")
+            for g in range(N_SEEDS)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(f"dg{i // 4}", 1 + 8 * (i % 4), 8)).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+
+
+def _banded(sig: DataFrame) -> DataFrame:
+    return sig.select(
+        "doc_id",
+        *SIG_COLS,
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)],
+                        )
+                    )
+                    for b in range(MINHASH_K // BAND_ROWS)
+                ]
+            )
+        ).alias("band"),
+    )
+
+
+def _lane_agreement(prefix_a: str, prefix_b: str) -> F.Column:
+    matches = sum(
+        F.when(F.col(f"{prefix_a}{c}") == F.col(f"{prefix_b}{c}"), 1).otherwise(0)
+        for c in SIG_COLS
+    )
+    return matches / F.lit(float(MINHASH_K))
+
+
+class NearDupIngest:
+    """foreachBatch consumer: drop docs whose MinHash signature agrees
+    with an already-accepted doc's on >= {NEAR_DUP_EST} of lanes
+    (candidates found via shared LSH bands — never a full-store scan).
+
+    Within a batch the survivor rule is greedy by doc_id: a doc is
+    dropped if it near-matches any LOWER-id doc that itself entered the
+    comparison, the same one-pass compromise online dedup systems make
+    (a full transitive-closure pass is the batch pipeline's job —
+    dedup_clusters)."""
+
+    def __init__(self, spark: SparkSession, corpus_path: str, store_path: str) -> None:
+        self.spark = spark
+        self.corpus_path = corpus_path
+        self.store_path = store_path
+
+    def _store(self) -> DataFrame:
+        if os.path.exists(self.store_path):
+            return self.spark.read.parquet(self.store_path)
+        schema = ", ".join(["band string", "doc_id long"] + [f"{c} string" for c in SIG_COLS])
+        return self.spark.createDataFrame([], schema)
+
+    def corpus(self) -> DataFrame:
+        if os.path.exists(self.corpus_path):
+            return self.spark.read.parquet(self.corpus_path)
+        return self.spark.createDataFrame([], DOC_SCHEMA)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        banded = _banded(_signatures(batch)).localCheckpoint(eager=True)
+        store = self._store()
+        # vs store: any shared band -> compare signatures
+        s = store.select(
+            "band", F.col("doc_id").alias("o_doc_id"),
+            *[F.col(c).alias(f"o_{c}") for c in SIG_COLS],
+        )
+        hit_store = (
+            banded.join(s, "band")
+            .filter(_lane_agreement("", "o_") >= NEAR_DUP_EST)
+            .select("doc_id")
+            .distinct()
+        )
+        # vs batch: lower-id near-match wins (greedy one-pass)
+        b = banded.select(
+            "band", F.col("doc_id").alias("b_doc_id"),
+            *[F.col(c).alias(f"b_{c}") for c in SIG_COLS],
+        )
+        hit_batch = (
+            banded.join(b, "band")
+            .filter(F.col("b_doc_id") < F.col("doc_id"))
+            .filter(_lane_agreement("", "b_") >= NEAR_DUP_EST)
+            .select("doc_id")
+            .distinct()
+        )
+        dropped = hit_store.union(hit_batch).distinct()
+        survivors = (
+            batch.join(dropped, "doc_id", "left_anti").localCheckpoint(eager=True)
+        )
+        survivors.select(*[f.name for f in DOC_SCHEMA.fields]).write.mode(
+            "append"
+        ).parquet(self.corpus_path)
+        new_entries = banded.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        ).select("band", "doc_id", *SIG_COLS)
+        new_entries.write.mode("append").parquet(self.store_path)
+
+    def start(self, docs_stream: DataFrame, checkpoint_dir: str):
+        return (
+            docs_stream.writeStream.queryName("near_dup_ingest")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -56,3 +56,29 @@ def test_restart_does_not_double_ingest(spark, tmp_path):
     ).awaitTermination(120)
     corpus = sorted(r["doc_id"] for r in ing2.corpus().collect())
     assert corpus == [1, 3]  # doc 2 deduped against the store; no re-ingest of 1
+
+
+def test_near_dup_ingest_drops_cross_and_within_batch(spark, tmp_path):
+    from go_cdc_spark.streaming.ingest import NearDupIngest
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    nearly = base.replace("today", "tonight")          # ~1-word edit: near-dup
+    other = "completely different words about spark partitions and shuffles here"
+    seg = tmp_path / "docs"
+    _write_segment(seg, "seg1.json", [
+        _doc(10, base),
+        _doc(11, nearly),   # within-batch near-dup of 10 (greedy: 10 survives)
+        _doc(12, other),
+    ])
+    _write_segment(seg, "seg2.json", [
+        _doc(20, base.replace("quick", "swift")),  # cross-batch near-dup of 10
+        _doc(21, "entirely novel content with no overlap in any shingle at all"),
+    ])
+    ing = NearDupIngest(spark, str(tmp_path / "corpus"), str(tmp_path / "store"))
+    from go_cdc_spark.streaming.ingest import read_docs_stream
+    q = ing.start(read_docs_stream(spark, str(seg)), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in ing.corpus().collect())
+    assert 10 in ids and 12 in ids and 21 in ids
+    assert 11 not in ids, "within-batch near-dup must drop"
+    assert 20 not in ids, "cross-batch near-dup must drop"
