@@ -93,3 +93,31 @@ def test_funnel_type_filters_pushed(spark, sf_dir):
     plan = _physical(QUERIES["funnel_conversion"](spark, sf_dir))
     for t in ("view", "click", "purchase"):
         assert f"EqualTo(event_type,{t})" in plan, f"{t} filter not pushed:\n{plan}"
+
+
+def test_scd2_single_entity_exchange(spark, sf_dir):
+    """Both window passes (lead over all events, row_number over
+    survivors) share the user_id partitioning — the plan must carry
+    exactly ONE Exchange; a second one means the partitioning reuse
+    broke and history derivation shuffles twice."""
+    plan = _physical(QUERIES["cdc_scd2"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_profile_single_scan_expand(spark, sf_dir):
+    """Multi-column exact-distinct profiling must compile to ONE scan
+    of lineitem with the Expand strategy — per-column scans would read
+    the table five times."""
+    plan = _physical(QUERIES["profile_numeric"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_checksum_partial_agg_before_exchange(spark, sf_dir):
+    """XOR digests must partially aggregate map-side (commutative), so
+    the bucket shuffle carries partial rows, not the table."""
+    plan = _physical(QUERIES["table_checksum"](spark, sf_dir))
+    pre_exchange = plan.split("Exchange")[-1]  # text below/after is the map side
+    assert "partial_bit_xor" in plan or re.search(
+        r"HashAggregate.*bit_xor", pre_exchange
+    ), plan
