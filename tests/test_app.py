@@ -187,3 +187,56 @@ def test_restart_returns_on_clean_termination():
             return None
 
     run_with_restart(lambda: CleanQuery(), RestartPolicy(max_attempts=1))
+
+
+def test_multi_source_registry_isolated_state(spark, tmp_path):
+    """Two sources in one config (the reference's DataSourceMap shape):
+    each registers under its own numeric id, snapshots independently,
+    drains its OWN changelog, and materializes into isolated state —
+    an event on source 1 must never leak into source 2's table."""
+    seg1 = tmp_path / "cl1"
+    seg2 = tmp_path / "cl2"
+    seg1.mkdir(), seg2.mkdir()
+    cfg = f"""
+[engine]
+meta_path      = "{tmp_path}/meta"
+state_dir      = "{tmp_path}/state"
+checkpoint_dir = "{tmp_path}/ckpt"
+
+[[source]]
+id        = 1
+name      = "alpha"
+type      = "parquet"
+path      = "{SF}"
+changelog = "{seg1}"
+[source.primary_keys]
+region = ["r_regionkey"]
+[source.rules.global]
+include_tables = ["region"]
+
+[[source]]
+id        = 7
+name      = "beta"
+type      = "parquet"
+path      = "{SF}"
+changelog = "{seg2}"
+[source.primary_keys]
+region = ["r_regionkey"]
+[source.rules.global]
+include_tables = ["region"]
+"""
+    p = tmp_path / "config.toml"
+    p.write_text(cfg)
+    engine = Engine(load_config(str(p)), spark=spark)
+    engine.init_sources()
+    assert set(engine.registry) == {1, 7}
+    snaps = engine.full_sync()
+    pos1 = int(next(s.pos for s in snaps[1] if s.table == "region"))
+    with open(seg1 / "seg0.json", "w") as f:
+        f.write(json.dumps(_event(pos1 + 1, "update",
+                                  {"r_regionkey": "1", "r_name": "ALPHA-ONLY"})) + "\n")
+    engine.incremental_sync()
+    s1 = {r.r_regionkey: r.r_name for r in engine.read_table(1, "main", "region").collect()}
+    s2 = {r.r_regionkey: r.r_name for r in engine.read_table(7, "main", "region").collect()}
+    assert s1[1] == "ALPHA-ONLY"
+    assert s2[1] != "ALPHA-ONLY"  # isolation: beta never saw alpha's event
