@@ -319,6 +319,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+DRIVER_CC_MAX_EDGES = 1_000_000  # below this, union-find on the driver
+
+
+def _driver_union_find(pairs: list) -> list:
+    """Path-compressed union-find; cluster id = min node id (same
+    contract as the distributed form)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the cluster id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     edges: DataFrame, src: str, dst: str, max_iter: int = 50
 ) -> DataFrame:
@@ -326,15 +351,35 @@ def connected_components(
     with cluster_id = min node id in the component.
 
     Scale story: the edge list is the LSH candidate set (near-dup docs
-    only), orders of magnitude smaller than the corpus. Each iteration
-    is one join + one groupBy-min, converging in O(component diameter)
-    rounds — near-dup clusters are shallow (diameter ≤ ~3) in practice.
+    only), orders of magnitude smaller than the corpus — usually
+    metadata-sized. Below {DRIVER_CC_MAX_EDGES} edges (counted first —
+    one cheap aggregate) the edges COLLECT and a path-compressed
+    union-find runs on the driver: iterative Spark rounds pay several
+    job launches for a graph that fits in one machine's memory, the
+    same trade the boundary-sampling collect makes (snapshot.py). The
+    ~16 MB/1M-edge collect is bounded by the constant. Above the
+    threshold, distributed min-label propagation: one join + one
+    groupBy-min per round, converging in O(component diameter) rounds —
+    near-dup clusters are shallow (diameter ≤ ~3) in practice.
     ``localCheckpoint`` cuts lineage each round so Catalyst analysis
-    stays O(1) per iteration instead of growing with the loop; the
-    convergence probe is a metadata-sized count, not a collect of data.
-    For adversarial graphs (long chains) switch to large-star/small-star
-    — same public pattern, fewer rounds.
+    stays O(1) per iteration; the convergence probe is a metadata-sized
+    count. For adversarial graphs (long chains) switch to
+    large-star/small-star — same public pattern, fewer rounds.
+    Both paths produce identical results (cluster id = min member id).
     """
+    # pin the (possibly expensive) candidate-pair plan ONCE — the size
+    # probe and whichever path follows both reuse the materialized rows
+    edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.limit(DRIVER_CC_MAX_EDGES + 1).count()
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        pairs = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+        labels = _driver_union_find(pairs)
+        spark = edges.sparkSession
+        if not labels:
+            return spark.createDataFrame([], edges.select(src, dst).schema).select(
+                F.col(src).alias("node"), F.col(dst).alias("cluster_id")
+            )
+        return spark.createDataFrame(labels, ["node", "cluster_id"])
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )

@@ -29,3 +29,15 @@ def test_long_chain_converges(spark):
     got = _cc(spark, edges)
     assert set(got.values()) == {1}
     assert len(got) == n
+
+
+def test_distributed_path_matches_driver_path(spark, monkeypatch):
+    """Force the distributed label-propagation branch (threshold 0) and
+    pin that it produces exactly the driver union-find's labeling."""
+    import go_cdc_spark.operators.dedup as d
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (30, 30), (5, 4)]
+    expect = _cc(spark, edges)  # driver union-find (small graph)
+    monkeypatch.setattr(d, "DRIVER_CC_MAX_EDGES", 0)
+    got = _cc(spark, edges)
+    assert got == expect == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 30: 30}
