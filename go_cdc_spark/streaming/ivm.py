@@ -154,3 +154,152 @@ class IncrementalAggregate:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class IncrementalMinMax:
+    """MIN/MAX per group from the change stream — with the honest
+    treatment of their non-distributivity: a delete can only be folded
+    in when it provably does NOT remove the current extreme (the
+    removed value lies strictly INSIDE the (min, max) interval). A
+    delete at an extreme marks the group ``dirty`` — the runner-up is
+    unknowable from deltas alone — until :meth:`repair` recomputes it
+    from the base table (scoped to dirty groups only). Inserts always
+    fold (min/max ARE distributive over inserts).
+
+    This is the textbook trade (exact deletable extremes need a heap
+    per group); the dirty flag makes the staleness explicit instead of
+    silently wrong, and ``read_table`` surfaces it.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        group_cols: list[str],
+        value_col: str,
+        state_path: str,
+        types: dict | None = None,
+    ):
+        self.spark = spark
+        self.group_cols = group_cols
+        self.value_col = value_col
+        self.state_path = state_path
+        self.types = types or {}
+
+    def _image(self, batch: DataFrame, image_col: str) -> DataFrame:
+        from pyspark.sql import types as T
+
+        cols = [
+            decode_image_value(
+                F.col(image_col).getItem(c), self.types.get(c, T.StringType())
+            ).alias(c)
+            for c in [*self.group_cols, self.value_col]
+        ]
+        return batch.select(*cols).withColumnRenamed(self.value_col, "__v")
+
+    def _state(self) -> DataFrame | None:
+        if not os.path.exists(self.state_path):
+            return None
+        return self.spark.read.parquet(self.state_path)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        ins = self._image(
+            batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE)), "data"
+        ).groupBy(*self.group_cols).agg(
+            F.min("__v").alias("i_min"), F.max("__v").alias("i_max")
+        )
+        rem = self._image(
+            batch.filter(F.col("op").isin(OP_DELETE, OP_UPDATE)), "before"
+        ).groupBy(*self.group_cols).agg(
+            F.min("__v").alias("r_min"), F.max("__v").alias("r_max")
+        )
+        state = self._state()
+        if state is None:
+            state = (
+                ins.limit(0)
+                .select(
+                    *self.group_cols,
+                    F.col("i_min").alias("min_val"),
+                    F.col("i_max").alias("max_val"),
+                    F.lit(False).alias("dirty"),
+                )
+            )
+        merged = (
+            state.join(ins, self.group_cols, "full_outer")
+            .join(rem, self.group_cols, "full_outer")
+        )
+        new_min = F.least("min_val", "i_min")
+        new_max = F.greatest("max_val", "i_max")
+        # a removal dirties the group iff it could have taken an
+        # extreme: r_min <= current min  OR  r_max >= current max
+        # (evaluated against the PRE-batch extremes, conservatively
+        # extended by this batch's inserts: removing a value this very
+        # batch inserted at the extreme also dirties)
+        removal_hits_extreme = F.col("r_min").isNotNull() & (
+            F.col("min_val").isNull()  # unknown pre-state: conservative
+            | (F.col("r_min") <= new_min)
+            | (F.col("r_max") >= new_max)
+        )
+        combined = merged.select(
+            *self.group_cols,
+            new_min.alias("min_val"),
+            new_max.alias("max_val"),
+            (
+                F.coalesce(F.col("dirty"), F.lit(False)) | removal_hits_extreme
+            ).alias("dirty"),
+        )
+        tmp = f"{self.state_path}.tmp-{uuidlib.uuid4().hex[:8]}"
+        combined.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.state_path):
+            old = f"{self.state_path}.old-{uuidlib.uuid4().hex[:8]}"
+            os.rename(self.state_path, old)
+            os.rename(tmp, self.state_path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(tmp, self.state_path)
+
+    def repair(self, base: DataFrame) -> int:
+        """Recompute extremes for dirty groups from the base table
+        (the scoped scan deltas cannot avoid) and clear their flags.
+        Returns the number of repaired groups."""
+        state = self._state()
+        if state is None:
+            return 0
+        dirty = state.filter(F.col("dirty"))
+        n = dirty.count()
+        if n == 0:
+            return 0
+        fresh = (
+            base.join(F.broadcast(dirty.select(*self.group_cols)), self.group_cols)
+            .groupBy(*self.group_cols)
+            .agg(
+                F.min(self.value_col).alias("min_val"),
+                F.max(self.value_col).alias("max_val"),
+            )
+            .withColumn("dirty", F.lit(False))
+        )
+        clean = state.filter(~F.col("dirty"))
+        combined = clean.unionByName(fresh).localCheckpoint(eager=True)
+        tmp = f"{self.state_path}.tmp-{uuidlib.uuid4().hex[:8]}"
+        combined.write.mode("overwrite").parquet(tmp)
+        old = f"{self.state_path}.old-{uuidlib.uuid4().hex[:8]}"
+        os.rename(self.state_path, old)
+        os.rename(tmp, self.state_path)
+        shutil.rmtree(old, ignore_errors=True)
+        return n
+
+    def read_table(self) -> DataFrame:
+        state = self._state()
+        if state is None:
+            raise FileNotFoundError(f"no IVM state at {self.state_path}")
+        return state.select(*self.group_cols, "min_val", "max_val", "dirty")
+
+    def start(
+        self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "ivm_minmax"
+    ):
+        return (
+            changes_stream.writeStream.queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+            .trigger(availableNow=True)
+            .start()
+        )

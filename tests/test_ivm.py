@@ -6,6 +6,7 @@ across micro-batch boundaries."""
 from __future__ import annotations
 
 import json
+import os
 import random
 
 from pyspark.sql import Row
@@ -46,9 +47,15 @@ def _ev(op, pos, id_, grp=None, val=None, before=None):
 def _write_segments(seg_dir, segments):
     seg_dir.mkdir(parents=True, exist_ok=True)
     for i, events in enumerate(segments):
-        with open(seg_dir / f"s{i}.json", "w") as f:
+        p = seg_dir / f"s{i}.json"
+        with open(p, "w") as f:
             for e in events:
                 f.write(json.dumps(e) + "\n")
+        # the file source orders batches by modification time; same-ms
+        # writes tie and can process segments out of order (harmless for
+        # the commutative SUM/COUNT tests, but min/max dirty-tracking is
+        # deliberately order-SENSITIVE for deletes) — pin distinct mtimes
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
 
 
 def _run_both(spark, tmp_path, segments):
@@ -177,3 +184,53 @@ def test_ivm_out_of_order_batches_commute(spark, tmp_path):
     fwd = run(segments, tmp_path / "fwd")
     rev = run(list(reversed(segments)), tmp_path / "rev")
     assert fwd == rev == [("b", 1, 11.0)]
+
+
+def _run_minmax(spark, tmp_path, segments):
+    from go_cdc_spark.streaming.ivm import IncrementalMinMax
+
+    seg = tmp_path / "cl"
+    _write_segments(seg, segments)
+    mm = IncrementalMinMax(
+        spark, ["grp"], "val", str(tmp_path / "mm_state"),
+        types={"grp": T.StringType(), "val": T.DoubleType()},
+    )
+    mm.start(
+        read_changelog_stream(spark, str(seg)), str(tmp_path / "ckpt_mm")
+    ).awaitTermination(120)
+    return mm
+
+
+def test_minmax_inserts_fold_clean(spark, tmp_path):
+    mm = _run_minmax(spark, tmp_path, [
+        [_ev("insert", 1, 1, "a", 5.0), _ev("insert", 2, 2, "a", 9.0)],
+        [_ev("insert", 3, 3, "a", 1.0), _ev("insert", 4, 4, "b", 7.0)],
+    ])
+    got = {r["grp"]: (r["min_val"], r["max_val"], r["dirty"]) for r in mm.read_table().collect()}
+    assert got == {"a": (1.0, 9.0, False), "b": (7.0, 7.0, False)}
+
+
+def test_minmax_interior_delete_stays_clean(spark, tmp_path):
+    mm = _run_minmax(spark, tmp_path, [
+        [_ev("insert", 1, 1, "a", 1.0), _ev("insert", 2, 2, "a", 5.0),
+         _ev("insert", 3, 3, "a", 9.0)],
+        [_ev("delete", 4, 2, before=("a", 5.0))],  # strictly inside (1, 9)
+    ])
+    got = {r["grp"]: (r["min_val"], r["max_val"], r["dirty"]) for r in mm.read_table().collect()}
+    assert got == {"a": (1.0, 9.0, False)}
+
+
+def test_minmax_extreme_delete_dirties_then_repair(spark, tmp_path):
+    mm = _run_minmax(spark, tmp_path, [
+        [_ev("insert", 1, 1, "a", 1.0), _ev("insert", 2, 2, "a", 5.0),
+         _ev("insert", 3, 3, "a", 9.0)],
+        [_ev("delete", 4, 3, before=("a", 9.0))],  # removes the max
+    ])
+    row = mm.read_table().collect()[0]
+    assert row["dirty"] is True  # runner-up unknowable from deltas
+    base = spark.createDataFrame(
+        [Row(id=1, grp="a", val=1.0), Row(id=2, grp="a", val=5.0)], SCHEMA
+    )
+    assert mm.repair(base) == 1
+    row = mm.read_table().collect()[0]
+    assert (row["min_val"], row["max_val"], row["dirty"]) == (1.0, 5.0, False)
