@@ -32,11 +32,12 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table as a DataFrame.
 
-    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; read it as raw nanos (legacy conf, runtime
-    settable) and truncate to microseconds — identical to how DuckDB
-    (micro-precision timestamps) reads the same file, so oracle
-    comparisons agree.
+    ``events.parquet`` has shipped with ``ts`` as either TIMESTAMP(MICROS)
+    (reads natively) or TIMESTAMP(NANOS) (Spark's parquet reader rejects
+    it; read as raw nanos via the legacy conf and truncate to
+    microseconds — identical to how DuckDB, micro-precision, reads the
+    same file, so oracle comparisons agree). Dispatch on the observed
+    read type so both generations of the fixture work.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -49,8 +50,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div`, not `/`: double division loses precision at 1e18 nanos
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer `div`, not `/`: double division loses precision at 1e18 nanos
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # Parquet naive timestamps are wall-clock event time. Keep them NTZ so
