@@ -44,11 +44,16 @@ def davg(col: F.Column) -> F.Column:
 
 
 def _sql_sum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+    # VARCHAR hop: DuckDB's DECIMAL→DOUBLE cast double-rounds (int128→
+    # double, then /1e6) and drifts 1 ulp once the scaled sum exceeds
+    # 2^53 (~9e9 in value units — reachable at sf≥0.1 revenue sums);
+    # string→double is correctly rounded, matching Spark's
+    # BigDecimal.doubleValue() exactly at every scale.
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def _sql_avg(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"
+    return f"{_sql_sum(expr)} / COUNT({expr})"
 
 
 # ---------------------------------------------------------------------------
