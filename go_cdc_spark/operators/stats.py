@@ -1,0 +1,147 @@
+"""Statistical aggregates with cross-engine bit parity.
+
+Built-in `corr`/`stddev`/`covar_samp` CANNOT be oracle-checked
+bit-exactly: both Spark and DuckDB accumulate them with streaming
+(Welford/merge) algorithms whose result depends on row order and
+partitioning. Instead every moment statistic here is derived from the
+raw power sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulated EXACTLY through
+DECIMAL (the relational.py numeric policy — order-independent), then
+combined with the identical double expression tree on both engines;
+IEEE-754 doubles make the final arithmetic deterministic, so the
+whole suite hash-matches.
+
+Scale shape: one partial-aggregable hash aggregate (6 sum buffers per
+group) — a single shuffle of group-key × 6 decimals regardless of fact
+size; the formula projection is per-group, post-shuffle, free.
+
+Parity note: the reference (go-cdc) is a CDC pipeline with no query
+engine; this module is part of the derived analytic surface of
+SURVEY.md §2.B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..tables import load
+
+# Exact power-sum accumulation. Per-element x*x ≤ ~1e10 for the fixture
+# measures (quantity ≤ 50, price ≤ ~1.1e5); decimal(18,6) holds 1e12 per
+# element and the sum buffer promotes to decimal(28,6) (1e22) — a 100 TB
+# lineitem's Σy² is ~1e19, still exact.
+_DEC = "decimal(18,6)"
+
+
+def _psum(col: F.Column) -> F.Column:
+    return F.sum(col.cast(_DEC)).cast("double")
+
+
+def _sql_psum(expr: str) -> str:
+    # VARCHAR hop: DuckDB's DECIMAL→DOUBLE cast is off by 1 ulp once the
+    # scaled integer exceeds 2^53 (int→double rounds, then /1e6 rounds
+    # again); string→double is correctly rounded, matching Spark's
+    # BigDecimal.doubleValue(). Σy² crosses 2^53 already at sf0.001.
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
+
+
+@query(
+    "stats_moments",
+    oracle=f"""
+    WITH sums AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {_sql_psum('l_quantity')} AS sx,
+             {_sql_psum('l_extendedprice')} AS sy,
+             {_sql_psum('l_quantity * l_extendedprice')} AS sxy,
+             {_sql_psum('l_quantity * l_quantity')} AS sxx,
+             {_sql_psum('l_extendedprice * l_extendedprice')} AS syy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           sx / n AS mean_qty,
+           SQRT((sxx - (sx * sx) / n) / (n - 1)) AS stddev_qty,
+           SQRT((syy - (sy * sy) / n) / (n - 1)) AS stddev_price,
+           (sxy - (sx * sy) / n) / (n - 1) AS covar_qty_price,
+           ((n * sxy) - (sx * sy))
+             / (SQRT((n * sxx) - (sx * sx)) * SQRT((n * syy) - (sy * sy)))
+             AS corr_qty_price,
+           ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)) AS regr_slope,
+           (sy / n) - (((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) * (sx / n)
+             AS regr_intercept
+    FROM sums
+    ORDER BY l_returnflag
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag moment statistics (mean, sample stddev, sample
+    covariance, Pearson correlation, OLS slope/intercept) of quantity
+    vs extended price — every statistic derived from exact power sums
+    so the result is order-independent and engine-portable.
+
+    Mirrors the shape of SQL ``STDDEV_SAMP/COVAR_SAMP/CORR/REGR_*``
+    but beats them for distributed use: the built-ins' merge formulas
+    give partition-order-dependent floats, these don't."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _psum(x).alias("sx"),
+        _psum(y).alias("sy"),
+        _psum(x * y).alias("sxy"),
+        _psum(x * x).alias("sxx"),
+        _psum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))
+    return sums.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        (sx / n).alias("mean_qty"),
+        F.sqrt((sxx - (sx * sx) / n) / (n - 1)).alias("stddev_qty"),
+        F.sqrt((syy - (sy * sy) / n) / (n - 1)).alias("stddev_price"),
+        ((sxy - (sx * sy) / n) / (n - 1)).alias("covar_qty_price"),
+        (
+            ((n * sxy) - (sx * sy))
+            / (F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy)))
+        ).alias("corr_qty_price"),
+        slope.alias("regr_slope"),
+        ((sy / n) - slope * (sx / n)).alias("regr_intercept"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "histogram_price",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended price (10k-wide buckets) with
+    per-bucket extrema — the equal-width binning primitive behind
+    distribution profiling and skew diagnosis.
+
+    Scale shape: bucket id is a map-side projection; the aggregate is
+    partially combined before the (tiny, ≤ ~12-bucket) exchange. MIN/
+    MAX of doubles are order-independent, so the row hash-matches."""
+    li = load(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 10000.0).cast("bigint")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -11,10 +11,13 @@ from ..operators import (  # noqa: F401  (registers on import)
     dedup,
     multimodal,
     relational,
+    semistruct,
     similarity,
     skew,
+    stats,
     text,
     tpch,
+    tpch_supply,
 )
 
 from .registry import ORACLE, QUERIES
