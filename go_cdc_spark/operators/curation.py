@@ -671,3 +671,141 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs").cast("double") / F.col("t_docs")).alias("share_docs"),
         (F.col("n_tokens").cast("double") / F.col("t_tokens")).alias("share_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG / context-window document chunking.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 500
+_CHUNK_STRIDE = 400
+
+_CHUNK_ORACLE = f"""
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+       CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+       substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_SIZE})
+         AS chunk_text,
+       CAST(LENGTH(substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT),
+                          {_CHUNK_SIZE})) AS BIGINT) AS chunk_len
+FROM documents,
+     UNNEST(generate_series(
+       0, CAST(FLOOR((LENGTH(text) - 1) / {_CHUNK_STRIDE}) AS BIGINT))) t(i)
+ORDER BY doc_id, chunk_no
+"""
+
+
+@query("chunk_documents", oracle=_CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size character chunks ({_CHUNK_SIZE} wide,
+    stride {_CHUNK_STRIDE} → {_CHUNK_SIZE - _CHUNK_STRIDE}-char overlap)
+    — the retrieval/embedding prep step that turns documents into
+    context-window-sized passages.
+
+    Scale shape: pure map-side Generate (sequence + explode + substr
+    inside codegen) — zero shuffles, output volume = input ×
+    size/stride overlap factor. substr is O(chunk) not O(doc) per
+    output row, so a pathological 1 GB document costs its own length,
+    not length × chunks. At 100 TB the chunk stream feeds straight
+    into the embedding/minhash stages without materializing."""
+    docs = load(spark, sf_dir, "documents")
+    n_chunks_hi = F.floor((F.length("text") - 1) / _CHUNK_STRIDE)
+    chunked = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks_hi.cast("int"))).alias("i"),
+        F.col("text"),
+    )
+    start = F.col("i").cast("bigint") * _CHUNK_STRIDE
+    chunk = F.substring(
+        F.col("text"), (F.col("i") * _CHUNK_STRIDE + 1).cast("int"), _CHUNK_SIZE
+    )
+    return (
+        chunked.select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("chunk_no"),
+            start.alias("chunk_start"),
+            chunk.alias("chunk_text"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (batch twin of the streaming session window).
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+_SESSIONIZE_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER w <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+              THEN 0 ELSE 1 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, event_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
+@query("sessionize_events", oracle=_SESSIONIZE_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a session breaks after {_SESSION_GAP_MIN}
+    idle minutes; emit per-session bounds and totals. The batch twin of
+    the streaming ``session_window`` aggregation (window_session) —
+    this form also ASSIGNS session numbers, which the built-in window
+    aggregate doesn't expose.
+
+    Scale shape: one shuffle on user_id serves both windows (lag mark,
+    running sum — same partitioning and ordering, evaluated in a single
+    Window exec) and the per-session aggregate re-uses the (user_id)
+    clustering so only the final small rollup exchanges. Per-user state
+    is a single row (previous ts) — unbounded history streams through."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    gap_us = _SESSION_GAP_MIN * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(us - F.lag(us).over(w) <= gap_us, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("is_new"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = marked.withColumn(
+        "session_no", F.sum("is_new").over(wrun).cast("bigint")
+    )
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
