@@ -59,6 +59,10 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "cdc_scd2",
     "kmeans_centroids",
+    "q2_min_cost_supplier",
+    "stats_moments",
+    "tf_idf_top_terms",
+    "sessionize_events",
 ]
 
 

@@ -121,3 +121,78 @@ def test_checksum_partial_agg_before_exchange(spark, sf_dir):
     assert "partial_bit_xor" in plan or re.search(
         r"HashAggregate.*bit_xor", pre_exchange
     ), plan
+
+
+def test_chunk_documents_no_exchange(spark, sf_dir):
+    """RAG chunking must stay a pure map-side Generate: any Exchange in
+    the plan means the doc text is being shuffled for nothing."""
+    plan = _physical(QUERIES["chunk_documents"](spark, sf_dir))
+    body = plan.split("AdaptiveSparkPlan")[0] if "AdaptiveSparkPlan" in plan else plan
+    assert "Generate explode" in plan, plan
+    # the only allowed exchange is the final presentation-order sort
+    n_exchanges = plan.count("Exchange ")
+    n_range = plan.count("Exchange rangepartitioning")
+    assert n_exchanges == n_range, f"non-sort Exchange in chunking plan:\n{plan}"
+
+
+def test_unpivot_is_single_expand_scan(spark, sf_dir):
+    """unpivot must compile to ONE scan + Expand (3 rows out per row
+    in), never a UNION of three scans of the same file."""
+    plan = _physical(QUERIES["unpivot_measures"](spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
+
+
+def test_json_filter_applied_at_scan_stage(spark, sf_dir):
+    """The predicate on the JSON-extracted value must evaluate in the
+    scan stage (Filter below any exchange), so non-matching rows never
+    leave it."""
+    plan = _physical(QUERIES["json_extract_props"](spark, sf_dir))
+    f = plan.index("Filter")
+    assert "get_json_object" in plan[f : f + 400], plan
+    first_ex = plan.find("Exchange ")
+    assert first_ex == -1 or f > first_ex, (
+        "JSON filter runs above an exchange (reduce side):\n" + plan
+    )
+
+
+def test_tfidf_topk_is_window_group_limit(spark, sf_dir):
+    """The per-doc top-k must use WindowGroupLimit (per-group heaps),
+    not a full sort of the scored term list."""
+    plan = _physical(QUERIES["tf_idf_top_terms"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q2_mins_join_reuses_partitioning(spark, sf_dir):
+    """Q2's per-part MIN join-back must not introduce a third shuffle
+    of the eligible pair set: eligible and mins exchange on partkey
+    once each and the equality join reuses that clustering."""
+    plan = _physical(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # dims + part side
+    n_hash_ex = len(re.findall(r"Exchange hashpartitioning\(partkey", plan))
+    assert n_hash_ex <= 2, f"extra partkey shuffle:\n{plan}"
+
+
+def test_q20_single_lineitem_scan(spark, sf_dir):
+    """Q20's two quantity aggregates (all-time + 1996) must come from
+    ONE conditional-sum pass: exactly one lineitem scan in the plan."""
+    plan = _physical(QUERIES["q20_potential_promotion"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 4, plan  # lineitem, part, supplier, nation
+    assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) == 1, plan
+
+
+def test_sessionize_single_user_exchange(spark, sf_dir):
+    """Both window passes and the session rollup must share ONE
+    user_id exchange (same partitioning, same ordering prefix)."""
+    plan = _physical(QUERIES["sessionize_events"](spark, sf_dir))
+    n = len(re.findall(r"Exchange hashpartitioning\(user_id", plan))
+    assert n == 1, f"expected one user_id exchange, got {n}:\n{plan}"
+
+
+def test_stats_moments_partial_agg(spark, sf_dir):
+    """The six power sums must partial-aggregate map-side — the
+    exchange carries group-key x 6 decimal buffers, not raw rows."""
+    plan = _physical(QUERIES["stats_moments"](spark, sf_dir))
+    exchange = plan.index("Exchange hashpartitioning")
+    assert "HashAggregate" in plan[exchange:], "no map-side partial aggregate"
