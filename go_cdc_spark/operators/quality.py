@@ -1,0 +1,104 @@
+"""Data-quality audit operators: the validation pass a replication
+engine runs over materialized tables (null rates, key uniqueness,
+referential integrity, domain rules).
+
+The reference replicates tables but never validates them; any real
+deployment bolts a checker onto the sink. These make the checks
+first-class queries so they run IN the engine, over the same scan
+infrastructure, with the same scale properties.
+
+Parity note: derived analytic surface (SURVEY.md §2.B); complements
+table_checksum/table_diff (operators/cdc.py) which compare two
+replicas — these validate ONE table against declared expectations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..tables import load
+
+
+@query(
+    "dq_audit_orders",
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(o_custkey) AS null_custkey,
+             COUNT(*) - COUNT(o_orderdate) AS null_orderdate,
+             SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+               AS nonpositive_price,
+             SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+               AS bad_status,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_pk
+      FROM orders
+    ),
+    fk AS (
+      SELECT COUNT(*) AS orphan_custkey
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT rule, violations FROM (
+      SELECT 'null_custkey' AS rule, CAST(null_custkey AS BIGINT) AS violations
+        FROM base
+      UNION ALL SELECT 'null_orderdate', null_orderdate FROM base
+      UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM base
+      UNION ALL SELECT 'bad_status', bad_status FROM base
+      UNION ALL SELECT 'dup_pk', dup_pk FROM base
+      UNION ALL SELECT 'orphan_custkey', orphan_custkey FROM fk
+      UNION ALL SELECT 'n_rows', n_rows FROM base
+    )
+    ORDER BY rule
+    """,
+)
+def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit of the orders table: null rates
+    on required columns, positive-amount and status-domain rules, PK
+    uniqueness, and FK integrity to customer — one row per rule with
+    its violation count.
+
+    Scale shape: all row-level rules fold into ONE scan (conditional
+    sums share the pass; COUNT(DISTINCT pk) rides the same aggregate
+    via Expand); the FK check is a broadcast anti-join against the
+    customer key column only. The unpivot to (rule, violations) rows
+    happens on the 1-row aggregate — free. No rule re-scans the
+    table."""
+    o = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer").select("c_custkey")
+    base = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        (F.count(F.lit(1)) - F.count("o_orderdate")).alias("null_orderdate"),
+        F.sum(F.when(F.col("o_totalprice") <= 0.0, 1).otherwise(0)).alias(
+            "nonpositive_price"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin(["O", "F", "P"]), 1).otherwise(0)
+        ).alias("bad_status"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_pk"),
+    )
+    orphans = (
+        o.join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_custkey"))
+    )
+    wide = base.join(F.broadcast(orphans))
+    return (
+        wide.unpivot(
+            [],
+            [
+                "null_custkey",
+                "null_orderdate",
+                "nonpositive_price",
+                "bad_status",
+                "dup_pk",
+                "orphan_custkey",
+                "n_rows",
+            ],
+            "rule",
+            "violations",
+        )
+        .select("rule", F.col("violations").cast("bigint").alias("violations"))
+        .orderBy("rule")
+    )

@@ -9,7 +9,9 @@ from ..operators import (  # noqa: F401  (registers on import)
     cdc,
     curation,
     dedup,
+    graph,
     multimodal,
+    quality,
     relational,
     semistruct,
     similarity,
