@@ -265,6 +265,7 @@ def stream_commit_join(
     commits: DataFrame,
     interval: str = "10 minutes",
     watermark_delay: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: enrich row events with their
     transaction's commit event (the streaming form of A22's buffer-until-
@@ -274,7 +275,14 @@ def stream_commit_join(
     Both sides carry a watermark and the join condition bounds commit
     time to [row ts, row ts + interval], so Spark can discard state for
     rows whose commit window has passed — state is O(events in flight
-    within the interval), not O(stream)."""
+    within the interval), not O(stream).
+
+    ``how="left_outer"`` turns it into an uncommitted-transaction
+    detector: a row whose commit never arrives is emitted with NULL
+    commit columns once the watermark passes its join window (rollback
+    surveillance — the reference drops such rows silently on restart,
+    internal/cannal/fullamount_service.go rollback path; here they
+    become observable)."""
     r = (
         rows.filter(F.col("op") != "commit")
         .select(
@@ -299,7 +307,7 @@ def stream_commit_join(
         (F.col("txn_id") == F.col("c_txn_id"))
         & (F.col("commit_ts") >= F.col("row_ts"))
         & (F.col("commit_ts") <= F.col("row_ts") + F.expr(f"INTERVAL {interval}")),
-        "inner",
+        how,
     ).select("txn_id", "row_table", "row_pos", "row_ts", "commit_pos", "commit_ts")
 
 

@@ -199,3 +199,76 @@ def test_binary_column_roundtrip_through_materialize(spark):
     empty = spark.createDataFrame([], df.schema)
     out = materialize_changelog(rows, empty, keys=["id"]).collect()
     assert bytes(out[0].blob) == payload
+
+
+def test_full_type_map_roundtrip_through_materialize(spark):
+    """SURVEY §1.2's whole MySQL→Spark type map must survive the stringly
+    envelope: snapshot_events stringifies every value, typed
+    materialization must reconstruct EXACT originals — long, int,
+    unicode/delimiter strings, decimal, double (incl. subnormal-ish
+    magnitudes and negative zero semantics via cast), timestamp with
+    micros, date, boolean, binary (non-UTF8), and NULLs of every type."""
+    import datetime
+    from decimal import Decimal
+
+    from go_cdc_spark.operators.cdc import materialize_changelog
+    from go_cdc_spark.sources.changelog import DATA_OPS
+    from go_cdc_spark.sources.snapshot import snapshot_events
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("c_int", T.IntegerType()),
+            T.StructField("c_str", T.StringType()),
+            T.StructField("c_dec", T.DecimalType(12, 4)),
+            T.StructField("c_dbl", T.DoubleType()),
+            T.StructField("c_ts", T.TimestampNTZType()),
+            T.StructField("c_date", T.DateType()),
+            T.StructField("c_bool", T.BooleanType()),
+            T.StructField("c_bin", T.BinaryType()),
+        ]
+    )
+    rows = [
+        (
+            1,
+            -2147483648,
+            'uni"co,de\n|tab\t€',
+            Decimal("12345678.9012"),
+            1.5e-7,
+            datetime.datetime(2024, 3, 1, 12, 30, 45, 123456),
+            datetime.date(1999, 12, 31),
+            True,
+            bytearray(b"\x00\xff\x80ABC"),
+        ),
+        (2, None, None, None, None, None, None, None, None),
+        (
+            3,
+            42,
+            "",
+            Decimal("-0.0001"),
+            -1.7976931348623157e308,
+            datetime.datetime(1970, 1, 1, 0, 0, 0, 1),
+            datetime.date(2038, 1, 19),
+            False,
+            bytearray(b""),
+        ),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    events = snapshot_events(df, "ds1", "main", "t", "DDL", "000000000001")
+    changes = events.filter(F.col("op").isin(list(DATA_OPS)))
+    empty = spark.createDataFrame([], schema)
+    out = {
+        r.id: r for r in materialize_changelog(changes, empty, keys=["id"]).collect()
+    }
+    src = {r.id: r for r in df.collect()}
+    assert set(out) == set(src)
+    for k in src:
+        for f in schema.fieldNames():
+            a, b = getattr(src[k], f), getattr(out[k], f)
+            if isinstance(a, (bytes, bytearray)) or isinstance(b, (bytes, bytearray)):
+                assert (a is None) == (b is None) and (
+                    a is None or bytes(a) == bytes(b)
+                ), (k, f, a, b)
+            else:
+                assert a == b, (k, f, a, b)

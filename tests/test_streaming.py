@@ -236,3 +236,68 @@ def test_stream_stream_commit_join(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.txn_id, r.row_pos) for r in spark.sql("SELECT * FROM ssj").collect()}
     assert got == {("t1", format_pos(1)), ("t1", format_pos(2))}
+
+
+def test_stream_stream_commit_join_left_outer_emits_uncommitted(spark, tmp_path):
+    """left_outer mode: rows whose commit never arrives are EMITTED with
+    NULL commit columns once the watermark passes their join window —
+    the uncommitted-transaction detector. Watermark is advanced by a
+    second batch (restart against the same checkpoint, the established
+    file-replay pattern)."""
+    from go_cdc_spark.streaming.pipeline import stream_commit_join
+
+    rows_dir = tmp_path / "rows"
+    commits_dir = tmp_path / "commits"
+
+    def ev(op, pos, txn, minute, hour=0):
+        return {
+            "data_source": "ds1",
+            "schema": "bank",
+            "table": "accounts",
+            "op": op,
+            "data": {"id": str(pos)} if op != "commit" else None,
+            "before": None,
+            "ts": f"2024-01-01T{hour:02d}:{minute:02d}:00.000000",
+            "pos": format_pos(pos),
+            "txn_id": txn,
+        }
+
+    _write_segment(rows_dir, "seg0.json", [
+        ev("insert", 1, "t1", 0),
+        ev("insert", 3, "t2", 1),   # t2 never commits
+    ])
+    _write_segment(commits_dir, "seg0.json", [
+        ev("commit", 10, "t1", 5),
+    ])
+
+    out_dir = tmp_path / "out"
+
+    def drain():
+        rows = read_changelog_stream(spark, str(rows_dir))
+        commits = read_changelog_stream(spark, str(commits_dir))
+        joined = stream_commit_join(
+            rows, commits, interval="10 minutes", how="left_outer"
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # watermark-advancing heartbeats in BOTH inputs (global watermark is
+    # the MIN across sources): 2h ahead >> 30m delay + 10m interval
+    _write_segment(rows_dir, "seg1.json", [ev("insert", 90, "t9", 0, hour=2)])
+    _write_segment(commits_dir, "seg1.json", [ev("commit", 91, "t9", 1, hour=2)])
+    drain()
+
+    got = {
+        (r.txn_id, r.row_pos, r.commit_pos)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    assert ("t1", format_pos(1), format_pos(10)) in got  # committed: enriched
+    assert ("t2", format_pos(3), None) in got  # uncommitted: surfaced w/ NULLs
