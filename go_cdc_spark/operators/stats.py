@@ -233,3 +233,96 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "resample_daily_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT u.user_id, CAST(g.day AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN bounds
+      CROSS JOIN UNNEST(generate_series(CAST(bounds.d0 AS TIMESTAMP),
+                                        CAST(bounds.d1 AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) g(day)
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n_events,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS day_value
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT s.user_id, s.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           d.day_value,
+           LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS UNBOUNDED PRECEDING) AS filled_value,
+           CASE WHEN d.user_id IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    ORDER BY s.user_id, s.day
+    """,
+)
+def resample_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: a complete per-user daily spine over the
+    observed range, daily totals left-joined on, gaps forward-filled
+    with the last observed value (LOCF) and flagged — the gap-filling
+    primitive behind dashboards and feature pipelines.
+
+    Scale shape: the spine is |users| × |days| — generated by a
+    map-side sequence/explode off the (broadcast, 1-row) global date
+    bounds, never materialized wider than the output. The daily
+    aggregate shuffles once on (user_id, day); the spine join and the
+    LOCF window both key on user_id, so AQE reuses one clustering.
+    LOCF is a running last-non-null — single pass, bounded state."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    day = F.to_date("ts")
+    bounds = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    users = ev.select("user_id").distinct()
+    spine = (
+        users.join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("day_value"),
+    )
+    d = daily.select(
+        F.col("user_id").alias("d_user"),
+        F.col("day").alias("d_day"),
+        "n_events",
+        "day_value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(
+            d,
+            (spine.user_id == d.d_user) & (spine.day == d.d_day),
+            "left",
+        )
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.when(F.col("d_user").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+        .orderBy("user_id", "day")
+    )
