@@ -93,3 +93,129 @@ def test_rule_python_matches_compiled_column(spark, include, exclude, tables):
     }
     want = {t: pat.allow("", t) for t in tables}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: Spark assignment == a sequential pure-Python reference.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=200_000),  # offset seconds
+            st.integers(min_value=0, max_value=100),  # value (int → exact)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_sessionize_matches_python_reference(spark, events):
+    """Random event streams: the engine's gap-based session numbering
+    must equal the obvious sequential algorithm (sort per user, break
+    on >30min gaps, number breaks cumulatively)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from go_cdc_spark.operators.curation import _SESSION_GAP_MIN
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=off),
+            u,
+            "e",
+            float(v),
+            "{}",
+        )
+        for i, (u, off, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        # route through the standard loader contract (parquet dir)
+        for name in ("events",):
+            df.write.mode("overwrite").parquet(os.path.join(d, f"{name}.parquet"))
+        # the query only reads events; satisfy the loader for that table
+        from go_cdc_spark.operators.curation import sessionize_events
+
+        got = {
+            (r.user_id, r.session_no): (r.n_events, r.total_value)
+            for r in sessionize_events(spark, d).collect()
+        }
+
+    # sequential reference
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for i, (u, off, v) in enumerate(events):
+        per_user[u].append((base + datetime.timedelta(seconds=off), i, v))
+    want = {}
+    gap = datetime.timedelta(minutes=_SESSION_GAP_MIN)
+    for u, evs in per_user.items():
+        evs.sort()
+        sno = 0
+        last = None
+        bucket = []
+        for ts, i, v in evs:
+            if last is None or ts - last > gap:
+                if bucket:
+                    want[(u, sno)] = (len(bucket), float(sum(b[2] for b in bucket)))
+                sno += 1
+                bucket = []
+            bucket.append((ts, i, v))
+            last = ts
+        if bucket:
+            want[(u, sno)] = (len(bucket), float(sum(b[2] for b in bucket)))
+    assert got == want
+
+
+def test_pagerank_matches_python_reference(spark, sf_dir):
+    """The declarative 5-iteration PageRank must equal a straightforward
+    dict-based implementation run on the same edge list (tolerance only
+    for the python float accumulation order)."""
+    from collections import defaultdict
+
+    from go_cdc_spark.operators.graph import (
+        _DAMP,
+        _ITERS,
+        _TELEPORT,
+        pagerank_purchase_graph,
+    )
+    from go_cdc_spark.tables import load
+    from pyspark.sql import functions as F
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    edges = defaultdict(set)
+    for r in pairs:
+        c, s = f"c:{r.o_custkey}", f"s:{r.l_suppkey}"
+        edges[c].add(s)
+        edges[s].add(c)
+    nodes = sorted(edges)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(_ITERS):
+        mass = defaultdict(float)
+        for src, dsts in edges.items():
+            share = rank[src] / len(dsts)
+            for d in dsts:
+                mass[d] += share
+        rank = {v: _TELEPORT / n + _DAMP * mass[v] for v in nodes}
+
+    got = {r.node: r.rank for r in pagerank_purchase_graph(spark, sf_dir).collect()}
+    assert set(got) == set(rank)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
