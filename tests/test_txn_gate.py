@@ -1,0 +1,109 @@
+"""Read-committed gate: row events apply only once their transaction
+commits; rollbacks discard; autocommit passes through (the reference's
+OnRow/OnXID buffering semantics in micro-batch form)."""
+
+from __future__ import annotations
+
+import datetime
+
+from go_cdc_spark.sources.changelog import changelog_df, format_pos
+from go_cdc_spark.streaming.pipeline import StreamingMaterializer
+from go_cdc_spark.streaming.txn_gate import ReadCommittedGate
+
+
+def _ev(op, pos, txn=None, key=None, val=None):
+    return {
+        "data_source": "ds1",
+        "schema": "bank",
+        "table": "accounts",
+        "op": op,
+        "data": {"id": str(key), "v": str(val)} if key is not None else None,
+        "before": None,
+        "ts": datetime.datetime(2024, 1, 1),
+        "pos": format_pos(pos),
+        "txn_id": txn,
+    }
+
+
+def _setup(spark, tmp_path):
+    snapshot = spark.createDataFrame([], "id long, v string")
+    mat = StreamingMaterializer(
+        spark, snapshot, keys=["id"], state_path=str(tmp_path / "state")
+    )
+    gate = ReadCommittedGate(
+        spark, str(tmp_path / "pending"), downstream=mat.process_batch
+    )
+    return mat, gate
+
+
+def _table(mat):
+    return {(r.id, r.v) for r in mat.read_table().collect()}
+
+
+def test_uncommitted_rows_withheld_until_commit(spark, tmp_path):
+    mat, gate = _setup(spark, tmp_path)
+    # batch 1: t1 commits in-batch, t2 stays open, one autocommit row
+    gate.process_batch(
+        changelog_df(
+            spark,
+            [
+                _ev("insert", 1, txn="t1", key=1, val="a"),
+                _ev("insert", 2, txn="t1", key=2, val="b"),
+                _ev("commit", 3, txn="t1"),
+                _ev("insert", 4, txn="t2", key=3, val="c"),
+                _ev("insert", 5, txn=None, key=4, val="d"),
+            ],
+        ),
+        0,
+    )
+    assert _table(mat) == {(1, "a"), (2, "b"), (4, "d")}
+    assert {r.txn_id for r in gate.pending().collect()} == {"t2"}
+
+    # batch 2: t2's commit arrives alone → its buffered rows apply
+    gate.process_batch(changelog_df(spark, [_ev("commit", 6, txn="t2")]), 1)
+    assert _table(mat) == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    assert gate.pending().count() == 0
+
+
+def test_rollback_discards_buffered_rows(spark, tmp_path):
+    mat, gate = _setup(spark, tmp_path)
+    gate.process_batch(
+        changelog_df(
+            spark,
+            [
+                _ev("insert", 1, txn="t9", key=1, val="x"),
+                _ev("insert", 2, txn="t9", key=2, val="y"),
+            ],
+        ),
+        0,
+    )
+    assert _table(mat) == set()
+    gate.process_batch(changelog_df(spark, [_ev("rollback", 3, txn="t9")]), 1)
+    assert _table(mat) == set()
+    assert gate.pending().count() == 0
+    # a later commit for the rolled-back txn releases nothing
+    gate.process_batch(changelog_df(spark, [_ev("commit", 4, txn="t9")]), 2)
+    assert _table(mat) == set()
+
+
+def test_cross_batch_interleaving_preserves_updates(spark, tmp_path):
+    mat, gate = _setup(spark, tmp_path)
+    # t1 updates key 1 twice; commit lands two batches later while an
+    # autocommit write to another key interleaves
+    gate.process_batch(
+        changelog_df(spark, [_ev("insert", 1, txn="t1", key=1, val="v1")]), 0
+    )
+    gate.process_batch(
+        changelog_df(
+            spark,
+            [
+                _ev("update", 2, txn="t1", key=1, val="v2"),
+                _ev("insert", 3, txn=None, key=9, val="z"),
+            ],
+        ),
+        1,
+    )
+    assert _table(mat) == {(9, "z")}
+    gate.process_batch(changelog_df(spark, [_ev("commit", 4, txn="t1")]), 2)
+    # latest image of key 1 wins (max pos), not the first buffered one
+    assert _table(mat) == {(1, "v2"), (9, "z")}
