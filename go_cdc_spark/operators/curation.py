@@ -696,8 +696,8 @@ ORDER BY doc_id, chunk_no
 
 @query("chunk_documents", oracle=_CHUNK_ORACLE)
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping fixed-size character chunks ({_CHUNK_SIZE} wide,
-    stride {_CHUNK_STRIDE} → {_CHUNK_SIZE - _CHUNK_STRIDE}-char overlap)
+    """Overlapping fixed-size character chunks (500 wide, stride 400
+    → 100-char overlap)
     — the retrieval/embedding prep step that turns documents into
     context-window-sized passages.
 
@@ -707,7 +707,11 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     output row, so a pathological 1 GB document costs its own length,
     not length × chunks. At 100 TB the chunk stream feeds straight
     into the embedding/minhash stages without materializing."""
-    docs = load(spark, sf_dir, "documents")
+    # empty documents yield ZERO chunks: without the filter, Spark's
+    # sequence(0, -1) descends ([0, -1]) while the oracle's
+    # generate_series(0, -1) is empty — divergent rows with negative
+    # chunk numbers.
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
     n_chunks_hi = F.floor((F.length("text") - 1) / _CHUNK_STRIDE)
     chunked = docs.select(
         "doc_id",
@@ -763,8 +767,8 @@ ORDER BY user_id, session_no
 
 @query("sessionize_events", oracle=_SESSIONIZE_ORACLE)
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization: a session breaks after {_SESSION_GAP_MIN}
-    idle minutes; emit per-session bounds and totals. The batch twin of
+    """Gap-based sessionization: a session breaks after 30 idle
+    minutes (_SESSION_GAP_MIN); emit per-session bounds and totals. The batch twin of
     the streaming ``session_window`` aggregation (window_session) —
     this form also ASSIGNS session numbers, which the built-in window
     aggregate doesn't expose.

@@ -78,9 +78,12 @@ SELECT node, rank FROM r{_ITERS} ORDER BY node
     return head + "".join(its) + tail
 
 
+_PINNED: list = []  # previous invocation's cached relations (evicted next call)
+
+
 @query("pagerank_purchase_graph", oracle=_build_oracle())
 def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{_ITERS}-iteration damped PageRank over the bipartite
+    """5-iteration (_ITERS) damped PageRank over the bipartite
     customer↔supplier purchase graph (distinct order lineitem pairs,
     both directions, so every node has out-edges — no dangling-mass
     term needed).
@@ -93,10 +96,12 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     while edges are |E|-sized, so rank⋈edges broadcasts rank when |V|
     fits and falls back to a co-partitioned src join when it doesn't;
     AQE makes that call per iteration). The node count enters as a
-    1-row broadcast, never a driver collect. Unrolling {_ITERS}
-    iterations keeps the whole computation one Catalyst plan;
+    1-row broadcast, never a driver collect. Unrolling the iterations
+    keeps the whole computation one Catalyst plan;
     checkpoint/cache the rank relation every few iterations at real
     scale to cap lineage depth."""
+    while _PINNED:  # bound the cache leak: at most one invocation live
+        _PINNED.pop().unpersist()
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     pairs = (
@@ -125,6 +130,8 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edged = edges.join(deg, "src").persist()
     edged.count()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    nodes.count()  # eager for the same concurrent-populate race as edged
+    _PINNED.extend([edged, nodes])
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
 
     rank = nodes.join(F.broadcast(nn)).select(

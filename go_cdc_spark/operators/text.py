@@ -373,7 +373,7 @@ ORDER BY doc_id, salience DESC, token
 
 @query("tf_idf_top_terms", oracle=_TFIDF_ORACLE)
 def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_TFIDF_TOP} salient terms per document by TF-IDF with a
+    """Top-3 (_TFIDF_TOP) salient terms per document by TF-IDF with a
     RATIONAL idf (N/df, not log(N/df)): ranking is order-isomorphic to
     the log form within a document (log is monotone), and rational idf
     keeps the score a deterministic double — ln() differs by 1 ulp

@@ -44,8 +44,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.changelog import CHANGE_EVENT_SCHEMA, DATA_OPS
+from ..sources.meta import CheckpointStore
 
 Downstream = Callable[[DataFrame, int], None]
+
+
+def _pos_predecessor(pos: str) -> str | None:
+    """The position immediately before ``pos`` in the canonical
+    zero-padded format ("[source:]digits"). None for non-numeric
+    positions (GTID-set strings) — then the watermark simply does not
+    advance, which is safe (restart re-reads, the max-pos merge
+    absorbs duplicates)."""
+    prefix, sep, body = pos.rpartition(":")
+    if not body.isdigit():
+        return None
+    return f"{prefix}{sep}{str(int(body) - 1).zfill(len(body))}"
 
 
 class ReadCommittedGate:
@@ -55,18 +68,53 @@ class ReadCommittedGate:
         pending_path: str,
         downstream: Downstream,
         txn_col: str = "txn_id",
+        meta: CheckpointStore | None = None,
+        data_source_id: str = "ds1",
+        table: str | None = None,
     ) -> None:
+        """When the downstream is a watermark-advancing materializer,
+        pass the CheckpointStore HERE and build the materializer with
+        ``meta=None``: the gate caps the watermark below every withheld
+        row (a batch's max pos can exceed a buffered open-txn row's pos
+        — advancing to it would make a restart's pos_threshold filter
+        silently drop the row when its commit finally releases it)."""
         self.spark = spark
         self.pending_path = pending_path
         self.downstream = downstream
         self.txn_col = txn_col
+        self.meta = meta
+        self.data_source_id = data_source_id
+        self.table = table
 
     # -- pending state ---------------------------------------------------
 
     def pending(self) -> DataFrame:
+        self._recover()
         if os.path.exists(self.pending_path):
             return self.spark.read.parquet(self.pending_path)
         return self.spark.createDataFrame([], CHANGE_EVENT_SCHEMA)
+
+    def _siblings(self, kind: str) -> list[str]:
+        d = os.path.dirname(self.pending_path) or "."
+        base = os.path.basename(self.pending_path) + f".{kind}-"
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            os.path.join(d, n) for n in os.listdir(d) if n.startswith(base)
+        )
+
+    def _recover(self) -> None:
+        """Crash recovery for the two-rename swap: if the store is
+        missing but a demoted ``.old-*`` dir exists, the crash hit
+        between the renames — promote the old store back (losing only
+        the not-yet-committed batch, which the stream redelivers).
+        Leftover ``.tmp-*`` dirs are incomplete writes; drop them."""
+        olds = self._siblings("old")
+        if not os.path.exists(self.pending_path) and olds:
+            os.rename(olds[-1], self.pending_path)
+            olds = olds[:-1]
+        for stale in olds + self._siblings("tmp"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     def _rewrite_pending(self, df: DataFrame) -> None:
         tmp = f"{self.pending_path}.tmp-{uuidlib.uuid4().hex[:8]}"
@@ -123,6 +171,28 @@ class ReadCommittedGate:
         # materializer's max-pos merge absorbs duplicates).
         self.downstream(out, batch_id)
         self._rewrite_pending(still_open)
+        self._advance_watermark(batch)
+
+    def _advance_watermark(self, batch: DataFrame) -> None:
+        """A21 watermark, withheld-row-aware: advance to the batch max
+        position, capped strictly BELOW the oldest still-buffered row —
+        otherwise a restart's pos_threshold would drop that row when
+        its commit releases it in a later batch."""
+        if self.meta is None:
+            return
+        top = batch.agg(F.max("pos").alias("p")).first().p
+        if top is None:
+            return
+        open_min = self.pending().agg(F.min("pos").alias("p")).first().p
+        if open_min is not None and open_min <= top:
+            capped = _pos_predecessor(open_min)
+            if capped is None:
+                return  # non-numeric positions: hold the watermark
+            top = min(top, capped)
+        self.meta.upsert(
+            self.data_source_id, top, sc=None, tb=self.table,
+            sync_type="incremental",
+        )
 
     def start(
         self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "txn_gate"

@@ -82,3 +82,15 @@ def test_c4_filter_rules(spark, tmp_path, text, keep, why):
     d = _write_docs(spark, tmp_path, [text])
     row = c4_quality_filter(spark, d).collect()[0]
     assert row["keep"] == keep, why
+
+
+def test_chunk_documents_empty_doc_yields_no_chunks(spark, tmp_path):
+    """An empty document must produce ZERO chunks: Spark's
+    sequence(0, -1) would otherwise descend ([0, -1]) and emit two
+    nonsense chunks (chunk_no -1, chunk_start -400) that the DuckDB
+    oracle (generate_series → empty) never produces."""
+    from go_cdc_spark.operators.curation import chunk_documents
+
+    d = _write_docs(spark, tmp_path, ["", "abc"])
+    rows = chunk_documents(spark, d).collect()
+    assert [(r.doc_id, r.chunk_no, r.chunk_text) for r in rows] == [(1, 0, "abc")]

@@ -127,7 +127,6 @@ def test_chunk_documents_no_exchange(spark, sf_dir):
     """RAG chunking must stay a pure map-side Generate: any Exchange in
     the plan means the doc text is being shuffled for nothing."""
     plan = _physical(QUERIES["chunk_documents"](spark, sf_dir))
-    body = plan.split("AdaptiveSparkPlan")[0] if "AdaptiveSparkPlan" in plan else plan
     assert "Generate explode" in plan, plan
     # the only allowed exchange is the final presentation-order sort
     n_exchanges = plan.count("Exchange ")
