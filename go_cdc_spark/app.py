@@ -38,6 +38,7 @@ from .sources.snapshot import (
 )
 from .streaming.pipeline import StreamingMaterializer, filter_stream, read_changelog_stream
 from .streaming.restart import RestartPolicy, run_with_restart
+from .streaming.txn_gate import ReadCommittedGate
 
 
 @dataclass
@@ -135,13 +136,16 @@ class Engine:
                 if snap.error is not None:
                     continue  # rollback event; table skipped (no-PK etc.)
                 typed = holder.source.read_table(snap.schema, snap.table)
+                # under read_committed the GATE owns the A21 watermark
+                # (it must cap below withheld rows); the materializer
+                # then must not advance it independently
                 self.tables[(holder.id, snap.schema, snap.table)] = StreamingMaterializer(
                     self.spark,
                     snapshot=typed,
                     keys=holder.source.get_table_primary_keys(snap.schema, snap.table),
                     state_path=self._state_path(holder, snap.schema, snap.table),
                     pos_threshold=snap.pos,
-                    meta=self.meta,
+                    meta=None if holder.config.read_committed else self.meta,
                     data_source_id=holder.name,
                     table=snap.table,
                 )
@@ -173,9 +177,19 @@ class Engine:
                 ckpt = os.path.join(
                     self.config.checkpoint_dir, f"src{holder.id}", schema, table
                 )
-                return mat.start(
-                    stream, ckpt, query_name=f"{cfg.name}.{schema}.{table}"
-                )
+                qn = f"{cfg.name}.{schema}.{table}"
+                if cfg.read_committed:
+                    gate = ReadCommittedGate(
+                        self.spark,
+                        pending_path=self._state_path(holder, schema, table)
+                        + ".pending",
+                        downstream=mat.process_batch,
+                        meta=self.meta,
+                        data_source_id=cfg.name,
+                        table=table,
+                    )
+                    return gate.start(stream, ckpt, query_name=qn)
+                return mat.start(stream, ckpt, query_name=qn)
 
             return start
 

@@ -63,6 +63,9 @@ class SourceConfig:
     # incremental
     changelog: str | None = None
     max_files_per_trigger: int = 1
+    # buffer row events until their txn's commit event (OnRow/OnXID
+    # parity); default off = apply-as-they-arrive like the materializer
+    read_committed: bool = False
     # filtering
     rules: dict = field(default_factory=dict)
 

@@ -240,3 +240,51 @@ include_tables = ["region"]
     s2 = {r.r_regionkey: r.r_name for r in engine.read_table(7, "main", "region").collect()}
     assert s1[1] == "ALPHA-ONLY"
     assert s2[1] != "ALPHA-ONLY"  # isolation: beta never saw alpha's event
+
+
+def test_read_committed_config_wires_txn_gate(spark, tmp_path):
+    """`read_committed = true` on a source buffers txn rows until their
+    commit: an open transaction's update is invisible after the first
+    drain, applies after the commit arrives in a later segment, and the
+    watermark never overtakes the withheld row."""
+    seg_dir = tmp_path / "changelog"
+    seg_dir.mkdir()
+    cfg_path = _write_config(tmp_path, seg_dir)
+    # flip the flag on the one configured source
+    cfg_text = (tmp_path / "config.toml").read_text()
+    (tmp_path / "config.toml").write_text(
+        cfg_text.replace('changelog = "', 'read_committed = true\nchangelog = "')
+    )
+
+    engine = Engine(load_config(cfg_path), spark=spark)
+    engine.init_sources()
+    snaps = engine.full_sync()
+    p = int({s.table: s.pos for s in snaps[1]}["region"])
+
+    def ev(pos, op, data, txn):
+        e = _event(pos, op, data)
+        e["txn_id"] = txn
+        return e
+
+    with open(seg_dir / "seg0.json", "w") as f:
+        for e in [
+            ev(p + 1, "update", {"r_regionkey": "2", "r_name": "ASIA-v2"}, "tx1"),
+            ev(p + 2, "commit", None, "tx1"),
+            ev(p + 3, "update", {"r_regionkey": "3", "r_name": "EU-v2"}, "tx2"),
+        ]:
+            f.write(json.dumps(e) + "\n")
+    engine.incremental_sync()
+
+    state = {r.r_regionkey: r.r_name for r in engine.read_table(1, "main", "region").collect()}
+    assert state[2] == "ASIA-v2"  # committed txn applied
+    assert state[3] != "EU-v2"  # open txn withheld
+    meta = CheckpointStore(spark, f"{tmp_path}/meta")
+    # watermark capped BELOW the withheld row (p+3), not at it
+    assert meta.all()[("dev", None, "region")].last_pos == str(p + 2).zfill(12)
+
+    with open(seg_dir / "seg1.json", "w") as f:
+        f.write(json.dumps(ev(p + 4, "commit", None, "tx2")) + "\n")
+    engine.incremental_sync()
+    state = {r.r_regionkey: r.r_name for r in engine.read_table(1, "main", "region").collect()}
+    assert state[3] == "EU-v2"  # released by its commit
+    assert meta.all()[("dev", None, "region")].last_pos == str(p + 4).zfill(12)
