@@ -342,6 +342,77 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN 'c' ELSE 'p' END AS kind
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    x AS (
+      SELECT t.*,
+             LAST_VALUE(CASE WHEN kind = 'c' THEN event_id END IGNORE NULLS)
+               OVER w AS click_id,
+             LAST_VALUE(CASE WHEN kind = 'c' THEN ts END IGNORE NULLS)
+               OVER w AS click_ts
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN ts - click_ts <= INTERVAL 1 HOUR THEN click_id
+           END AS click_id_within_1h
+    FROM x WHERE kind = 'p'
+    ORDER BY purchase_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof``'s
+    ``tolerance=``): the latest click at-or-before each purchase counts
+    only if it happened within the last hour — stale matches become
+    NULL instead of silently attributing week-old clicks.
+
+    Scale shape: identical to ``join_asof`` (one user_id shuffle,
+    union-and-last-value, no join blowup); the tolerance is a post-hoc
+    NULL-out on the carried (click_id, click_ts) pair, free in the same
+    projection — contrast with a range-join formulation whose
+    candidate set grows with the tolerance window."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.lit("c"))
+        .otherwise(F.lit("p"))
+        .alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("kind") == "c"
+    last_click = F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w)
+    last_click_ts = F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w)
+    hour_us = 3_600_000_000
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return (
+        tagged.withColumn("click_id", last_click)
+        .withColumn("click_ts", last_click_ts)
+        .filter(F.col("kind") == "p")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(
+                us(F.col("ts")) - us(F.col("click_ts")) <= hour_us, F.col("click_id")
+            ).alias("click_id_within_1h"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations.
 # ---------------------------------------------------------------------------
