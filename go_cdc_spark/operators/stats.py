@@ -444,3 +444,58 @@ def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("corr"), "user_a", "user_b")
         .limit(20)
     )
+
+
+@query(
+    "stats_robust",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS median,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           m.median, (m.q3 - m.q1) AS iqr,
+           quantile_cont(ABS(l.l_extendedprice - m.median), 0.5) AS mad
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag, m.median, m.q3, m.q1
+    ORDER BY l.l_returnflag
+    """,
+)
+def stats_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust distribution statistics per group: median, interquartile
+    range, and median absolute deviation — the outlier-resistant
+    complement to stats_moments. MAD needs a second pass over the data
+    with the group median in hand; exact percentile parity (see
+    quantiles_exact) makes every output bit-exact across engines.
+
+    Scale shape: pass 1 aggregates per-group quantiles (group count is
+    tiny → the result BROADCASTS back onto the fact scan); pass 2
+    computes |x - median| map-side and aggregates the deviation median
+    in one more shuffle. Two scans total — the unavoidable cost of an
+    exact MAD; the sketch-based alternative (percentile_approx over
+    deviations from an approx median) drops a scan at the cost of
+    rank-error bounds."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    med = (
+        li.groupBy(F.col("l_returnflag").alias("rf"))
+        .agg(q.alias("q"))
+        .select(
+            "rf",
+            F.element_at("q", 2).alias("median"),
+            (F.element_at("q", 3) - F.element_at("q", 1)).alias("iqr"),
+        )
+    )
+    return (
+        li.join(F.broadcast(med), li.l_returnflag == med.rf)
+        .groupBy("l_returnflag", "median", "iqr")
+        .agg(
+            F.expr(
+                "percentile(ABS(l_extendedprice - median), 0.5)"
+            ).alias("mad")
+        )
+        .select("l_returnflag", "median", "iqr", "mad")
+        .orderBy("l_returnflag")
+    )

@@ -407,3 +407,121 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "tf", "salience")
         .orderBy("doc_id", F.desc("salience"), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary indexing (StringIndexer analog for token pipelines).
+# ---------------------------------------------------------------------------
+
+_VOCAB_MIN_COUNT = 5
+
+
+@query(
+    "vocab_index",
+    oracle=f"""
+    SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS token_id
+    FROM (
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+      WHERE LENGTH(token) > 0
+      GROUP BY token
+      HAVING COUNT(*) >= {_VOCAB_MIN_COUNT}
+    )
+    ORDER BY token_id
+    """,
+)
+def vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with dense integer ids (corpus count
+    >= {_VOCAB_MIN_COUNT}, ties broken lexically) — the StringIndexer /
+    tokenizer-vocab build step of a training pipeline, as a plain
+    aggregate + rank.
+
+    Scale shape: token counting is one (token)-keyed shuffle with
+    map-side partials; the dense-id assignment is a single-partition
+    window over the VOCABULARY (already aggregate-sized, orders of
+    magnitude smaller than the corpus) — the one deliberate
+    single-reducer step, bounded by |vocab| not |tokens|. The min-count
+    filter applies before the rank, shrinking that partition further."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _VOCAB_MIN_COUNT)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w) - 1)
+        .select("token", "n", "token_id")
+        .orderBy("token_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/holdout split.
+# ---------------------------------------------------------------------------
+
+_HOLDOUT_PCT = 10  # md5-bucket percent reserved for evaluation
+
+
+@query(
+    "split_train_holdout",
+    oracle=f"""
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM (
+      SELECT doc_id, text,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('split',
+                    CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100
+                  < {_HOLDOUT_PCT}
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {_HOLDOUT_PCT}%-holdout split by salted md5 of the
+    document key, with per-split doc/token accounting — reproducible
+    across engines, retries, and data re-shuffles (no RNG state), and
+    stable under corpus growth: a document's split never changes when
+    other documents arrive.
+
+    Scale shape: the split label is a map-side hash projection; the
+    audit rollup is a 2-group aggregate with map-side partials. The
+    same labeling expression, minus the rollup, tags the corpus in a
+    training-shard write (shards.py uses the identical md5-bucket
+    pattern)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.when(bucket < _HOLDOUT_PCT, F.lit("holdout"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
