@@ -7,12 +7,14 @@ drop the new columns' data. This module is that consumer-side half:
 parse the ALTER statements a MySQL binlog actually emits and fold them
 into a Spark ``StructType``.
 
-Scope: ``ALTER TABLE … ADD [COLUMN] name type`` and ``DROP [COLUMN]
-name`` (comma-separated multi-clause supported) — the additive/
-subtractive evolutions a latest-wins materialized table can apply
-retroactively (old rows read NULL for added columns). RENAME/MODIFY
-change history semantics and are surfaced as unsupported rather than
-guessed at.
+Scope: ``ALTER TABLE … ADD [COLUMN] name type``, ``DROP [COLUMN]
+name``, ``RENAME COLUMN old TO new``, and ``CHANGE [COLUMN] old new
+type`` (comma-separated multi-clause supported) — the evolutions a
+latest-wins materialized table can apply retroactively (old rows read
+NULL for added columns; renamed columns carry their data, CHANGE's
+type re-declaration casts it). MODIFY (in-place type change with no
+rename anchor) and table-level RENAME TO change history semantics and
+are surfaced as unsupported rather than guessed at.
 
 Everything here is driver-side, O(statement length) — DDL events are
 catalog-rate, not row-rate.
@@ -33,7 +35,8 @@ __all__ = [
 
 
 class UnsupportedDdl(ValueError):
-    """ALTER clause whose semantics we refuse to guess (MODIFY/RENAME)."""
+    """ALTER clause whose semantics we refuse to guess (MODIFY, table
+    RENAME TO)."""
 
 
 _ALTER_RE = re.compile(r"^\s*ALTER\s+TABLE\s+`?([\w$]+)`?(?:\.`?([\w$]+)`?)?\s+(.*)$",
@@ -43,7 +46,16 @@ _ADD_RE = re.compile(
     re.IGNORECASE,
 )
 _DROP_RE = re.compile(r"^DROP\s+(?:COLUMN\s+)?`?([\w$]+)`?\s*$", re.IGNORECASE)
-_UNSUPPORTED_RE = re.compile(r"^(MODIFY|CHANGE|RENAME)\b", re.IGNORECASE)
+_RENAME_COL_RE = re.compile(
+    r"^RENAME\s+(?:COLUMN\s+)?`?([\w$]+)`?\s+TO\s+`?([\w$]+)`?\s*$",
+    re.IGNORECASE,
+)
+_CHANGE_RE = re.compile(
+    r"^CHANGE\s+(?:COLUMN\s+)?`?([\w$]+)`?\s+`?([\w$]+)`?\s+"
+    r"([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+    re.IGNORECASE,
+)
+_UNSUPPORTED_RE = re.compile(r"^(MODIFY\b|RENAME\s+(TO|AS)\b)", re.IGNORECASE)
 # non-column ADD/DROP targets a binlog can carry inside ALTER
 _NONCOLUMN = {
     "primary", "foreign", "unique", "fulltext", "spatial",
@@ -117,6 +129,17 @@ def parse_alter(query: str):
             continue
         if _UNSUPPORTED_RE.match(clause):
             raise UnsupportedDdl(f"unsupported ALTER clause {clause!r}")
+        ren = _RENAME_COL_RE.match(clause)
+        if ren and ren.group(1).upper() != "TO":
+            actions.append(("rename", ren.group(1), ren.group(2), None))
+            continue
+        chg = _CHANGE_RE.match(clause)
+        if chg:
+            actions.append(
+                ("rename", chg.group(1), chg.group(2),
+                 mysql_to_spark_type(chg.group(3)))
+            )
+            continue
         add = _ADD_RE.match(clause)
         if add and add.group(1).lower() not in _NONCOLUMN:
             actions.append(("add", add.group(1), mysql_to_spark_type(add.group(2))))
@@ -149,6 +172,23 @@ def evolve_schema(schema: T.StructType, query: str, table: str | None = None):
         elif action[0] == "drop" and action[1] in names:
             fields = [f for f in fields if f.name != action[1]]
             names.discard(action[1])
-    if [f.name for f in fields] == [f.name for f in schema.fields]:
+        elif action[0] == "rename" and action[1] in names:
+            # in-place, position preserved; CHANGE re-declares the type
+            old, new, dtype = action[1], action[2], action[3]
+            fields = [
+                T.StructField(new, dtype or f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in fields
+            ]
+            names.discard(old)
+            names.add(new)
+            # ("rename", old, NEW-already-present) is the redelivered
+            # form: old absent → falls through as a no-op (idempotent)
+    # compare (name, type): CHANGE a a BIGINT renames a→a with a new
+    # type — a name-only comparison would silently drop the retype
+    if [(f.name, f.dataType) for f in fields] == [
+        (f.name, f.dataType) for f in schema.fields
+    ]:
         return schema
     return T.StructType(fields)

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.ddl import UnsupportedDdl, evolve_schema
+from ..functions.ddl import UnsupportedDdl, evolve_schema, parse_alter
 from ..operators.cdc import cdc_collapse
 from ..sources.changelog import CHANGE_EVENT_SCHEMA, OP_DELETE
 from ..sources.meta import CheckpointStore
@@ -111,6 +111,7 @@ class StreamingMaterializer:
         self.data_source_id = data_source_id
         self.table = table
         self.quarantine_path = quarantine_path
+        self._pending_renames: dict[str, tuple[str, object]] = {}
         if not os.path.exists(state_path):
             init = snapshot.withColumn(
                 POS_COL, F.lit(pos_threshold or "").cast("string")
@@ -136,9 +137,17 @@ class StreamingMaterializer:
     def _typed_changes(self, batch: DataFrame) -> DataFrame:
         from go_cdc_spark.sources.changelog import decode_image_value
 
+        new_from_old = {
+            new: old for old, (new, _t) in self._pending_renames.items()
+        }
         cols = []
         for f in self.schema.fields:
             col = F.col("data").getItem(f.name)
+            old = new_from_old.get(f.name)
+            if old is not None:
+                # a batch can straddle the rename: events before the DDL
+                # still carry the OLD column name in their images
+                col = F.coalesce(col, F.col("data").getItem(old))
             if f.name in self.keys:
                 col = F.coalesce(col, F.col("before").getItem(f.name))
             cols.append(decode_image_value(col, f.dataType).alias(f.name))
@@ -160,6 +169,19 @@ class StreamingMaterializer:
         for r in sorted(ddl, key=lambda r: r.pos):
             if not r.q:
                 continue
+            parsed = parse_alter(r.q)
+            if parsed is not None and (self.table is None or parsed[0] == self.table):
+                for act in parsed[1]:
+                    if act[0] == "rename" and act[1] in self.keys:
+                        raise UnsupportedDdl(
+                            f"DDL renames merge key {act[1]!r}"
+                        )
+                    if act[0] == "rename":
+                        # remember old→(new, declared type) so the state
+                        # alignment carries the column's DATA across the
+                        # rename (consumed by _aligned_state, cleared
+                        # after the merge write persists the new name)
+                        self._pending_renames[act[1]] = (act[2], act[3])
             new = evolve_schema(self.schema, r.q, table=self.table)
             if new is not self.schema:
                 lost = set(self.keys) - {f.name for f in new.fields}
@@ -174,15 +196,21 @@ class StreamingMaterializer:
         write that follows anyway."""
         state = self.state()
         have = set(state.columns)
+        new_from_old = {
+            new: old for old, (new, _t) in self._pending_renames.items()
+        }
+
+        def col_for(f):
+            if f.name in have:
+                return F.col(f.name).cast(f.dataType)  # CHANGE retype
+            old = new_from_old.get(f.name)
+            if old is not None and old in have:
+                # renamed this batch: carry the old column's data
+                return F.col(old).cast(f.dataType).alias(f.name)
+            return F.lit(None).cast(f.dataType).alias(f.name)
+
         return state.select(
-            *[
-                F.col(f.name)
-                if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in self.schema.fields
-            ],
-            POS_COL,
-            OP_COL,
+            *[col_for(f) for f in self.schema.fields], POS_COL, OP_COL
         )
 
     def _quarantine_split(self, rows: DataFrame) -> DataFrame:
@@ -238,6 +266,7 @@ class StreamingMaterializer:
         os.rename(self.state_path, old)
         os.rename(tmp, self.state_path)
         shutil.rmtree(old, ignore_errors=True)
+        self._pending_renames = {}  # the write persisted the new names
         if self.meta is not None:
             # A21: advance the per-table watermark to the batch max pos
             top = changes.agg(F.max("pos").alias("p")).first().p

@@ -202,3 +202,65 @@ def test_evolution_survives_restart(spark, tmp_path):
     _run(mat2, spark, seg, tmp_path / "ckpt")
     out = {r.id: r for r in mat2.read_table().collect()}
     assert out[3].note == "n3b"
+
+
+def test_parse_rename_and_change_column():
+    t, actions = parse_alter("ALTER TABLE accounts RENAME COLUMN name TO full_name")
+    assert t == "accounts" and actions == [("rename", "name", "full_name", None)]
+    t, actions = parse_alter("ALTER TABLE accounts CHANGE COLUMN name nm VARCHAR(80)")
+    assert actions[0][:3] == ("rename", "name", "nm")
+    assert isinstance(actions[0][3], T.StringType)
+    # table-level rename stays refused
+    with pytest.raises(UnsupportedDdl):
+        parse_alter("ALTER TABLE accounts RENAME TO accounts2")
+
+
+def test_evolve_schema_rename_is_idempotent_and_retypes():
+    sch = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    once = evolve_schema(sch, "ALTER TABLE t RENAME COLUMN name TO nm")
+    assert [f.name for f in once.fields] == ["id", "nm"]
+    # redelivered statement: old column gone → no-op
+    again = evolve_schema(once, "ALTER TABLE t RENAME COLUMN name TO nm")
+    assert again is once
+    # CHANGE a a BIGINT retypes in place (name-only diffing would drop it)
+    retyped = evolve_schema(once, "ALTER TABLE t CHANGE nm nm BIGINT")
+    assert isinstance(retyped["nm"].dataType, T.LongType)
+
+
+def test_rename_column_mid_stream_carries_data(spark, tmp_path):
+    """RENAME COLUMN must carry existing state data under the new name;
+    events on BOTH sides of the DDL inside one batch resolve (old name
+    before, new name after)."""
+    seg = tmp_path / "seg"
+    _write_segment(seg, "s1.json", [
+        _ev("insert", 110, id_=3, data={"name": "carol"}, minute=1),
+        _ev("ddl", 120, query="ALTER TABLE accounts RENAME COLUMN name TO full_name",
+            minute=2),
+        _ev("insert", 130, id_=4, data={"full_name": "dave"}, minute=3),
+    ])
+    mat = _mat(spark, tmp_path)
+    _run(mat, spark, seg, tmp_path / "ckpt")
+
+    out = {r.id: r for r in mat.read_table().collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # snapshot rows carried under the new name — not NULLed
+    assert out[1].full_name == "alice" and out[2].full_name == "bob"
+    assert out[3].full_name == "carol"  # same-batch pre-DDL event
+    assert out[4].full_name == "dave"   # post-DDL event
+    assert "name" not in mat.read_table().columns
+
+
+def test_rename_merge_key_refused(spark, tmp_path):
+    seg = tmp_path / "seg"
+    _write_segment(seg, "s1.json", [
+        _ev("ddl", 110, query="ALTER TABLE accounts RENAME COLUMN id TO account_id",
+            minute=1),
+    ])
+    mat = _mat(spark, tmp_path)
+    import py4j.protocol
+
+    with pytest.raises(Exception) as exc:
+        _run(mat, spark, seg, tmp_path / "ckpt")
+    assert "renames merge key" in str(exc.value)
