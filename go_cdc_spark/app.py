@@ -36,7 +36,7 @@ from .sources.snapshot import (
     TableSnapshot,
     snapshot_all,
 )
-from .streaming.pipeline import StreamingMaterializer, filter_stream, read_changelog_stream
+from .streaming.pipeline import StreamingMaterializer, read_changelog_stream
 from .streaming.restart import RestartPolicy, run_with_restart
 from .streaming.txn_gate import ReadCommittedGate
 
@@ -170,10 +170,19 @@ class Engine:
                 stream = read_changelog_stream(
                     self.spark, cfg.changelog, cfg.max_files_per_trigger
                 )
-                stream = filter_stream(stream, holder.rules)
-                stream = stream.filter(
-                    (F.col("schema") == schema) & (F.col("table") == table)
-                )
+                keep = holder.rules.to_column(
+                    F.col("schema"), F.col("table")
+                ) & ((F.col("schema") == schema) & (F.col("table") == table))
+                if cfg.read_committed:
+                    # commit/rollback events are TRANSACTION-scoped, not
+                    # table-scoped (a MySQL XID event carries no table —
+                    # NULL schema/table would fail BOTH the rule filter
+                    # and the table filter — and a txn can span tables):
+                    # every gated table's stream must see them, or rows
+                    # of cross-table transactions strand in the pending
+                    # store forever with a frozen watermark
+                    keep = keep | F.col("op").isin("commit", "rollback")
+                stream = stream.filter(keep)
                 ckpt = os.path.join(
                     self.config.checkpoint_dir, f"src{holder.id}", schema, table
                 )

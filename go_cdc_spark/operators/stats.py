@@ -388,14 +388,11 @@ def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     random-projection signatures, the sim_lsh_ann pattern) and run
     this exact correlation only inside buckets."""
     ev = load(spark, sf_dir, "events")
-    from pyspark.sql.window import Window
-
-    wc = Window.orderBy(F.desc("n_ev"), F.asc("user_id"))
     cohort = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_ev"))
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") <= 200)
+        .orderBy(F.desc("n_ev"), F.asc("user_id"))
+        .limit(200)
         .select("user_id")
     )
     daily = (

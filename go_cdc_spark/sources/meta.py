@@ -15,11 +15,11 @@ go through a temp dir + atomic rename to survive a crash mid-write.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid as uuidlib
 
 from pyspark.sql import Row, SparkSession
 from pyspark.sql import types as T
+
+from .. import storeio
 
 META_SCHEMA = T.StructType(
     [
@@ -40,6 +40,7 @@ class CheckpointStore:
         self.path = path
 
     def _read_rows(self) -> list[Row]:
+        storeio.recover(self.path)
         if not os.path.exists(self.path):
             return []
         return self.spark.read.schema(META_SCHEMA).parquet(self.path).collect()
@@ -66,10 +67,4 @@ class CheckpointStore:
             data_source_id=data_source_id, sc=sc, tb=tb, last_pos=last_pos, sync_type=sync_type
         )
         df = self.spark.createDataFrame(list(rows.values()), META_SCHEMA)
-        tmp = f"{self.path}.tmp-{uuidlib.uuid4().hex[:8]}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}.old-{uuidlib.uuid4().hex[:8]}"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        storeio.swap_in(df.coalesce(1), self.path)

@@ -24,14 +24,14 @@ conversion. In Spark, all the hard parts are the runtime's:
 
 from __future__ import annotations
 
+import json
 import os
-import shutil
-import uuid as uuidlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import storeio
 from ..functions.ddl import UnsupportedDdl, evolve_schema, parse_alter
 from ..operators.cdc import cdc_collapse
 from ..sources.changelog import CHANGE_EVENT_SCHEMA, OP_DELETE
@@ -112,6 +112,15 @@ class StreamingMaterializer:
         self.table = table
         self.quarantine_path = quarantine_path
         self._pending_renames: dict[str, tuple[str, object]] = {}
+        # rename history (new→old), persisted beside the state: decode
+        # fallback must survive restarts because the txn gate can
+        # release PRE-rename row events long after the rename batch
+        self._alias_path = state_path + ".aliases.json"
+        self._aliases: dict[str, str] = {}
+        if os.path.exists(self._alias_path):
+            with open(self._alias_path) as fh:
+                self._aliases = json.load(fh)
+        storeio.recover(state_path)
         if not os.path.exists(state_path):
             init = snapshot.withColumn(
                 POS_COL, F.lit(pos_threshold or "").cast("string")
@@ -137,16 +146,12 @@ class StreamingMaterializer:
     def _typed_changes(self, batch: DataFrame) -> DataFrame:
         from go_cdc_spark.sources.changelog import decode_image_value
 
-        new_from_old = {
-            new: old for old, (new, _t) in self._pending_renames.items()
-        }
         cols = []
         for f in self.schema.fields:
             col = F.col("data").getItem(f.name)
-            old = new_from_old.get(f.name)
-            if old is not None:
-                # a batch can straddle the rename: events before the DDL
-                # still carry the OLD column name in their images
+            for old in self._alias_chain(f.name):
+                # events from before a rename (same batch, or released
+                # later by the txn gate) carry an OLD column name
                 col = F.coalesce(col, F.col("data").getItem(old))
             if f.name in self.keys:
                 col = F.coalesce(col, F.col("before").getItem(f.name))
@@ -172,22 +177,62 @@ class StreamingMaterializer:
             parsed = parse_alter(r.q)
             if parsed is not None and (self.table is None or parsed[0] == self.table):
                 for act in parsed[1]:
-                    if act[0] == "rename" and act[1] in self.keys:
+                    same = act[0] == "rename" and act[1] == act[2]
+                    if (
+                        act[0] == "rename"
+                        and act[1] in self.keys
+                        and not same  # CHANGE id id BIGINT = retype, fine
+                    ):
                         raise UnsupportedDdl(
                             f"DDL renames merge key {act[1]!r}"
                         )
-                    if act[0] == "rename":
-                        # remember old→(new, declared type) so the state
-                        # alignment carries the column's DATA across the
-                        # rename (consumed by _aligned_state, cleared
-                        # after the merge write persists the new name)
+                    if act[0] == "rename" and not same:
+                        # old→(new, declared type): the state alignment
+                        # carries the column's DATA across the rename
+                        # (consumed by _aligned_state, cleared after the
+                        # merge write persists the new name) ...
                         self._pending_renames[act[1]] = (act[2], act[3])
+                        # ... and the decode fallback (new→old) persists
+                        # forever: gated/late row events may still carry
+                        # the old name in their images
+                        self._aliases[act[2]] = act[1]
+                        self._save_aliases()
+                    if act[0] == "add" and (
+                        act[1] in self._aliases
+                        or act[1] in self._aliases.values()
+                    ):
+                        # re-adding a previously-renamed-away name: the
+                        # name now denotes a NEW column — stop falling
+                        # back to it (pre-rename rows already released
+                        # lose nothing; unreleased ones lose the old
+                        # value, the unresolvable corner of rename+readd
+                        # inside one gate window)
+                        self._aliases = {
+                            n: o
+                            for n, o in self._aliases.items()
+                            if o != act[1] and n != act[1]
+                        }
+                        self._save_aliases()
             new = evolve_schema(self.schema, r.q, table=self.table)
             if new is not self.schema:
                 lost = set(self.keys) - {f.name for f in new.fields}
                 if lost:
                     raise UnsupportedDdl(f"DDL drops merge key(s) {sorted(lost)}")
                 self.schema = new
+
+    def _save_aliases(self) -> None:
+        with open(self._alias_path, "w") as fh:
+            json.dump(self._aliases, fh)
+
+    def _alias_chain(self, name: str) -> list[str]:
+        """Historical names for ``name``, oldest last (follows chained
+        renames a→b→c)."""
+        chain, cur, seen = [], name, set()
+        while cur in self._aliases and cur not in seen:
+            seen.add(cur)
+            cur = self._aliases[cur]
+            chain.append(cur)
+        return chain
 
     def _aligned_state(self) -> DataFrame:
         """Current state projected to the (possibly evolved) schema:
@@ -228,6 +273,8 @@ class StreamingMaterializer:
             if isinstance(f.dataType, T.BinaryType):
                 continue  # unbase64 never throws; bad base64 yields NULL
             raw = F.col("data").getItem(f.name)
+            for old in self._alias_chain(f.name):
+                raw = F.coalesce(raw, F.col("data").getItem(old))
             if f.name in self.keys:
                 raw = F.coalesce(raw, F.col("before").getItem(f.name))
             poison = poison | (raw.isNotNull() & raw.try_cast(f.dataType).isNull())
@@ -260,12 +307,7 @@ class StreamingMaterializer:
             op_col=OP_COL,
             keep_deletes=True,  # tombstones persist in state
         )
-        tmp = f"{self.state_path}.tmp-{uuidlib.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{self.state_path}.old-{uuidlib.uuid4().hex[:8]}"
-        os.rename(self.state_path, old)
-        os.rename(tmp, self.state_path)
-        shutil.rmtree(old, ignore_errors=True)
+        storeio.swap_in(merged, self.state_path)
         self._pending_renames = {}  # the write persisted the new names
         if self.meta is not None:
             # A21: advance the per-table watermark to the batch max pos

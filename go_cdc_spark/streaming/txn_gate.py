@@ -36,13 +36,12 @@ fullamount rollback path. Cited for semantics, not implementation.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid as uuidlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import storeio
 from ..sources.changelog import CHANGE_EVENT_SCHEMA, DATA_OPS
 from ..sources.meta import CheckpointStore
 
@@ -89,43 +88,13 @@ class ReadCommittedGate:
     # -- pending state ---------------------------------------------------
 
     def pending(self) -> DataFrame:
-        self._recover()
+        storeio.recover(self.pending_path)
         if os.path.exists(self.pending_path):
             return self.spark.read.parquet(self.pending_path)
         return self.spark.createDataFrame([], CHANGE_EVENT_SCHEMA)
 
-    def _siblings(self, kind: str) -> list[str]:
-        d = os.path.dirname(self.pending_path) or "."
-        base = os.path.basename(self.pending_path) + f".{kind}-"
-        if not os.path.isdir(d):
-            return []
-        return sorted(
-            os.path.join(d, n) for n in os.listdir(d) if n.startswith(base)
-        )
-
-    def _recover(self) -> None:
-        """Crash recovery for the two-rename swap: if the store is
-        missing but a demoted ``.old-*`` dir exists, the crash hit
-        between the renames — promote the old store back (losing only
-        the not-yet-committed batch, which the stream redelivers).
-        Leftover ``.tmp-*`` dirs are incomplete writes; drop them."""
-        olds = self._siblings("old")
-        if not os.path.exists(self.pending_path) and olds:
-            os.rename(olds[-1], self.pending_path)
-            olds = olds[:-1]
-        for stale in olds + self._siblings("tmp"):
-            shutil.rmtree(stale, ignore_errors=True)
-
     def _rewrite_pending(self, df: DataFrame) -> None:
-        tmp = f"{self.pending_path}.tmp-{uuidlib.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.pending_path):
-            old = f"{self.pending_path}.old-{uuidlib.uuid4().hex[:8]}"
-            os.rename(self.pending_path, old)
-            os.rename(tmp, self.pending_path)
-            shutil.rmtree(old, ignore_errors=True)
-        else:
-            os.rename(tmp, self.pending_path)
+        storeio.swap_in(df, self.pending_path)
 
     # -- batch protocol --------------------------------------------------
 

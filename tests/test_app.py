@@ -288,3 +288,46 @@ def test_read_committed_config_wires_txn_gate(spark, tmp_path):
     state = {r.r_regionkey: r.r_name for r in engine.read_table(1, "main", "region").collect()}
     assert state[3] == "EU-v2"  # released by its commit
     assert meta.all()[("dev", None, "region")].last_pos == str(p + 4).zfill(12)
+
+
+def test_read_committed_cross_table_txn_tableless_commit(spark, tmp_path):
+    """A transaction spanning region AND nation, committed by a single
+    TABLE-LESS commit event (MySQL XID semantics): both tables' gates
+    must see the commit and release their rows — a per-table filter
+    that drops foreign/table-less commits strands them forever."""
+    seg_dir = tmp_path / "changelog"
+    seg_dir.mkdir()
+    cfg_path = _write_config(tmp_path, seg_dir)
+    cfg_text = (tmp_path / "config.toml").read_text()
+    (tmp_path / "config.toml").write_text(
+        cfg_text.replace('changelog = "', 'read_committed = true\nchangelog = "')
+    )
+
+    engine = Engine(load_config(cfg_path), spark=spark)
+    engine.init_sources()
+    snaps = engine.full_sync()
+    pos = {s.table: int(s.pos) for s in snaps[1]}
+    p = max(pos.values())
+
+    def ev(pos_, op, data, txn, table=None):
+        e = _event(pos_, op, data, table=table or "region")
+        e["txn_id"] = txn
+        if op == "commit":
+            e["table"] = None
+            e["schema"] = None
+        return e
+
+    with open(seg_dir / "seg0.json", "w") as f:
+        for e in [
+            ev(p + 1, "update", {"r_regionkey": "2", "r_name": "ASIA-x"}, "tx1"),
+            ev(p + 2, "update", {"n_nationkey": "3", "n_name": "CA-x",
+                                 "n_regionkey": "1"}, "tx1", table="nation"),
+            ev(p + 3, "commit", None, "tx1"),
+        ]:
+            f.write(json.dumps(e) + "\n")
+    engine.incremental_sync()
+
+    region = {r.r_regionkey: r.r_name for r in engine.read_table(1, "main", "region").collect()}
+    nation = {r.n_nationkey: r.n_name for r in engine.read_table(1, "main", "nation").collect()}
+    assert region[2] == "ASIA-x"
+    assert nation[3] == "CA-x"

@@ -185,3 +185,49 @@ def test_pending_store_crash_recovery(spark, tmp_path):
     # recovered store is functional: the commit releases the row
     gate.process_batch(changelog_df(spark, [_ev("commit", 2, txn="t7")]), 1)
     assert _table(mat) == {(1, "x")}
+
+
+def test_gate_release_after_rename_decodes_old_name(spark, tmp_path):
+    """A row withheld by the gate BEFORE a column rename must decode its
+    old-name image when released AFTER the rename (the persisted alias
+    map; clearing rename state at batch end would NULL the value)."""
+    snapshot = spark.createDataFrame([], "id long, name string")
+    mat = StreamingMaterializer(
+        spark, snapshot, keys=["id"], state_path=str(tmp_path / "state"),
+        table="accounts",
+    )
+    gate = ReadCommittedGate(
+        spark, str(tmp_path / "pending"), downstream=mat.process_batch
+    )
+    def dev(pos, query):
+        e = _ev("ddl", pos)
+        e["data"] = {"query": query}
+        return e
+
+    row = _ev("insert", 1, txn="t1", key=1, val=None)
+    row["data"] = {"id": "1", "name": "carol"}
+    gate.process_batch(changelog_df(spark, [row]), 0)  # withheld
+    gate.process_batch(
+        changelog_df(
+            spark,
+            [dev(2, "ALTER TABLE accounts RENAME COLUMN name TO full_name")],
+        ),
+        1,
+    )
+    assert mat.read_table().columns == ["id", "full_name"]
+    gate.process_batch(changelog_df(spark, [_ev("commit", 3, txn="t1")]), 2)
+    out = {r.id: r.full_name for r in mat.read_table().collect()}
+    assert out == {1: "carol"}  # old-name image decoded under new name
+
+
+def test_change_retype_of_merge_key_allowed(spark, tmp_path):
+    """CHANGE id id BIGINT is a retype, not a rename — it must NOT be
+    refused as a merge-key rename, and the stream keeps running."""
+    mat, gate = _setup(spark, tmp_path)
+    e = _ev("ddl", 1)
+    e["data"] = {"query": "ALTER TABLE accounts CHANGE id id BIGINT"}
+    gate.process_batch(changelog_df(spark, [e]), 0)  # must not raise
+    gate.process_batch(
+        changelog_df(spark, [_ev("insert", 2, txn=None, key=5, val="ok")]), 1
+    )
+    assert _table(mat) == {(5, "ok")}
