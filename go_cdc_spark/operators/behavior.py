@@ -224,3 +224,90 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar heatmap + group-size distribution archetypes.
+# ---------------------------------------------------------------------------
+
+_HEATMAP_ORACLE = """
+SELECT CAST(isodow(ts) AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hour_of_day,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hour_of_day
+"""
+
+
+@query("events_heatmap", oracle=_HEATMAP_ORACLE)
+def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (ISO weekday, Monday
+    = 1 — Spark's ``dayofweek`` is Sunday-based and ``weekday`` is
+    0-based, DuckDB's ``isodow`` is Monday-1-based; the projection
+    aligns them explicitly rather than trusting either default).
+
+    Scale shape: calendar bucketing is a map-side projection; the
+    aggregate has at most 7 × 24 groups — partial aggregation reduces
+    each partition to ≤ 168 rows before a trivial exchange."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("dow", "hour_of_day")
+    )
+
+
+_ORDER_SIZES_ORACLE = """
+SELECT n_items, COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(order_total AS DECIMAL(38,6))) AS VARCHAR)
+            AS DOUBLE) AS revenue
+FROM (
+  SELECT l_orderkey, COUNT(*) AS n_items,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR)
+              AS DOUBLE) AS order_total
+  FROM lineitem GROUP BY l_orderkey
+)
+GROUP BY n_items
+ORDER BY n_items
+"""
+
+
+@query("dist_order_sizes", oracle=_ORDER_SIZES_ORACLE)
+def dist_order_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of order sizes: how many orders have k line items,
+    and the revenue carried by each size class — the double-aggregation
+    archetype (aggregate per entity, then aggregate the aggregate).
+
+    Scale shape: pass 1 shuffles on the (unique, unskewed) order key
+    with map-side partials; pass 2's input is |orders| rows collapsing
+    into ≤ max-items groups — the second exchange is trivial. The
+    per-order decimal total re-accumulates exactly in pass 2
+    (sum-of-exact-sums), so revenue hash-matches."""
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("order_total"),
+    )
+    return (
+        per_order.groupBy("n_items")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("order_total").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("n_items")
+    )
