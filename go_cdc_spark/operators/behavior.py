@@ -311,3 +311,46 @@ def dist_order_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_items")
     )
+
+
+_COPURCHASE_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+)
+SELECT a.pkey AS part_a, b.pkey AS part_b, COUNT(*) AS n_orders
+FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey
+GROUP BY a.pkey, b.pkey
+HAVING COUNT(*) >= 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@query("copurchase_pairs", oracle=_COPURCHASE_ORACLE)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered together
+    (pairwise frequent-itemset support with a min-support floor) — the
+    recommendation-seed archetype.
+
+    Scale shape: the distinct (order, part) link dedups first, and the
+    self-join fans out WITHIN order keys only — output per order is
+    C(items-per-order, 2), bounded by basket size (single digits here),
+    never |orders|². The pair aggregate partial-combines map-side, the
+    support floor prunes before the top-k, and the final LIMIT rides a
+    TakeOrdered over the surviving pairs. For k-itemsets beyond pairs,
+    iterate the same join against the surviving pair set (a-priori
+    pruning) rather than widening the self-join."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    a = items.select("okey", F.col("pkey").alias("part_a"))
+    b = items.select(F.col("okey").alias("okey_b"), F.col("pkey").alias("part_b"))
+    return (
+        a.join(b, (a.okey == b.okey_b) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
