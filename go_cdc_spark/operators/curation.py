@@ -287,8 +287,8 @@ c AS (
     FROM t
 )
 SELECT doc_id, n_tokens, bucket,
-       cum_before // {SEQ_BUDGET} AS seq_in_bucket,
-       cum_before % {SEQ_BUDGET} AS offset_in_seq
+       CAST(cum_before // {SEQ_BUDGET} AS BIGINT) AS seq_in_bucket,
+       CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS offset_in_seq
 FROM c
 """
 

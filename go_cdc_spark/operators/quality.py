@@ -40,15 +40,16 @@ from ..tables import load
       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE c.c_custkey IS NULL
     )
-    SELECT rule, violations FROM (
+    SELECT rule, CAST(violations AS BIGINT) AS violations FROM (
       SELECT 'null_custkey' AS rule, CAST(null_custkey AS BIGINT) AS violations
         FROM base
-      UNION ALL SELECT 'null_orderdate', null_orderdate FROM base
-      UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM base
-      UNION ALL SELECT 'bad_status', bad_status FROM base
-      UNION ALL SELECT 'dup_pk', dup_pk FROM base
-      UNION ALL SELECT 'orphan_custkey', orphan_custkey FROM fk
-      UNION ALL SELECT 'n_rows', n_rows FROM base
+      UNION ALL SELECT 'null_orderdate', CAST(null_orderdate AS BIGINT) FROM base
+      UNION ALL SELECT 'nonpositive_price', CAST(nonpositive_price AS BIGINT)
+        FROM base
+      UNION ALL SELECT 'bad_status', CAST(bad_status AS BIGINT) FROM base
+      UNION ALL SELECT 'dup_pk', CAST(dup_pk AS BIGINT) FROM base
+      UNION ALL SELECT 'orphan_custkey', CAST(orphan_custkey AS BIGINT) FROM fk
+      UNION ALL SELECT 'n_rows', CAST(n_rows AS BIGINT) FROM base
     )
     ORDER BY rule
     """,

@@ -10,11 +10,39 @@ import pytest
 
 from go_cdc_spark.plans.queries import ORACLE, QUERIES
 
-from .oracle_harness import compare
+from .oracle_harness import compare, describe_duckdb
 
 
 def _names():
     return sorted(QUERIES)
+
+
+# DuckDB result types whose pandas representation hash-matches the
+# Spark type they mirror under the driver's canonicalizer. Notably
+# ABSENT: HUGEINT (INT128 → pandas float64 while Spark BIGINT stays
+# int64 — the round-2 red rows) and every nested type (unhashable —
+# the round-1 red rows). DuckDB promotes SUM(int) and window sums to
+# HUGEINT, so any aggregate an oracle exposes must be CAST to BIGINT.
+_SAFE_ORACLE_TYPES = ("BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+                      "DOUBLE", "FLOAT", "VARCHAR", "DATE",
+                      "TIMESTAMP", "BOOLEAN", "DECIMAL(")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_result_dtypes_are_hash_safe(name, sf_dir):
+    """DESCRIBE every registered oracle and reject result columns whose
+    DuckDB type diverges from Spark's under pandas hashing (HUGEINT,
+    nested types). This lint catches the round-2 INT128 escape class
+    without running the query."""
+    bad = [
+        (col, typ)
+        for col, typ in describe_duckdb(ORACLE[name], sf_dir)
+        if not typ.upper().startswith(_SAFE_ORACLE_TYPES)
+    ]
+    assert not bad, (
+        f"{name}: oracle result columns with hash-unsafe DuckDB types "
+        f"{bad} — CAST them (HUGEINT → BIGINT) in the oracle SQL"
+    )
 
 
 @pytest.mark.parametrize("name", _names())
