@@ -73,7 +73,7 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-REGRESSION_FACTOR = 1.5  # round-over-round per-query budget
+REGRESSION_FACTOR = 1.3  # round-over-round per-query budget
 NOISE_FLOOR_SEC = 0.15  # sub-150ms timings are scheduler noise, not plans
 
 
@@ -147,7 +147,7 @@ def main() -> None:
     )
     spark.stop()
     if comparison["regressions"]:
-        # fail loudly: a >1.5× per-query regression is a build defect
+        # fail loudly: a >1.3× per-query regression is a build defect
         print(
             f"REGRESSION vs previous round: {comparison['regressions']}",
             file=sys.stderr,

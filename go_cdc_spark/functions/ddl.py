@@ -55,7 +55,18 @@ _CHANGE_RE = re.compile(
     r"([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
     re.IGNORECASE,
 )
-_UNSUPPORTED_RE = re.compile(r"^(MODIFY\b|RENAME\s+(TO|AS)\b)", re.IGNORECASE)
+# Table-level renames change history semantics: both the standard
+# `RENAME TO|AS name` and MySQL's bare `RENAME name` (TO/AS optional)
+# forms must be refused, not silently ignored — the materializer would
+# keep applying events under the old table identity otherwise. The
+# bare form is one identifier ending the clause, distinguished from
+# column/index renames by the COLUMN/INDEX/KEY keyword lookahead.
+_UNSUPPORTED_RE = re.compile(
+    r"^(MODIFY\b"
+    r"|RENAME\s+(TO|AS)\b"
+    r"|RENAME\s+(?!COLUMN\b|INDEX\b|KEY\b)`?[\w$]+`?\s*$)",
+    re.IGNORECASE,
+)
 # non-column ADD/DROP targets a binlog can carry inside ALTER
 _NONCOLUMN = {
     "primary", "foreign", "unique", "fulltext", "spatial",

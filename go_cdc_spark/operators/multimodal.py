@@ -8,22 +8,30 @@ metadata. Decode / feature-extraction runs as Arrow-batched pandas
 functions over ``mapInPandas`` so the bytes cross the JVM↔Python
 boundary once per batch, never per row.
 
-The container ships no image/audio libs, so the actual decoders are
-STUBBED (clearly marked, gated behind import-try) — but everything
-Spark-side is real and tested: binary column construction, metadata
-struct, byte slicing (frame sampling), mapInPandas batch shape, and the
-partitioning story.
+Decoders: REAL for the formats the stdlib can parse — PPM (P6) and BMP
+images (header + raw pixel stats, nearest-neighbor resample), WAV audio
+(via ``wave``). Formats needing external libs (JPEG/PNG/MP3/MP4) remain
+import-gated: when PIL/librosa are present they take over, otherwise an
+*unrecognized* payload falls back to a deterministic byte-level feature
+(``decode_status='stubbed'``) so the pipeline shape stays testable end
+to end. Recognition is strict (magic + full header validation), so
+fixture payloads (16 md5 bytes) can never accidentally enter a real
+decoder and perturb the oracle.
 
 Test corpus: the driver parquet has no media table, so media bytes are
 derived deterministically from ``documents.text`` (md5 → unhex) in BOTH
 engines — the oracle checks real binary semantics (octet_length, byte
-slices via hex) without fixture files.
+slices via hex) without fixture files. Real-format decode paths are
+covered by pytest fixtures of genuine PPM/BMP/WAV bytes
+(tests/test_multimodal_real.py).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -126,6 +134,113 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real stdlib decoders: PPM (P6), BMP (uncompressed 24/32bpp), WAV.
+# Strict validation — any malformed header falls back to the byte-level
+# stub path, so arbitrary payloads can never crash a 100 TB job (the
+# decode stage's error channel is the decode_status column, mirroring
+# the quarantine philosophy of the CDC path).
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes):
+    """P6 (binary) PPM → (width, height, HxWx3 uint8 array), or None if
+    the payload is not a valid P6 image."""
+    if not payload.startswith(b"P6"):
+        return None
+    # header = magic, width, height, maxval as ASCII tokens separated by
+    # whitespace/comments, then ONE whitespace byte, then raw RGB
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3 and i < n:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":  # comment to EOL
+            while i < n and payload[i] not in (10, 13):
+                i += 1
+            continue
+        start = i
+        while i < n and not payload[i : i + 1].isspace():
+            i += 1
+        if i == start:
+            return None
+        tokens.append(payload[start:i])
+    if len(tokens) < 3 or i >= n:
+        return None
+    i += 1  # the single whitespace after maxval
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if width <= 0 or height <= 0 or maxval != 255:
+        return None
+    pixels = payload[i:]
+    if len(pixels) != width * height * 3:
+        return None
+    return width, height, np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, 3
+    )
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 → P6 bytes (inverse of decode_ppm)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes):
+    """Uncompressed 24/32bpp BITMAPINFOHEADER BMP → (width, height,
+    HxWx3 uint8 array, top row first), or None if not valid."""
+    if len(payload) < 54 or not payload.startswith(b"BM"):
+        return None
+    file_size, pixel_off = struct.unpack_from("<I4xI", payload, 2)
+    hdr_size, width, height, planes, bpp, compression = struct.unpack_from(
+        "<IiihHI", payload, 14
+    )
+    if hdr_size < 40 or planes != 1 or compression != 0 or bpp not in (24, 32):
+        return None
+    if width <= 0 or height == 0 or file_size > len(payload):
+        return None
+    flipped = height > 0  # positive height = bottom-up storage
+    height = abs(height)
+    bypp = bpp // 8
+    stride = (width * bypp + 3) & ~3  # rows pad to 4-byte boundaries
+    if pixel_off + stride * height > len(payload):
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=pixel_off
+    ).reshape(height, stride)
+    img = rows[:, : width * bypp].reshape(height, width, bypp)[..., :3]
+    img = img[..., ::-1]  # BGR(A) → RGB
+    if flipped:
+        img = img[::-1]
+    return width, height, img
+
+
+def decode_wav(payload: bytes):
+    """PCM WAV → (n_channels, sample_rate, n_frames, sample array), or
+    None if not a parseable RIFF/WAVE payload."""
+    if len(payload) < 44 or not (
+        payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"
+    ):
+        return None
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            nch, sw, rate, nframes = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
+            )
+            raw = w.readframes(nframes)
+    except Exception:
+        return None
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
+    if dtype is None:
+        return None
+    samples = np.frombuffer(raw, dtype=dtype)
+    return nch, rate, nframes, samples
+
+
 _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -138,14 +253,43 @@ _FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_media(payload: bytes, kind: str) -> dict:
-    """Real decoder hook — STUB. The container has no PIL/librosa/ffmpeg;
-    when they're present this becomes Image.open(BytesIO(payload)) etc.
-    Until then we fall back to a deterministic byte-level feature so the
-    pipeline shape stays testable end to end."""
-    try:  # pragma: no cover - libs absent in this container by design
+    """Per-item decode: real formats first (strict magic + header
+    validation), then optional external libs, then the deterministic
+    byte-level fallback. ``byte_mean`` is over DECODED content (pixel /
+    sample bytes) for real formats, raw payload bytes otherwise."""
+    ppm = decode_ppm(payload)
+    if ppm is not None:
+        _w, _h, img = ppm
+        return {
+            "n_bytes": len(payload),
+            "byte_mean": float(img.mean()),
+            "decode_status": "ppm",
+        }
+    bmp = decode_bmp(payload)
+    if bmp is not None:
+        _w, _h, img = bmp
+        return {
+            "n_bytes": len(payload),
+            "byte_mean": float(img.mean()),
+            "decode_status": "bmp",
+        }
+    wav = decode_wav(payload)
+    if wav is not None:
+        _nch, _rate, _nf, samples = wav
+        return {
+            "n_bytes": len(payload),
+            "byte_mean": float(samples.astype(np.float64).mean())
+            if len(samples)
+            else 0.0,
+            "decode_status": "wav",
+        }
+    try:  # pragma: no cover - external libs absent in this container
         import PIL.Image  # noqa: F401
 
-        raise NotImplementedError("real image decode not wired yet")
+        raise NotImplementedError(
+            "JPEG/PNG decode via PIL not wired yet — stdlib formats "
+            "(PPM/BMP/WAV) decode for real above"
+        )
     except ImportError:
         pass
     return {
@@ -153,6 +297,19 @@ def _decode_media(payload: bytes, kind: str) -> dict:
         "byte_mean": float(sum(payload)) / max(len(payload), 1),
         "decode_status": "stubbed",
     }
+
+
+def extract_features_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for feature extraction (module-level so real-
+    format tests drive the exact production code path)."""
+    for pdf in batches:
+        feats = [_decode_media(m, k) for m, k in zip(pdf["media"], pdf["kind"])]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        out.insert(1, "kind", pdf["kind"].values)
+        yield out
 
 
 _FEATURES_ORACLE = """
@@ -181,26 +338,22 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python touches bytes once per row inside the batch loop. At 100 TB
     this stage is sized by bytes-per-partition, not rows —
     ``spark.sql.files.maxPartitionBytes`` is the knob; the output is
-    small typed features, so everything downstream is cheap again."""
+    small typed features, so everything downstream is cheap again.
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [_decode_media(m, k) for m, k in zip(pdf["media"], pdf["kind"])]
-            out = pd.DataFrame(feats)
-            out.insert(0, "doc_id", pdf["doc_id"].values)
-            out.insert(1, "kind", pdf["kind"].values)
-            yield out
-
+    The fixture payloads (16 md5 bytes) never validate as PPM/BMP/WAV,
+    so the oracle checks the byte-level path; genuine format bytes take
+    the real decoders (tests/test_multimodal_real.py)."""
     media = with_media(load(spark, sf_dir, "documents")).select(
         "doc_id", F.col("media_meta.kind").alias("kind"), "media"
     )
-    return media.mapInPandas(extract, _FEATURE_SCHEMA)
+    return media.mapInPandas(extract_features_batches, _FEATURE_SCHEMA)
 
 
 _RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("media", T.BinaryType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("media_hex", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
     ]
@@ -209,56 +362,87 @@ _RESIZE_SCHEMA = T.StructType(
 TARGET_EDGE = 16
 
 
-@query("media_resize")  # rows-only: binary→binary Python transform
+def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for the resize stage. Valid PPM payloads get a
+    REAL nearest-neighbor resample (decode → subsample → re-encode);
+    anything else gets the deterministic byte decimation stand-in so the
+    stage stays verifiable over the synthetic corpus. Output is the
+    transformed payload hex plus updated dimensions — hex rather than
+    raw binary so the driver's oracle can recompute it with nibble
+    arithmetic."""
+    for pdf in batches:
+        out_bytes, out_w, out_h = [], [], []
+        for m, w, h in zip(pdf["media"], pdf["width"], pdf["height"]):
+            ppm = decode_ppm(m)
+            if ppm is not None:
+                pw, ph, img = ppm
+                k = max(max(pw, ph) // TARGET_EDGE, 1)
+                small = img[::k, ::k]
+                out_bytes.append(encode_ppm(small))
+                out_h.append(small.shape[0])
+                out_w.append(small.shape[1])
+            else:
+                # stand-in: every k-th byte; k from the metadata dims
+                k = max(max(w, h) // TARGET_EDGE, 1)
+                out_bytes.append(bytes(m[::k]))
+                out_w.append(max(w // k, 1))
+                out_h.append(max(h // k, 1))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": np.array([len(b) for b in out_bytes], dtype="int32"),
+                "media_hex": [b.hex().upper() for b in out_bytes],
+                "width": np.array(out_w, dtype="int32"),
+                "height": np.array(out_h, dtype="int32"),
+            }
+        )
+
+
+_RESIZE_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id, md5(text) AS hx,
+           CAST(32 + doc_id % 64 AS INTEGER) AS width,
+           CAST(32 + doc_id % 48 AS INTEGER) AS height
+    FROM documents WHERE doc_id % 3 = 0
+), s AS (
+    SELECT doc_id, width, height,
+           GREATEST(GREATEST(width, height) // {TARGET_EDGE}, 1) AS step, hx
+    FROM m
+), e AS (
+    SELECT doc_id, width, height, step,
+           upper(string_agg(substring(hx, CAST(2 * i + 1 AS BIGINT), 2),
+                            '' ORDER BY i)) AS media_hex,
+           COUNT(*) AS n_bytes
+    FROM s, (SELECT unnest(range(0, 16)) AS i) t(i)
+    WHERE i % step = 0
+    GROUP BY doc_id, width, height, step
+)
+SELECT doc_id,
+       CAST(n_bytes AS INTEGER) AS n_bytes,
+       media_hex,
+       CAST(GREATEST(width // step, 1) AS INTEGER) AS width,
+       CAST(GREATEST(height // step, 1) AS INTEGER) AS height
+FROM e
+"""
+
+
+@query("media_resize", oracle=_RESIZE_ORACLE)
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage: binary in, binary out, metadata updated — the
-    shape of every media-transform stage (resize, transcode, crop).
-    The real resampler is stubbed like the decoder (no image libs in
-    this container); the stand-in is a deterministic byte downsample
-    (every k-th byte) so output size tracks the target dimensions and
-    the pipeline stays verifiable end to end.
+    """Resize stage: binary in, transformed payload out, metadata
+    updated — the shape of every media-transform stage (resize,
+    transcode, crop). Real PPM payloads are genuinely resampled
+    (nearest-neighbor via numpy); the synthetic corpus takes the
+    deterministic byte-decimation stand-in, which the oracle recomputes
+    hex-nibble-by-nibble (so this stage is value-checked, not
+    rows-only).
 
     Scale note: output partitions shrink by the resize ratio — follow
     with coalesce (not repartition) when writing, to avoid tiny files
     without an extra shuffle."""
-
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # import-gate ONCE per task, not per row: when a real resampler
-        # lands, this branch point is batch-level and the loop below
-        # stays the only per-item work (decoding an image is inherently
-        # per-item; everything else is vectorized)
-        try:  # pragma: no cover - absent by design
-            import PIL.Image  # noqa: F401
-
-            have_pil = True
-        except ImportError:
-            have_pil = False
-        import numpy as np
-
-        for pdf in batches:
-            if have_pil:  # pragma: no cover - absent by design
-                raise NotImplementedError("real resample not wired yet")
-            # step = floor(max(w,h)/edge), clamped ≥1 — all vectorized
-            step = np.maximum(
-                np.maximum(pdf["width"], pdf["height"]) // TARGET_EDGE, 1
-            ).astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    # byte-slicing a variable-length blob is per-item by
-                    # nature (C-speed slice, no Python arithmetic inside)
-                    "media": [
-                        bytes(m[::k]) for m, k in zip(pdf["media"], step)
-                    ],
-                    "width": np.maximum(pdf["width"] // step, 1).astype("int32"),
-                    "height": np.maximum(pdf["height"] // step, 1).astype("int32"),
-                }
-            )
-
     media = with_media(load(spark, sf_dir, "documents")).filter(
         F.col("media_meta.kind") == "image"
     ).select(
         "doc_id", "media", F.col("media_meta.width").alias("width"),
         F.col("media_meta.height").alias("height"),
     )
-    return media.mapInPandas(resize, _RESIZE_SCHEMA)
+    return media.mapInPandas(resize_batches, _RESIZE_SCHEMA)

@@ -248,9 +248,15 @@ class StreamingMaterializer:
         def col_for(f):
             if f.name in have:
                 return F.col(f.name).cast(f.dataType)  # CHANGE retype
-            old = new_from_old.get(f.name)
+            # Renamed this batch: carry the old column's data. Chained
+            # renames landing in ONE batch (a→b then b→c) leave only
+            # the oldest name in the stored state, so follow the
+            # pending map transitively until a stored column appears.
+            old, seen = new_from_old.get(f.name), set()
+            while old is not None and old not in have and old not in seen:
+                seen.add(old)
+                old = new_from_old.get(old)
             if old is not None and old in have:
-                # renamed this batch: carry the old column's data
                 return F.col(old).cast(f.dataType).alias(f.name)
             return F.lit(None).cast(f.dataType).alias(f.name)
 

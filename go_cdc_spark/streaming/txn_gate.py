@@ -115,7 +115,17 @@ class ReadCommittedGate:
             .distinct()
         )
 
-        candidates = self.pending().unionByName(txn_rows)
+        # Dedupe against redelivery: a crash after _rewrite_pending but
+        # before the streaming checkpoint commits redelivers a batch
+        # whose open-txn rows are ALREADY in the pending store — the
+        # naive union would persist them twice (and release both
+        # copies later). (table, pos) identifies an event: pos is the
+        # per-table total order the downstream max-pos merge relies on.
+        candidates = (
+            self.pending()
+            .unionByName(txn_rows)
+            .dropDuplicates(["table", "pos"])
+        )
         # discard rolled-back transactions before the release split
         candidates = candidates.join(
             F.broadcast(rollbacks),

@@ -331,3 +331,122 @@ def test_read_committed_cross_table_txn_tableless_commit(spark, tmp_path):
     nation = {r.n_nationkey: r.n_name for r in engine.read_table(1, "main", "nation").collect()}
     assert region[2] == "ASIA-x"
     assert nation[3] == "CA-x"
+
+
+def test_two_sources_conflicting_ddl_under_gate(spark, tmp_path):
+    """Two concurrent sources evolve the SAME table in CONFLICTING
+    directions — alpha renames r_name→region_name, beta CHANGEs
+    r_name→label — each interleaved with an open read-committed
+    transaction whose commit lands in a later batch. The engine must
+    keep the evolutions isolated per source, decode gated rows that
+    carry pre-rename images when their commit finally releases them,
+    and advance each source's watermark only past released rows."""
+    seg_a, seg_b = tmp_path / "cl_a", tmp_path / "cl_b"
+    seg_a.mkdir(), seg_b.mkdir()
+    cfg = f"""
+[engine]
+meta_path      = "{tmp_path}/meta"
+state_dir      = "{tmp_path}/state"
+checkpoint_dir = "{tmp_path}/ckpt"
+
+[[source]]
+id             = 1
+name           = "alpha"
+type           = "parquet"
+path           = "{SF}"
+read_committed = true
+changelog      = "{seg_a}"
+[source.primary_keys]
+region = ["r_regionkey"]
+[source.rules.global]
+include_tables = ["region"]
+
+[[source]]
+id             = 2
+name           = "beta"
+type           = "parquet"
+path           = "{SF}"
+read_committed = true
+changelog      = "{seg_b}"
+[source.primary_keys]
+region = ["r_regionkey"]
+[source.rules.global]
+include_tables = ["region"]
+"""
+    (tmp_path / "config.toml").write_text(cfg)
+    engine = Engine(load_config(str(tmp_path / "config.toml")), spark=spark)
+    engine.init_sources()
+    snaps = engine.full_sync()
+    pa = int(next(s.pos for s in snaps[1] if s.table == "region"))
+    pb = int(next(s.pos for s in snaps[2] if s.table == "region"))
+
+    def ev(src, pos, op, data, txn=None, before=None):
+        e = _event(pos, op, data, before=before)
+        e["data_source"], e["txn_id"] = src, txn
+        return e
+
+    # alpha: open txn row under the OLD name, rename DDL, autocommit row
+    # under the NEW name — commit arrives only in the second segment
+    with open(seg_a / "seg0.json", "w") as f:
+        for e in [
+            ev("alpha", pa + 1, "update",
+               {"r_regionkey": "2", "r_name": "ASIA-ta"}, txn="ta"),
+            ev("alpha", pa + 2, "ddl",
+               {"query": "ALTER TABLE region RENAME COLUMN r_name TO region_name"}),
+            ev("alpha", pa + 3, "insert",
+               {"r_regionkey": "90", "region_name": "NOVA"}),
+        ]:
+            f.write(json.dumps(e) + "\n")
+    # beta: same base column, CONFLICTING evolution via CHANGE (rename +
+    # re-declared type), same open-txn interleaving
+    with open(seg_b / "seg0.json", "w") as f:
+        for e in [
+            ev("beta", pb + 1, "update",
+               {"r_regionkey": "3", "r_name": "EU-tb"}, txn="tb"),
+            ev("beta", pb + 2, "ddl",
+               {"query": "ALTER TABLE region CHANGE COLUMN r_name label VARCHAR(80)"}),
+            ev("beta", pb + 3, "insert",
+               {"r_regionkey": "91", "label": "TERRA"}),
+        ]:
+            f.write(json.dumps(e) + "\n")
+
+    # first drain: renames applied, open txns withheld on BOTH sources
+    engine.incremental_sync()
+    a_mid = {r.r_regionkey: r for r in engine.read_table(1, "main", "region").collect()}
+    b_mid = {r.r_regionkey: r for r in engine.read_table(2, "main", "region").collect()}
+    assert a_mid[2].region_name == "ASIA"  # ta still open → withheld
+    assert b_mid[3].label == "EUROPE"      # tb still open → withheld
+
+    # commits arrive in later segments (distinct mtimes, like real
+    # binlog rotation) and must release rows that carry PRE-rename
+    # column images into the post-rename schema
+    with open(seg_a / "seg1.json", "w") as f:
+        f.write(json.dumps(ev("alpha", pa + 4, "commit", None, txn="ta")) + "\n")
+    with open(seg_b / "seg1.json", "w") as f:
+        f.write(json.dumps(ev("beta", pb + 4, "commit", None, txn="tb")) + "\n")
+    engine.incremental_sync()
+
+    alpha = {r.r_regionkey: r for r in engine.read_table(1, "main", "region").collect()}
+    beta = {r.r_regionkey: r for r in engine.read_table(2, "main", "region").collect()}
+
+    # alpha's view: renamed column, snapshot data carried, gated row
+    # (old-name image) decoded on release, post-DDL insert applied
+    a_cols = set(engine.read_table(1, "main", "region").columns)
+    assert "region_name" in a_cols and "r_name" not in a_cols
+    assert "label" not in a_cols  # beta's evolution never leaks in
+    assert alpha[2].region_name == "ASIA-ta"
+    assert alpha[90].region_name == "NOVA"
+    assert alpha[0].region_name is not None  # snapshot rows carried
+
+    b_cols = set(engine.read_table(2, "main", "region").columns)
+    assert "label" in b_cols and "r_name" not in b_cols
+    assert "region_name" not in b_cols
+    assert beta[3].label == "EU-tb"
+    assert beta[91].label == "TERRA"
+    assert beta[2].label == "ASIA"  # alpha's txn never leaks in
+
+    # checkpoints: per-source watermarks advanced to their own heads
+    meta = CheckpointStore(spark, f"{tmp_path}/meta")
+    rows = meta.all()
+    assert rows[("alpha", None, "region")].last_pos == str(pa + 4).zfill(12)
+    assert rows[("beta", None, "region")].last_pos == str(pb + 4).zfill(12)

@@ -264,3 +264,44 @@ def test_rename_merge_key_refused(spark, tmp_path):
     with pytest.raises(Exception) as exc:
         _run(mat, spark, seg, tmp_path / "ckpt")
     assert "renames merge key" in str(exc.value)
+
+
+def test_parse_bare_table_rename_refused():
+    """MySQL allows `ALTER TABLE t RENAME new_name` (TO/AS optional) —
+    it must raise like the TO/AS forms, not fall through silently (the
+    materializer would keep the old table identity)."""
+    with pytest.raises(UnsupportedDdl):
+        parse_alter("ALTER TABLE accounts RENAME accounts2")
+    with pytest.raises(UnsupportedDdl):
+        parse_alter("ALTER TABLE accounts RENAME `accounts2`")
+    with pytest.raises(UnsupportedDdl):
+        parse_alter("ALTER TABLE accounts RENAME AS accounts2")
+    # index/key renames still pass through as non-schema clauses
+    t, actions = parse_alter("ALTER TABLE accounts RENAME INDEX i1 TO i2")
+    assert t == "accounts" and actions == []
+    t, actions = parse_alter("ALTER TABLE accounts RENAME KEY k1 TO k2")
+    assert t == "accounts" and actions == []
+
+
+def test_chained_renames_one_batch_carry_state_data(spark, tmp_path):
+    """Two renames of the same column landing in ONE micro-batch
+    (name→full_name→fn): stored state still holds `name`, so the state
+    projection must follow the pending-rename map transitively or the
+    snapshot rows' data NULLs out."""
+    seg = tmp_path / "seg"
+    _write_segment(seg, "s1.json", [
+        _ev("ddl", 110, query="ALTER TABLE accounts RENAME COLUMN name TO full_name",
+            minute=1),
+        _ev("ddl", 120, query="ALTER TABLE accounts RENAME COLUMN full_name TO fn",
+            minute=2),
+        _ev("insert", 130, id_=3, data={"fn": "carol"}, minute=3),
+    ])
+    mat = _mat(spark, tmp_path)
+    _run(mat, spark, seg, tmp_path / "ckpt")
+
+    out = {r.id: r for r in mat.read_table().collect()}
+    assert set(out) == {1, 2, 3}
+    # snapshot rows carried through BOTH hops — not NULLed
+    assert out[1].fn == "alice" and out[2].fn == "bob"
+    assert out[3].fn == "carol"
+    assert set(mat.read_table().columns) == {"id", "fn"}

@@ -9,10 +9,22 @@ import json
 
 import pytest
 
-# transformWithState's state-server protocol is protobuf-based; the
-# package is absent in this container (no installs), so these tests run
-# only where the dependency exists — see stateful_v2.py's gate note.
-pytest.importorskip("google.protobuf")
+# ENV CONTRACT: transformWithStateInPandas speaks a protobuf-based
+# state-server protocol; `google.protobuf` is absent in this container
+# and cannot be installed (no pip) or vendored (compiled descriptors).
+# The suite runs wherever the dependency exists; in this sandbox each
+# round records exactly this skip so the gap stays visible. The
+# default applyInPandasWithState path (test_stateful.py) is fully
+# exercised here regardless.
+import importlib.util
+
+if importlib.util.find_spec("google.protobuf") is None:
+    pytest.skip(
+        "ENV CONTRACT unmet: google.protobuf missing and uninstallable in "
+        "this sandbox — transformWithStateInPandas suite runs only where "
+        "the state-server protocol dependency exists (stateful_v2.py gate)",
+        allow_module_level=True,
+    )
 
 from go_cdc_spark.streaming.pipeline import read_changelog_stream
 from go_cdc_spark.streaming.stateful_v2 import (

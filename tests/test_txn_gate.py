@@ -231,3 +231,23 @@ def test_change_retype_of_merge_key_allowed(spark, tmp_path):
         changelog_df(spark, [_ev("insert", 2, txn=None, key=5, val="ok")]), 1
     )
     assert _table(mat) == {(5, "ok")}
+
+
+def test_redelivered_batch_does_not_duplicate_pending(spark, tmp_path):
+    """Crash between the pending-store rewrite and the streaming
+    checkpoint commit redelivers the batch: its open-txn rows are
+    already in pending, and the union must not persist (then later
+    release) them twice."""
+    mat, gate = _setup(spark, tmp_path)
+    batch = [
+        _ev("insert", 1, txn="t2", key=3, val="c"),
+        _ev("insert", 2, txn=None, key=4, val="d"),
+    ]
+    gate.process_batch(changelog_df(spark, batch), 0)
+    assert gate.pending().count() == 1
+    # redelivery of the SAME batch (same batch_id) after a crash
+    gate.process_batch(changelog_df(spark, batch), 0)
+    assert gate.pending().count() == 1, "redelivered open-txn row duplicated"
+    gate.process_batch(changelog_df(spark, [_ev("commit", 3, txn="t2")]), 1)
+    assert _table(mat) == {(3, "c"), (4, "d")}
+    assert gate.pending().count() == 0
