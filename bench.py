@@ -74,7 +74,8 @@ def run_one(spark, name: str, sf_dir: str) -> float:
 
 
 REGRESSION_FACTOR = 1.3  # round-over-round per-query budget
-NOISE_FLOOR_SEC = 0.15  # sub-150ms timings are scheduler noise, not plans
+NOISE_FLOOR_SEC = 0.25  # sub-250ms timings are scheduler noise, not plans
+MIN_DELTA_SEC = 0.25  # and so are sub-250ms absolute swings at any ratio
 
 
 def load_prev_bench(repo_dir: str) -> dict | None:
@@ -106,7 +107,11 @@ def vs_prev(times: dict[str, float], prev: dict | None) -> dict:
             continue
         ratio = round(t / p, 2)
         ratios[name] = ratio
-        if ratio > REGRESSION_FACTOR and t > NOISE_FLOOR_SEC:
+        if (
+            ratio > REGRESSION_FACTOR
+            and t > NOISE_FLOOR_SEC
+            and (t - p) > MIN_DELTA_SEC
+        ):
             regressions.append(name)
     return {
         "prev_found": True,

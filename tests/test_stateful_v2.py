@@ -18,7 +18,14 @@ import pytest
 # exercised here regardless.
 import importlib.util
 
-if importlib.util.find_spec("google.protobuf") is None:
+# find_spec("google.protobuf") raises if the parent namespace package
+# is absent entirely, so probe the parent first
+_have_protobuf = (
+    importlib.util.find_spec("google") is not None
+    and importlib.util.find_spec("google.protobuf") is not None
+)
+
+if not _have_protobuf:
     pytest.skip(
         "ENV CONTRACT unmet: google.protobuf missing and uninstallable in "
         "this sandbox — transformWithStateInPandas suite runs only where "

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Skew-stress probe: the uniform 10x sweep (scale_probe/scale_sweep)
+grows data with DISJOINT key unions, which never stresses the skew
+path. This probe synthesizes a deliberately skewed 10x variant — one
+hot key carrying ~10% of total mass — for the shuffle-heavy
+representatives, and reports uniform-vs-skewed timings plus whether
+AQE's skew-join / partial aggregation absorbed the hot key.
+
+Skew injected (hot copy = copy 0 of the 10x union, so total volume
+matches .scratch/sfx10 exactly):
+
+- events:    copy 0's user_id := one hot user  → sessionize_events'
+             session window and the heatmap aggs see a 10%-mass key
+- lineitem:  copy 0's l_orderkey := one hot order (kept in orders) →
+             q18's groupBy(l_orderkey) and the orders join see it
+- documents: copy 0's text := one hot document body → every minhash
+             band of those docs lands in ONE LSH bucket
+
+Usage: python tools/skew_stress.py [name ...]
+       (default: sessionize_events dedup_minhash_lsh q18_large_volume)
+
+Read exponents/ratios, not decimals; run on an idle machine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from go_cdc_spark.plans.queries import QUERIES
+from go_cdc_spark.session import get_spark
+from go_cdc_spark.tables import TABLE_NAMES
+
+BASE = "/root/testdata/sf0.1"
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+)
+UNIFORM10 = os.path.join(SCRATCH, "sfx10")
+SKEW10 = os.path.join(SCRATCH, "sfx10_skew")
+
+K = 10
+HOT_USER = 424242
+HOT_ORDER = 4242
+FACT_OFFSETS = {
+    "orders": {"o_orderkey": 10_000_000},
+    "lineitem": {"l_orderkey": 10_000_000},
+    "events": {"event_id": 10_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+DEFAULT = ["sessionize_events", "dedup_minhash_lsh", "q18_large_volume"]
+
+
+def _skew_copy(t, c):
+    """Copy 0 of each fact gets its group key collapsed to one hot
+    value (10% of total mass on one shuffle key)."""
+    if t == "events":
+        return c.withColumn("user_id", F.lit(HOT_USER).cast("long"))
+    if t == "lineitem":
+        return c.withColumn("l_orderkey", F.lit(HOT_ORDER).cast("long"))
+    if t == "documents":
+        hot_text = c.orderBy("doc_id").limit(1).select("text")
+        return c.crossJoin(F.broadcast(hot_text.withColumnRenamed("text", "__hot"))).select(
+            "doc_id", F.col("__hot").alias("text"), "lang", "source", "n_chars"
+        )
+    return c
+
+
+def synthesize_skewed(spark) -> str:
+    if os.path.exists(os.path.join(SKEW10, "_DONE")):
+        return SKEW10
+    os.makedirs(SKEW10, exist_ok=True)
+    for t in TABLE_NAMES:
+        src = spark.read.parquet(f"{BASE}/{t}.parquet")
+        if t in FACT_OFFSETS:
+            copies = []
+            for i in range(K):
+                c = src
+                for col, step in FACT_OFFSETS[t].items():
+                    if step:
+                        c = c.withColumn(col, F.col(col) + F.lit(i * step))
+                if i == 0:
+                    c = _skew_copy(t, c)
+                copies.append(c)
+            df = copies[0]
+            for c in copies[1:]:
+                df = df.unionByName(c)
+        else:
+            df = src
+        df.write.mode("overwrite").parquet(f"{SKEW10}/{t}.parquet")
+    open(os.path.join(SKEW10, "_DONE"), "w").close()
+    return SKEW10
+
+
+def synthesize_uniform(spark) -> str:
+    """Reuse scale_probe's uniform 10x corpus (same synthesis rules)."""
+    from scale_probe import synthesize
+
+    return synthesize(spark, K)
+
+
+def timed(spark, name, sf_dir) -> float:
+    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    out = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out.append(time.perf_counter() - t0)
+    return round(min(out), 3)
+
+
+def skew_plan_evidence(spark, name, sf_dir) -> dict:
+    """Did AQE engage on the hot key? Inspect the executed plan string
+    for skew-join annotations and partial aggregation."""
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "aqe_skew_join": "isSkew=true" in plan or "skewed=true" in plan,
+        "partial_agg_before_exchange": "partial_" in plan.lower()
+        or "HashAggregate(keys" in plan,
+    }
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark("skew-stress")
+    uniform = synthesize_uniform(spark)
+    skewed = synthesize_skewed(spark)
+    report = {}
+    for name in names:
+        t_u = timed(spark, name, uniform)
+        t_s = timed(spark, name, skewed)
+        report[name] = {
+            "uniform10_s": t_u,
+            "skew10_s": t_s,
+            "skew_ratio": round(t_s / max(t_u, 1e-3), 2),
+            **skew_plan_evidence(spark, name, skewed),
+        }
+        print(f"{name:28s} uniform={t_u:6.2f}s skew={t_s:6.2f}s "
+              f"ratio={report[name]['skew_ratio']:.2f}", flush=True)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
