@@ -28,6 +28,16 @@ from .text import shingles_col
 
 MINHASH_K = 8  # permutations; bands of 2 rows → 4 bands
 BAND_ROWS = 2
+# Bucket-occupancy cap for pair generation: a mega-cluster of
+# near-identical docs (boilerplate pages at web scale) lands ENTIRELY
+# in shared band buckets, and all-pairs within such a bucket is
+# quadratic in the cluster size — measured 7.9x wall under a 10%-mass
+# duplicate cluster (tools/skew_stress.py). Past the cap, each member
+# links only to the bucket's min-id HUB: candidate volume becomes
+# linear while connected components still merge the cluster through
+# the hub. Both engines apply the identical rule, so the oracle stays
+# exact at every scale.
+BUCKET_PAIR_CAP = 64
 
 
 N_SEEDS = MINHASH_K // 4  # one md5 digest = 128 bits = four 32-bit lanes
@@ -86,9 +96,21 @@ WITH sig AS (
                for b in range(MINHASH_K // BAND_ROWS)
            )}]) AS band
     FROM sig
+), bstat AS (
+    SELECT band, MIN(doc_id) AS hub, COUNT(*) AS n
+    FROM banded GROUP BY band
 ), cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+        JOIN bstat s ON s.band = a.band
+        WHERE s.n <= {BUCKET_PAIR_CAP}
+        UNION ALL
+        SELECT s.hub, x.doc_id
+        FROM banded x JOIN bstat s ON s.band = x.band
+        WHERE s.n > {BUCKET_PAIR_CAP} AND x.doc_id != s.hub
+    )
 )
 SELECT doc_a, doc_b,
        CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
@@ -156,16 +178,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     )
-    left = banded.select(F.col("doc_id").alias("doc_a"), F.col("band"))
-    right = banded.select(F.col("doc_id").alias("doc_b"), F.col("band"))
+    # Bucket-occupancy stats gate the pair strategy: all-pairs within
+    # small buckets, hub (star) linking past BUCKET_PAIR_CAP — the
+    # mega-cluster skew guard (see the constant's note). The stats join
+    # filters BOTH self-join sides, so an oversized bucket never enters
+    # the quadratic path at all.
+    bstat = banded.groupBy("band").agg(
+        F.min("doc_id").alias("hub"), F.count(F.lit(1)).alias("n")
+    )
+    bb = banded.join(bstat, "band")
+    small = bb.filter(F.col("n") <= BUCKET_PAIR_CAP).select("band", "doc_id")
+    left = small.select(F.col("doc_id").alias("doc_a"), F.col("band"))
+    right = small.select(F.col("doc_id").alias("doc_b"), F.col("band"))
+    all_pairs = (
+        left.join(right, "band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    hub_pairs = (
+        bb.filter((F.col("n") > BUCKET_PAIR_CAP) & (F.col("doc_id") != F.col("hub")))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
     # localCheckpoint: the candidate list (tiny) is consumed TWICE —
     # the in_pairs doc filter and the final pair join — and each
     # broadcast exchange would otherwise re-run the whole band
     # self-join subplan
     cand = (
-        left.join(right, "band")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        all_pairs.unionByName(hub_pairs)
         .distinct()
         .localCheckpoint(eager=False)
     )

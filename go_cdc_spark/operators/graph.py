@@ -158,3 +158,158 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rank.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Level-synchronized BFS (shortest hop distance from a seed entity).
+# ---------------------------------------------------------------------------
+
+_BFS_SEED = "c:1"
+_BFS_MAX_HOPS = 4
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT 'c:' || ck AS src, 's:' || sk AS dst FROM pairs
+  UNION ALL
+  SELECT 's:' || sk, 'c:' || ck FROM pairs
+),
+bfs(node, d) AS (
+  SELECT '{_BFS_SEED}', 0
+  UNION
+  SELECT e.dst, b.d + 1
+  FROM bfs b JOIN edges e ON b.node = e.src
+  WHERE b.d < {_BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(d) AS INTEGER) AS dist
+FROM bfs GROUP BY node
+"""
+
+
+@query("bfs_distances", oracle=_BFS_ORACLE)
+def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop distance from one seed customer over the
+    customer↔supplier purchase graph, bounded at {_BFS_MAX_HOPS} hops —
+    level-synchronized BFS, the recursive-CTE workload expressed as an
+    unrolled chain of frontier joins (the oracle IS a recursive CTE;
+    per-level UNION-dedup makes the two formulations produce identical
+    (node, depth) sets).
+
+    Scale shape: each level is ONE join of the current frontier against
+    the cached edge relation followed by a distinct — frontier size is
+    bounded by |V| regardless of path multiplicity (the naive
+    path-enumeration recursion explodes combinatorially on dense
+    bipartite graphs; level dedup is what makes 100 TB graphs
+    traversable). The frontier is |V|-bounded and broadcasts while
+    small; Spark falls back to a shuffle join when it outgrows the
+    threshold. Edges are persisted once and reused by all levels,
+    like PageRank's loop-invariant relation."""
+    while _PINNED:
+        _PINNED.pop().unpersist()
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.concat(F.lit("c:"), F.col("ck")).alias("src"),
+        F.concat(F.lit("s:"), F.col("sk")).alias("dst"),
+    ).union(
+        pairs.select(
+            F.concat(F.lit("s:"), F.col("sk")).alias("src"),
+            F.concat(F.lit("c:"), F.col("ck")).alias("dst"),
+        )
+    ).persist()
+    edges.count()  # eager: every unrolled level reuses this relation
+    _PINNED.append(edges)
+
+    seed = spark.createDataFrame([(_BFS_SEED,)], "node string")
+    levels = [seed.select("node", F.lit(0).alias("d"))]
+    frontier = seed
+    for depth in range(1, _BFS_MAX_HOPS + 1):
+        # per-level aliases: each level re-joins the same cached edge
+        # relation, which is a self-join from Catalyst's view
+        e = edges.alias(f"e{depth}")
+        frontier = (
+            frontier.alias("f")
+            .join(e, F.col("f.node") == F.col(f"e{depth}.src"))
+            .select(F.col(f"e{depth}.dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.select("node", F.lit(depth).alias("d")))
+    all_levels = levels[0]
+    for lv in levels[1:]:
+        all_levels = all_levels.unionByName(lv)
+    return all_levels.groupBy("node").agg(F.min("d").cast("int").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the stable co-purchase graph.
+# ---------------------------------------------------------------------------
+
+_TRI_MIN_SUPPORT = 2
+
+_TRI_ORACLE = f"""
+WITH co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         COUNT(DISTINCT a.l_orderkey) AS support
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT})
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.pa = e1.pb
+JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+"""
+
+
+@query("triangle_count", oracle=_TRI_ORACLE)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the stable co-purchase graph (parts bought
+    together in >= {_TRI_MIN_SUPPORT} distinct orders) — the standard
+    graph-cohesion metric, counted by oriented wedge closure.
+
+    Scale shape: edges are ORIENTED (pa < pb), so each triangle is
+    counted exactly once and the wedge join from each node enumerates
+    only its higher-id neighbors — about a quarter of the naive wedge
+    volume (at production scale the orientation key is DEGREE, which
+    provably bounds wedge work at O(|E|^1.5); id order is its
+    deterministic stand-in here). The support filter prunes the long
+    tail of one-off co-occurrences BEFORE the quadratic wedge step —
+    the same filter-before-explode discipline as the LSH dedup family."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("support"))
+        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    e1, e2, e3 = co.alias("e1"), co.alias("e2"), co.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = co.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.join(tri).select("n_edges", "n_triangles")

@@ -103,3 +103,49 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rule", F.col("violations").cast("bigint").alias("violations"))
         .orderBy("rule")
     )
+
+
+_K_ANON = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS acctbal_band,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) < {_K_ANON} AS violates_k
+    FROM customer
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation, market
+    segment, account-balance band): group sizes below k={_K_ANON} are
+    re-identification risks that a privacy-preserving release must
+    suppress or generalize — the privacy-side sibling of the PII
+    redaction pass (operators/curation.py pii_redact).
+
+    Scale shape: one hash aggregate on the QI tuple with map-side
+    partial counts; the violation flag is a projection on the group
+    row. Generalization loops (coarsen bands until all groups pass)
+    re-run only this aggregate with a wider band divisor."""
+    cu = load(spark, sf_dir, "customer")
+    return (
+        cu.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000.0).cast("bigint").alias("acctbal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "acctbal_band",
+            "group_size",
+            (F.col("group_size") < _K_ANON).alias("violates_k"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment", "acctbal_band")
+    )

@@ -1137,3 +1137,161 @@ def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join, remaining directions (pandas merge_asof parity: backward
+# is join_asof, tolerance is join_asof_tolerance; these add forward and
+# nearest). Same single-shuffle union-and-edge-value formulation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS krank
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    x AS (
+      SELECT t.*,
+             FIRST_VALUE(CASE WHEN krank = 1 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, krank, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS click_id
+      FROM t
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, click_id
+    FROM x WHERE krank = 0
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: the EARLIEST click at-or-after each purchase
+    (pandas ``merge_asof(direction='forward')``) — the attribution
+    mirror image of ``join_asof``. Purchases sort before same-timestamp
+    clicks (krank 0 < 1) so "at or after" includes ties.
+
+    Scale shape: identical to the backward form — one user_id shuffle,
+    one window pass with a forward frame, no join blowup; the candidate
+    set never materializes."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0)).alias("krank"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "krank", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    first_click = F.first(
+        F.when(F.col("krank") == 1, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("click_id", first_click)
+        .filter(F.col("krank") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+        )
+    )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS krank
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    x AS (
+      SELECT t.*,
+             LAST_VALUE(CASE WHEN krank = 1 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, 1 - krank, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS back_id,
+             LAST_VALUE(CASE WHEN krank = 1 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, 1 - krank, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS back_ts,
+             FIRST_VALUE(CASE WHEN krank = 1 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, 1 - krank, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS fwd_id,
+             FIRST_VALUE(CASE WHEN krank = 1 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, 1 - krank, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS fwd_ts
+      FROM t
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE
+             WHEN back_id IS NULL THEN fwd_id
+             WHEN fwd_id IS NULL THEN back_id
+             WHEN ts - back_ts <= fwd_ts - ts THEN back_id
+             ELSE fwd_id
+           END AS click_id
+    FROM x WHERE krank = 0
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: the click temporally CLOSEST to each
+    purchase, either side; backward wins distance ties (pandas
+    ``merge_asof(direction='nearest')``). Clicks sort before
+    same-timestamp purchases in BOTH frames (1 - krank), so an exact-tie
+    click is the backward candidate at distance zero.
+
+    Scale shape: still one user_id shuffle; both directional candidates
+    come from two frames over the SAME window sort, then a projection
+    picks the closer — no range join, no candidate materialization."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0)).alias("krank"),
+    )
+    order = [F.col("ts"), (1 - F.col("krank")), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_click = F.col("krank") == 1
+    back_id = F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(wb)
+    back_ts = F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(wb)
+    fwd_id = F.first(F.when(is_click, F.col("event_id")), ignorenulls=True).over(wf)
+    fwd_ts = F.first(F.when(is_click, F.col("ts")), ignorenulls=True).over(wf)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return (
+        tagged.withColumn("back_id", back_id)
+        .withColumn("back_ts", back_ts)
+        .withColumn("fwd_id", fwd_id)
+        .withColumn("fwd_ts", fwd_ts)
+        .filter(F.col("krank") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(F.col("back_id").isNull(), F.col("fwd_id"))
+            .when(F.col("fwd_id").isNull(), F.col("back_id"))
+            .when(
+                us(F.col("ts")) - us(F.col("back_ts"))
+                <= us(F.col("fwd_ts")) - us(F.col("ts")),
+                F.col("back_id"),
+            )
+            .otherwise(F.col("fwd_id"))
+            .alias("click_id"),
+        )
+    )

@@ -649,3 +649,128 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.aggregate("q", F.lit(0).cast("long"), lambda acc, c: acc + c).alias("q_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity via inverted-index join.
+# ---------------------------------------------------------------------------
+
+_SPARSE_DF_CAP = 20  # rare-term posting-list cap (discriminative subspace)
+_SPARSE_TOP = 3
+
+_SPARSE_PSUM = "CAST(CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
+
+_SPARSE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok WHERE LENGTH(token) > 2
+  GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+w AS (
+  SELECT tf.doc_id, tf.token, tf.tf * (n.n_docs / df.df) AS w
+  FROM tf JOIN df USING (token) CROSS JOIN n
+  WHERE df.df <= {_SPARSE_DF_CAP}
+),
+norms AS (
+  SELECT doc_id, SQRT({_SPARSE_PSUM.format(x='w * w')}) AS nrm
+  FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         {_SPARSE_PSUM.format(x='a.w * b.w')} AS dot,
+         CAST(COUNT(*) AS BIGINT) AS shared_terms
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, sim, shared_terms FROM (
+  SELECT d1, d2, dot / (n1.nrm * n2.nrm) AS sim, shared_terms,
+         ROW_NUMBER() OVER (PARTITION BY d1
+                            ORDER BY dot / (n1.nrm * n2.nrm) DESC, d2) AS rn
+  FROM dots
+  JOIN norms n1 ON n1.doc_id = d1
+  JOIN norms n2 ON n2.doc_id = d2
+)
+WHERE rn <= {_SPARSE_TOP}
+"""
+
+
+@query("sim_sparse_tfidf", oracle=_SPARSE_ORACLE)
+def sim_sparse_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_SPARSE_TOP} most similar documents per document by sparse
+    TF-IDF cosine over the DISCRIMINATIVE term subspace (rational idf;
+    terms with df <= {_SPARSE_DF_CAP}), candidates generated by an
+    inverted-index self-join — the classic sparse-vector similarity
+    engine (BM25/TF-IDF retrieval's scoring core) as a declarative
+    plan, complementing the dense-embedding family (sim_topk/
+    sim_lsh_ann/sim_ivf).
+
+    Scale shape: the posting-list CAP is the whole game — joining on
+    a stopword's posting list is |corpus|² ; capping df bounds
+    per-token fanout at C({_SPARSE_DF_CAP},2) pairs, so the join is
+    O(vocab · cap²) regardless of corpus size (the common-term mass
+    that the cap drops is exactly the mass idf already downweights to
+    noise). Norms are computed over the same subspace, so the metric
+    is self-consistent. All sums ride the decimal accumulation policy
+    for cross-engine bit-exactness."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 2)
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    w = (
+        tf.join(df, "token")
+        .filter(F.col("df") <= _SPARSE_DF_CAP)
+        .join(F.broadcast(n))
+        .select(
+            "doc_id", "token", (F.col("tf") * (F.col("n_docs") / F.col("df"))).alias("w")
+        )
+    )
+
+    def _psum(col):
+        return F.sum(col.cast("decimal(18,6)")).cast("double")
+
+    norms = w.groupBy("doc_id").agg(_psum(F.col("w") * F.col("w")).alias("sq"))
+    norms = norms.select("doc_id", F.sqrt("sq").alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(
+            _psum(F.col("a.w") * F.col("b.w")).alias("dot"),
+            F.count(F.lit(1)).alias("shared_terms"),
+        )
+    )
+    n1 = norms.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("nrm1"))
+    n2 = norms.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nrm2"))
+    scored = (
+        dots.join(n1, "d1")
+        .join(n2, "d2")
+        .select(
+            "d1", "d2",
+            (F.col("dot") / (F.col("nrm1") * F.col("nrm2"))).alias("sim"),
+            "shared_terms",
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("d1").orderBy(F.desc("sim"), F.asc("d2"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= _SPARSE_TOP)
+        .select("d1", "d2", "sim", "shared_terms")
+    )
