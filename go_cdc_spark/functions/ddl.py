@@ -45,6 +45,18 @@ _ADD_RE = re.compile(
     r"^ADD\s+(?:COLUMN\s+)?`?([\w$]+)`?\s+([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
     re.IGNORECASE,
 )
+# DEFAULT literal inside an ADD clause: quoted string ('' escapes),
+# NULL, booleans, numbers. CURRENT_TIMESTAMP-family defaults are
+# matched so they can be REFUSED: MySQL stamps existing rows with the
+# DDL execution time, which a replayed changelog cannot reproduce —
+# guessing would diverge from the source table.
+_DEFAULT_RE = re.compile(
+    r"\bDEFAULT\s+('(?:[^']|'')*'"
+    r"|NULL\b|TRUE\b|FALSE\b"
+    r"|[-+]?\d+(?:\.\d+)?"
+    r"|CURRENT_TIMESTAMP(?:\s*\(\d*\))?|NOW\s*\(\))",
+    re.IGNORECASE,
+)
 _DROP_RE = re.compile(r"^DROP\s+(?:COLUMN\s+)?`?([\w$]+)`?\s*$", re.IGNORECASE)
 _RENAME_COL_RE = re.compile(
     r"^RENAME\s+(?:COLUMN\s+)?`?([\w$]+)`?\s+TO\s+`?([\w$]+)`?\s*$",
@@ -112,9 +124,33 @@ def mysql_to_spark_type(decl: str) -> T.DataType:
     raise UnsupportedDdl(f"unmapped MySQL type {base!r}")
 
 
+def _parse_default(clause: str):
+    """The DEFAULT literal of an ADD clause as a Python value, or None
+    when absent (or explicitly NULL — same effect). Time-derived
+    defaults are refused, not guessed (see _DEFAULT_RE note)."""
+    m = _DEFAULT_RE.search(clause)
+    if not m:
+        return None
+    lit = m.group(1)
+    up = lit.upper()
+    if up.startswith("CURRENT_TIMESTAMP") or up.startswith("NOW"):
+        raise UnsupportedDdl(
+            f"time-derived DEFAULT {lit!r}: existing-row backfill would "
+            "need the source's DDL execution time, which replay cannot "
+            "reproduce"
+        )
+    if up == "NULL":
+        return None
+    if up in ("TRUE", "FALSE"):
+        return up == "TRUE"
+    if lit.startswith("'"):
+        return lit[1:-1].replace("''", "'")
+    return float(lit) if "." in lit else int(lit)
+
+
 def parse_alter(query: str):
     """Parse an ALTER TABLE statement into
-    ``(table, [("add", name, type) | ("drop", name), ...])``.
+    ``(table, [("add", name, type, default) | ("drop", name), ...])``.
     Returns ``None`` for non-ALTER DDL (CREATE/DROP TABLE/TRUNCATE are
     table-lifecycle events the materializer handles elsewhere)."""
     m = _ALTER_RE.match(query.strip().rstrip(";"))
@@ -153,7 +189,14 @@ def parse_alter(query: str):
             continue
         add = _ADD_RE.match(clause)
         if add and add.group(1).lower() not in _NONCOLUMN:
-            actions.append(("add", add.group(1), mysql_to_spark_type(add.group(2))))
+            actions.append(
+                (
+                    "add",
+                    add.group(1),
+                    mysql_to_spark_type(add.group(2)),
+                    _parse_default(clause),
+                )
+            )
             continue
         drop = _DROP_RE.match(clause)
         if drop and drop.group(1).lower() not in _NONCOLUMN:

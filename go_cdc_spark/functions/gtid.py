@@ -132,6 +132,37 @@ class GtidSet:
             merged[uuid] = self._ranges.get(uuid, []) + other._ranges.get(uuid, [])
         return GtidSet(merged)
 
+    def subtract(self, other: GtidSet) -> GtidSet:
+        """Ranges in ``self`` not covered by ``other`` — the GTID-set
+        difference every real replication client needs at attach time:
+        ``source_executed - our_watermark`` = transactions we still
+        have to read, and ``our_watermark - source_available`` non-empty
+        means the source PURGED binlogs we never saw (resync required,
+        not resumable). Pure interval arithmetic, O(ranges)."""
+        out: dict[str, list[tuple[int, int]]] = {}
+        for uuid, rs in self._ranges.items():
+            theirs = other._ranges.get(uuid, [])
+            remaining: list[tuple[int, int]] = []
+            for start, end in rs:
+                segments = [(start, end)]
+                for ts, te in theirs:
+                    nxt: list[tuple[int, int]] = []
+                    for s, e in segments:
+                        if te < s or ts > e:  # disjoint
+                            nxt.append((s, e))
+                            continue
+                        if s < ts:
+                            nxt.append((s, ts - 1))
+                        if te < e:
+                            nxt.append((te + 1, e))
+                    segments = nxt
+                    if not segments:
+                        break
+                remaining.extend(segments)
+            if remaining:
+                out[uuid] = self._normalize(remaining)
+        return GtidSet(out)
+
     # -- queries -------------------------------------------------------
 
     def covers(self, uuid: str, gno: int) -> bool:
@@ -216,3 +247,38 @@ def gtid_covers_column(pos: Column, gtid_json: str) -> Column:
         return series.map(one)
 
     return _covers(pos)
+
+
+class PurgedBinlogError(RuntimeError):
+    """The source purged transactions the watermark never covered —
+    the changelog has a hole that replay cannot fill; only a fresh full
+    snapshot repairs it."""
+
+    def __init__(self, missing: GtidSet):
+        self.missing = missing
+        super().__init__(
+            "source purged binlog transactions never applied here "
+            f"(resync required): {missing}"
+        )
+
+
+def attach_check(
+    watermark: GtidSet,
+    source_executed: GtidSet,
+    source_purged: GtidSet | None = None,
+) -> GtidSet:
+    """Replication attach-time safety check (the step the reference's
+    `StartSyncGTID` delegates to the server, made explicit): given OUR
+    per-source watermark and the source's ``gtid_executed`` /
+    ``gtid_purged``, return the still-to-read set, and refuse to attach
+    when the source purged transactions we never applied — resuming
+    past a purged hole silently loses rows, the one failure mode a CDC
+    pipeline must never absorb.
+
+    Resumable  ⇔  purged ⊆ watermark.  To-read = executed − watermark.
+    """
+    if source_purged is not None:
+        missing = source_purged.subtract(watermark)
+        if missing._ranges:
+            raise PurgedBinlogError(missing)
+    return source_executed.subtract(watermark)

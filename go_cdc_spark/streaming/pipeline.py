@@ -112,6 +112,11 @@ class StreamingMaterializer:
         self.table = table
         self.quarantine_path = quarantine_path
         self._pending_renames: dict[str, tuple[str, object]] = {}
+        # ADD COLUMN ... DEFAULT backfill: pending = this batch's state
+        # rewrite, persisted defaults = decode fallback for late events
+        # whose images predate the column (gate-released, replayed)
+        self._pending_defaults: dict[str, object] = {}
+        self._defaults: dict[str, object] = {}
         # rename history (new→old), persisted beside the state: decode
         # fallback must survive restarts because the txn gate can
         # release PRE-rename row events long after the rename batch
@@ -119,7 +124,12 @@ class StreamingMaterializer:
         self._aliases: dict[str, str] = {}
         if os.path.exists(self._alias_path):
             with open(self._alias_path) as fh:
-                self._aliases = json.load(fh)
+                stored = json.load(fh)
+            if isinstance(stored, dict) and "aliases" in stored:
+                self._aliases = stored["aliases"]
+                self._defaults = stored.get("defaults", {})
+            else:  # legacy flat alias map
+                self._aliases = stored
         storeio.recover(state_path)
         if not os.path.exists(state_path):
             init = snapshot.withColumn(
@@ -155,7 +165,21 @@ class StreamingMaterializer:
                 col = F.coalesce(col, F.col("data").getItem(old))
             if f.name in self.keys:
                 col = F.coalesce(col, F.col("before").getItem(f.name))
-            cols.append(decode_image_value(col, f.dataType).alias(f.name))
+            decoded = decode_image_value(col, f.dataType)
+            dflt = self._defaults.get(f.name)
+            if dflt is not None and f.name not in self.keys:
+                # an image that predates the column (no such map KEY —
+                # distinct from an explicit NULL value) reads the ADD
+                # DEFAULT, like a row the source never rewrote
+                present = F.map_contains_key(F.col("data"), F.lit(f.name))
+                for old in self._alias_chain(f.name):
+                    present = present | F.map_contains_key(
+                        F.col("data"), F.lit(old)
+                    )
+                decoded = F.when(
+                    F.coalesce(present, F.lit(False)), decoded
+                ).otherwise(F.lit(dflt).cast(f.dataType))
+            cols.append(decoded.alias(f.name))
         return batch.select(
             *cols, F.col("pos").alias(POS_COL), F.col("op").alias(OP_COL)
         )
@@ -197,6 +221,16 @@ class StreamingMaterializer:
                         # the old name in their images
                         self._aliases[act[2]] = act[1]
                         self._save_aliases()
+                    if act[0] == "add" and len(act) > 3 and act[3] is not None:
+                        # DEFAULT literal: backfill existing state rows
+                        # this batch, and keep the value as a decode
+                        # fallback for images that predate the column
+                        self._pending_defaults[act[1]] = act[3]
+                        self._defaults[act[1]] = act[3]
+                        self._save_aliases()
+                    if act[0] == "drop":
+                        if self._defaults.pop(act[1], None) is not None:
+                            self._save_aliases()
                     if act[0] == "add" and (
                         act[1] in self._aliases
                         or act[1] in self._aliases.values()
@@ -222,7 +256,7 @@ class StreamingMaterializer:
 
     def _save_aliases(self) -> None:
         with open(self._alias_path, "w") as fh:
-            json.dump(self._aliases, fh)
+            json.dump({"aliases": self._aliases, "defaults": self._defaults}, fh)
 
     def _alias_chain(self, name: str) -> list[str]:
         """Historical names for ``name``, oldest last (follows chained
@@ -258,6 +292,14 @@ class StreamingMaterializer:
                 old = new_from_old.get(old)
             if old is not None and old in have:
                 return F.col(old).cast(f.dataType).alias(f.name)
+            if f.name in self._pending_defaults:
+                # ADD COLUMN ... DEFAULT v: MySQL surfaces v on existing
+                # rows; mirror that one-time backfill here
+                return (
+                    F.lit(self._pending_defaults[f.name])
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
             return F.lit(None).cast(f.dataType).alias(f.name)
 
         return state.select(
@@ -315,6 +357,7 @@ class StreamingMaterializer:
         )
         storeio.swap_in(merged, self.state_path)
         self._pending_renames = {}  # the write persisted the new names
+        self._pending_defaults = {}  # backfill is one-time, now in state
         if self.meta is not None:
             # A21: advance the per-table watermark to the batch max pos
             top = changes.agg(F.max("pos").alias("p")).first().p

@@ -109,3 +109,31 @@ def test_gtid_covers_column(spark):
         ).collect()
     ]
     assert got == [True, False, True, False, False]
+
+
+def test_subtract_interval_arithmetic():
+    a = GtidSet.parse("u1:1-10,u2:5-8")
+    b = GtidSet.parse("u1:3-4:7,u3:1-9")
+    d = a.subtract(b)
+    assert str(d) == "u1:1-2:5-6:8-10,u2:5-8"
+    # total overlap -> empty; empty - x -> empty
+    assert str(a.subtract(a)) == ""
+    assert str(GtidSet().subtract(a)) == ""
+    # adjacent-but-disjoint stays whole
+    assert str(GtidSet.parse("u1:5-9").subtract(GtidSet.parse("u1:1-4"))) == "u1:5-9"
+
+
+def test_attach_check_resumable_and_purged():
+    from go_cdc_spark.functions.gtid import PurgedBinlogError, attach_check
+
+    watermark = GtidSet.parse("u1:1-100")
+    executed = GtidSet.parse("u1:1-150")
+    # purged range fully applied here -> resumable, to-read = the gap
+    to_read = attach_check(watermark, executed, GtidSet.parse("u1:1-80"))
+    assert str(to_read) == "u1:101-150"
+    # source purged past our watermark -> refuse with the exact hole
+    with pytest.raises(PurgedBinlogError) as ei:
+        attach_check(watermark, executed, GtidSet.parse("u1:1-120"))
+    assert str(ei.value.missing) == "u1:101-120"
+    # no purged info -> plain difference
+    assert str(attach_check(watermark, executed)) == "u1:101-150"

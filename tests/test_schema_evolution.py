@@ -305,3 +305,61 @@ def test_chained_renames_one_batch_carry_state_data(spark, tmp_path):
     assert out[1].fn == "alice" and out[2].fn == "bob"
     assert out[3].fn == "carol"
     assert set(mat.read_table().columns) == {"id", "fn"}
+
+
+def test_parse_add_column_default_literals():
+    t, actions = parse_alter(
+        "ALTER TABLE accounts ADD COLUMN note varchar(40) DEFAULT 'n/a', "
+        "ADD score int DEFAULT 5, ADD ratio double DEFAULT 2.5, "
+        "ADD ok tinyint(1) DEFAULT TRUE, ADD extra text DEFAULT NULL, "
+        "ADD plain text"
+    )
+    assert t == "accounts"
+    by_name = {a[1]: a for a in actions}
+    assert by_name["note"][3] == "n/a"
+    assert by_name["score"][3] == 5
+    assert by_name["ratio"][3] == 2.5
+    assert by_name["ok"][3] is True
+    assert by_name["extra"][3] is None  # explicit NULL = no default
+    assert by_name["plain"][3] is None
+    # quoted-quote escape
+    _, a2 = parse_alter("ALTER TABLE t ADD c varchar(9) DEFAULT 'it''s'")
+    assert a2[0][3] == "it's"
+
+
+def test_parse_time_derived_default_refused():
+    with pytest.raises(UnsupportedDdl, match="time-derived"):
+        parse_alter("ALTER TABLE t ADD c datetime DEFAULT CURRENT_TIMESTAMP")
+    with pytest.raises(UnsupportedDdl, match="time-derived"):
+        parse_alter("ALTER TABLE t ADD c datetime DEFAULT NOW()")
+
+
+def test_add_column_default_backfills_and_decodes(spark, tmp_path):
+    """ADD COLUMN ... DEFAULT: existing rows backfill the literal (the
+    MySQL instant-DDL surface), post-DDL images missing the column read
+    it too, and explicit values (including those equal to the default)
+    win. Defaults survive restart via the persisted sidecar."""
+    seg = tmp_path / "seg"
+    _write_segment(seg, "s1.json", [
+        _ev("ddl", 110,
+            query="ALTER TABLE accounts ADD COLUMN tier varchar(8) DEFAULT 'basic'",
+            minute=1),
+        _ev("insert", 120, id_=3, data={"name": "carol", "tier": "gold"}, minute=2),
+        _ev("insert", 130, id_=4, data={"name": "dave"}, minute=3),  # image lacks tier
+    ])
+    mat = _mat(spark, tmp_path)
+    _run(mat, spark, seg, tmp_path / "ckpt")
+
+    out = {r.id: r for r in mat.read_table().collect()}
+    assert out[1].tier == "basic" and out[2].tier == "basic"  # backfilled
+    assert out[3].tier == "gold"    # explicit value wins
+    assert out[4].tier == "basic"   # post-DDL image without the column
+
+    # restart from the ORIGINAL snapshot: evolved schema + defaults hold
+    mat2 = _mat(spark, tmp_path)
+    _write_segment(seg, "s2.json", [
+        _ev("insert", 140, id_=5, data={"name": "eve"}, minute=4),
+    ])
+    _run(mat2, spark, seg, tmp_path / "ckpt")
+    out2 = {r.id: r for r in mat2.read_table().collect()}
+    assert out2[5].tier == "basic"
