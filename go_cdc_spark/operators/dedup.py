@@ -236,18 +236,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH fp AS (
         SELECT doc_id,
                list_distinct(__SHINGLES) AS shset,
                list_aggregate(list_transform(__SHINGLES, s -> md5(s)), 'min') AS bucket
         FROM documents
+    ),
+    bstat AS (
+        SELECT bucket, MIN(doc_id) AS hub, COUNT(*) AS n FROM fp GROUP BY bucket
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, a.shset AS sha, b.doc_id AS doc_b, b.shset AS shb
+        FROM fp a
+        JOIN fp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        JOIN bstat s ON s.bucket = a.bucket
+        WHERE s.n <= {BUCKET_PAIR_CAP}
+        UNION ALL
+        SELECT h.doc_id, h.shset, x.doc_id, x.shset
+        FROM fp x
+        JOIN bstat s ON s.bucket = x.bucket
+        JOIN fp h ON h.bucket = s.bucket AND h.doc_id = s.hub
+        WHERE s.n > {BUCKET_PAIR_CAP} AND x.doc_id != s.hub
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-               / (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) AS jaccard
-    FROM fp a
-    JOIN fp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+               / (len(sha) + len(shb) - len(list_intersect(sha, shb))) AS jaccard
+    FROM pairs
     """.replace("__SHINGLES", _SQL_SHINGLES),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,14 +284,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5("s")).alias("bucket"),
         )
     )
-    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"), "bucket")
-    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"), "bucket")
-    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
-    union = F.size("sha") + F.size("shb") - inter
-    return (
+    # same mega-cluster guard as dedup_minhash_lsh: identical docs share
+    # the min-shingle bucket, so all-pairs there is quadratic in the
+    # duplicate-cluster size — hub-link past BUCKET_PAIR_CAP (mirrored
+    # in the oracle, so the gate holds at any scale)
+    bstat = fp.groupBy("bucket").agg(
+        F.min("doc_id").alias("hub"), F.count(F.lit(1)).alias("n")
+    )
+    fps = fp.join(bstat, "bucket")
+    small = fps.filter(F.col("n") <= BUCKET_PAIR_CAP)
+    a = small.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"), "bucket")
+    b = small.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"), "bucket")
+    pairs_small = (
         a.join(b, "bucket")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        .select("doc_a", "sha", "doc_b", "shb")
+    )
+    hubs = fps.filter(F.col("doc_id") == F.col("hub")).select(
+        "bucket", F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha")
+    )
+    pairs_hub = (
+        fps.filter((F.col("n") > BUCKET_PAIR_CAP) & (F.col("doc_id") != F.col("hub")))
+        .select("bucket", F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"))
+        .join(hubs, "bucket")
+        .select("doc_a", "sha", "doc_b", "shb")
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size("sha") + F.size("shb") - inter
+    return pairs_small.unionByName(pairs_hub).select(
+        "doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard")
     )
 
 

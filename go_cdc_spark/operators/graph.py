@@ -235,8 +235,11 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-level aliases: each level re-joins the same cached edge
         # relation, which is a self-join from Catalyst's view
         e = edges.alias(f"e{depth}")
+        # frontier is |V|-bounded (tiny next to edges): broadcast it so
+        # each level is a map-side hash join over the cached edge
+        # partitions instead of a shuffle of both sides
         frontier = (
-            frontier.alias("f")
+            F.broadcast(frontier.alias("f"))
             .join(e, F.col("f.node") == F.col(f"e{depth}.src"))
             .select(F.col(f"e{depth}.dst").alias("node"))
             .distinct()

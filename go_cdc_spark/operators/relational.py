@@ -1295,3 +1295,69 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("click_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands over a key sequence.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seq_gaps_islands",
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    marked AS (
+      SELECT k,
+             CASE WHEN k - LAG(k) OVER (ORDER BY k) = 1 THEN 0 ELSE 1 END
+               AS is_start
+      FROM k
+    ),
+    islands AS (
+      SELECT k,
+             CAST(SUM(is_start) OVER (ORDER BY k
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+      FROM marked
+    )
+    SELECT island_id,
+           MIN(k) AS island_start,
+           MAX(k) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS island_len
+    FROM islands
+    GROUP BY island_id
+    ORDER BY island_start
+    """,
+)
+def seq_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous runs of the order-key sequence (and
+    thereby the gaps between them) — the classic sequence-integrity
+    audit a replication engine runs to spot lost ranges (a dropped
+    chunk leaves a hole; `chunk_predicates`' gap/overlap-free property
+    is the preventive twin of this detective control).
+
+    Scale shape: the lag-mark + running-sum island assignment orders by
+    the GLOBAL key, so this window is the one legitimately
+    single-direction pass; Spark range-partitions the sort, and the
+    island aggregate that follows is co-keyed. For 100 TB run it per
+    key-range partition (the chunk boundaries) and stitch ends — the
+    per-partition form is the same plan with a partitionBy prefix."""
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k")).distinct()
+    w_lag = Window.orderBy("k")
+    marked = o.select(
+        "k",
+        F.when(F.col("k") - F.lag("k").over(w_lag) == 1, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("is_start"),
+    )
+    w_sum = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = marked.select(
+        "k", F.sum("is_start").over(w_sum).cast("bigint").alias("island_id")
+    )
+    return (
+        islands.groupBy("island_id")
+        .agg(
+            F.min("k").alias("island_start"),
+            F.max("k").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .orderBy("island_start")
+    )

@@ -46,6 +46,7 @@ from pyspark.sql.window import Window
 
 from ..plans.registry import query
 from ..tables import load
+from .dedup import BUCKET_PAIR_CAP as _BUCKET_PAIR_CAP
 
 DIM = 64
 N_QUERIES = 8  # query set = vec_id < 8 (deterministic, tiny → broadcast)
@@ -377,9 +378,21 @@ tb AS (
   SELECT vec_id, 0 AS tbl, {_sql_bucket("embedding", _ND_ORACLE_PLANES[0])} AS bucket FROM e
   UNION ALL
   SELECT vec_id, 1 AS tbl, {_sql_bucket("embedding", _ND_ORACLE_PLANES[1])} AS bucket FROM e
+), bstat AS (
+  SELECT tbl, bucket, MIN(vec_id) AS hub, COUNT(*) AS n
+  FROM tb GROUP BY tbl, bucket
 ), cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
-  FROM tb a JOIN tb c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+  SELECT DISTINCT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+    FROM tb a
+    JOIN tb c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+    JOIN bstat s ON s.tbl = a.tbl AND s.bucket = a.bucket
+    WHERE s.n <= {_BUCKET_PAIR_CAP}
+    UNION ALL
+    SELECT s.hub, x.vec_id
+    FROM tb x JOIN bstat s ON s.tbl = x.tbl AND s.bucket = x.bucket
+    WHERE s.n > {_BUCKET_PAIR_CAP} AND x.vec_id != s.hub
+  )
 )
 SELECT vec_a, vec_b, {_sql_cosine("ea.embedding", "eb.embedding")} AS cosine
 FROM cand
@@ -420,12 +433,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tb"),
     ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    a = tb.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
-    c = tb.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
-    cand = (
+    # mega-cluster guard (see dedup.py BUCKET_PAIR_CAP): near-identical
+    # embeddings land in the same bucket of EVERY table; hub-link past
+    # the occupancy cap, mirrored in the oracle
+    bstat = tb.groupBy("tbl", "bucket").agg(
+        F.min("vec_id").alias("hub"), F.count(F.lit(1)).alias("n")
+    )
+    tbs = tb.join(bstat, ["tbl", "bucket"])
+    small = tbs.filter(F.col("n") <= _BUCKET_PAIR_CAP)
+    a = small.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    c = small.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    all_pairs = (
         a.join(c, ["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
+    )
+    hub_pairs = (
+        tbs.filter((F.col("n") > _BUCKET_PAIR_CAP) & (F.col("vec_id") != F.col("hub")))
+        .select(F.col("hub").alias("vec_a"), F.col("vec_id").alias("vec_b"))
+    )
+    cand = (
+        all_pairs.unionByName(hub_pairs)
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -195,3 +195,38 @@ def test_stats_moments_partial_agg(spark, sf_dir):
     plan = _physical(QUERIES["stats_moments"](spark, sf_dir))
     exchange = plan.index("Exchange hashpartitioning")
     assert "HashAggregate" in plan[exchange:], "no map-side partial aggregate"
+
+
+def test_bfs_levels_broadcast_the_frontier(spark, sf_dir):
+    """Every BFS level must join the |V|-bounded frontier against the
+    cached edges as a BROADCAST join — a shuffle join per level would
+    re-exchange the edge relation four times."""
+    plan = _physical(QUERIES["bfs_distances"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+
+
+def test_triangle_support_filter_below_wedge_join(spark, sf_dir):
+    """The support>=2 filter must prune the edge relation BEFORE the
+    quadratic wedge join (filter-before-explode discipline)."""
+    plan = _physical(QUERIES["triangle_count"](spark, sf_dir))
+    wedge = plan.index("SortMergeJoin")  # first wedge join
+    below = plan[wedge:]
+    assert re.search(r"\(support#\d+L >= 2\)", below), (
+        "support filter not below the wedge join"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_sparse_tfidf_no_cartesian(spark, sf_dir):
+    """The posting-list self-join must stay an equi-join on token —
+    a cartesian product here is the |corpus|^2 wall."""
+    plan = _physical(QUERIES["sim_sparse_tfidf"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+    
+def test_asof_nearest_single_exchange(spark, sf_dir):
+    """Both directional frames must ride ONE user_id exchange — the
+    sort order is shared, so a second exchange means the window specs
+    diverged."""
+    plan = _physical(QUERIES["join_asof_nearest"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:1500]

@@ -70,6 +70,14 @@ def _skew_copy(t, c):
         return c.crossJoin(F.broadcast(hot_text.withColumnRenamed("text", "__hot"))).select(
             "doc_id", F.col("__hot").alias("text"), "lang", "source", "n_chars"
         )
+    if t == "embeddings":
+        hot_vec = c.orderBy("vec_id").limit(1).select(
+            F.col("embedding").alias("__hot")
+        )
+        others = [x for x in c.columns if x not in ("vec_id", "embedding")]
+        return c.crossJoin(F.broadcast(hot_vec)).select(
+            "vec_id", F.col("__hot").alias("embedding"), *others
+        )
     return c
 
 
