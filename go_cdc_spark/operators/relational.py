@@ -1361,3 +1361,111 @@ def seq_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("island_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning: build a compact bitmap over the key
+# side, probe it MAP-SIDE on the fact side before any shuffle, then
+# exact-verify. The explicit, engine-portable form of the runtime
+# filter Spark itself injects when
+# spark.sql.optimizer.runtime.bloomFilter.enabled fires — made a
+# first-class operator so the pruning applies regardless of optimizer
+# heuristics (and so the plan shape can be pinned in tests).
+#
+# Scale story (100 TB): the key side may hold far too many keys to
+# broadcast as a hash relation, but the bitmap is FIXED SIZE
+# (BLOOM_BITS/64 longs ≈ 8 KiB here; a few MiB at billions of keys)
+# no matter how many keys fold into it — bit_or is a map-side-partial
+# aggregate. The fact scan then drops non-matching rows inside the
+# scan stage, so the exact semi-join that follows shuffles only
+# (true matches + false positives) instead of the whole fact table.
+# With m/n = 24 bits/key and k = 3 the false-positive rate is ~1.5%.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 16  # m: bitmap bits (power of two)
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_SEEDS = (0, 1, 2)  # k independent xxhash64 seeds
+
+
+def bloom_bitmap(keys: DataFrame, key: str) -> DataFrame:
+    """1-row DataFrame holding the bloom bitmap as array<bigint> of
+    length _BLOOM_WORDS. Distributed end-to-end: explode k positions
+    per key, OR the word masks (map-side partials), assemble the dense
+    array from a map — no driver round-trip, no collect."""
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(_BLOOM_BITS))
+                    for s in _BLOOM_SEEDS
+                ]
+            )
+        ).alias("pos")
+    )
+    words = pos.select(
+        F.shiftright("pos", 6).cast("int").alias("word"),
+        F.expr("shiftleft(1L, int(pos % 64))").alias("mask"),
+    ).groupBy("word").agg(F.bit_or("mask").alias("mask"))
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_WORDS - 1)),
+            lambda i: F.coalesce(F.try_element_at("m", i), F.lit(0).cast("long")),
+        ).alias("bloom_words")
+    )
+
+
+def bloom_probe(key_sql: str) -> Column:
+    """Boolean Column: all k bloom bits set for this key (requires the
+    1-row bitmap crossJoined in as ``bloom_words``). Pure codegen
+    expressions — array subscript + shifts, no join per seed."""
+    conds = []
+    for s in _BLOOM_SEEDS:
+        p = f"pmod(xxhash64({key_sql}, {s}), {_BLOOM_BITS})"
+        conds.append(
+            f"((shiftright(bloom_words[int(shiftright({p}, 6))], int({p} % 64)) & 1) = 1)"
+        )
+    return F.expr(" AND ".join(conds))
+
+
+@query(
+    "join_bloom_prune",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order revenue through a bloom-pruned semi-join: bitmap of
+    urgent orderkeys (fixed 8 KiB) → map-side probe inside the lineitem
+    scan stage → exact semi-join over the survivors only. Result is
+    identical to the plain semi-join (bloom has no false negatives and
+    the exact join removes false positives) — the oracle runs the plain
+    form."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    pruned = (
+        li.select("l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice")
+        .crossJoin(F.broadcast(bloom_bitmap(urgent, "o_orderkey")))
+        .filter(bloom_probe("l_orderkey"))
+    )
+    return (
+        pruned.join(
+            F.broadcast(urgent), pruned.l_orderkey == urgent.o_orderkey, "left_semi"
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -13,6 +13,7 @@ from ..operators import (  # noqa: F401  (registers on import)
     multimodal,
     quality,
     relational,
+    sampling,
     semistruct,
     similarity,
     skew,

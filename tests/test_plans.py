@@ -230,3 +230,18 @@ def test_asof_nearest_single_exchange(spark, sf_dir):
     diverged."""
     plan = _physical(QUERIES["join_asof_nearest"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:1500]
+
+
+def test_bloom_prune_probe_is_map_side(spark, sf_dir):
+    """join_bloom_prune's bitmap probe must run BELOW the aggregation
+    exchange (inside the fact-side map stage): the fact table reaches
+    its only hash-partitioned shuffle already pruned, and both the
+    bitmap and the exact verify side arrive via broadcast — no
+    fact-side shuffle before the filter."""
+    plan = _physical(QUERIES["join_bloom_prune"](spark, sf_dir))
+    exchange = plan.index("Exchange hashpartitioning(l_returnflag")
+    probe = plan.index("bloom_words")
+    assert probe > exchange, "bloom probe above the agg exchange:\n" + plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    semi = plan.index("BroadcastHashJoin [l_orderkey")
+    assert semi > exchange, plan
