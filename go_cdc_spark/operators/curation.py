@@ -813,3 +813,64 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-model quality proxy: corpus bigram statistics per document.
+# The cheap stand-in for perplexity-based quality filtering (the
+# CCNet/KenLM stage of public LLM pipelines): documents whose word
+# bigrams are rare in the corpus read as noise/garbled/off-domain.
+# Rational-arithmetic only — a real LM emits log-probs, and ln() is
+# 1-ulp engine-dependent (see functions guide), so the score here is
+# the mean corpus frequency of the document's bigrams plus the share
+# of rare bigrams: same ranking power for filtering, bit-exact in
+# both engines (integer sums through ONE IEEE division each).
+#
+# Scale shape: explode bigrams → count per bigram (map-side partials
+# collapse the skew: bigram frequency follows Zipf, but partial
+# aggregation bounds any one reducer's hot key) → join the counts
+# back → per-doc rollup keyed by unique doc_id. Two shuffles of the
+# exploded corpus — the inherent cost of any corpus-LM scoring pass;
+# at 100 TB the bigram count table itself can be df-capped/broadcast
+# once vocabulary saturates.
+# ---------------------------------------------------------------------------
+
+_LM_BIGRAM_ORACLE = f"""
+WITH bg AS (
+    SELECT doc_id, unnest({_sql_shingles(2)}) AS bg FROM documents
+),
+c AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_bigram_count,
+       CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS rare_share
+FROM bg JOIN c USING (bg)
+GROUP BY doc_id
+"""
+
+
+@query("lm_bigram_score", oracle=_LM_BIGRAM_ORACLE)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per document, the mean corpus
+    frequency of its word bigrams and the share of rare (≤2
+    occurrences) bigrams. Low mean / high rare-share flags unusual
+    text the way high LM perplexity does, without engine-dependent
+    logarithms."""
+    docs = load(spark, sf_dir, "documents")
+    bg = docs.select("doc_id", F.explode(shingles_col(n=2)).alias("bg"))
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_bigram_count"
+            ),
+            (
+                F.sum(F.when(F.col("c") <= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("rare_share"),
+        )
+    )

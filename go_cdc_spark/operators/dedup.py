@@ -587,3 +587,107 @@ def dedup_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_in_window"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+# algorithm): char k-gram hashes → sliding-window minimum selection.
+# Guarantees any shared substring of length >= w + k - 1 yields at
+# least one shared selected fingerprint — SUBSTRING-level overlap
+# detection (copied passages, licence blocks, quoted chunks), which
+# whole-document minhash/simhash cannot localize. A fourth, genuinely
+# distinct near-dup family next to minhash / simhash / ngram-jaccard.
+#
+# Scale shape: fingerprint selection is MAP-SIDE ONLY (array lambdas
+# over each row's own text — interpreted, but embarrassingly parallel
+# and shuffle-free; the alternative, a position-exploded window-min,
+# would shuffle |corpus chars| rows by doc_id). Only the selected
+# fingerprints (~2/(w+1) of positions, distinct-collapsed map-side by
+# the partial aggregate) reach the one shuffle. Posting lists are
+# df-capped like sim_sparse_tfidf: fingerprints shared by > FP_DF_CAP
+# docs are boilerplate (the winnowing-literature convention) and are
+# dropped BEFORE the self-join, so the quadratic step is bounded by
+# cap² per fingerprint regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 16  # char k-gram length
+WINNOW_W = 8  # winnowing window (guarantee length = w + k - 1 = 23)
+FP_DF_CAP = 20  # posting-list cap: more docs than this ⇒ boilerplate
+WINNOW_MIN_SHARED = 2  # pairs must share at least this many fingerprints
+
+_WINNOW_ORACLE = f"""
+WITH fp AS (
+    SELECT DISTINCT doc_id, fp
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+                   j -> list_min(hs[j:j + {WINNOW_W - 1}]))) AS fp
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(length(text) - {WINNOW_K - 1}, 1) + 1),
+                       i -> CAST(concat('0x', substr(md5(substr(text, i, {WINNOW_K})), 1, 8)) AS BIGINT)) AS hs
+            FROM documents
+        ) t
+    ) u
+),
+stat AS (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp),
+keep AS (
+    SELECT f.doc_id, f.fp
+    FROM fp f JOIN stat s USING (fp)
+    WHERE s.n BETWEEN 2 AND {FP_DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM keep a JOIN keep b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+def winnow_fingerprints(text: str = "text") -> Column:
+    """Selected winnowing fingerprints for a text column, as
+    array<bigint>: k-gram hashes (first 8 md5 hex chars → 32-bit int,
+    the engine-portable hash idiom), then the minimum of each
+    w-window. The k-gram hash array is bound ONCE via the
+    single-element outer transform (the shingles_col trick) so the w
+    overlapping slices index one materialized array instead of
+    re-hashing per window."""
+    return F.expr(
+        f"""
+        element_at(transform(array(
+            transform(sequence(1, greatest(length({text}) - {WINNOW_K - 1}, 1)),
+                      i -> cast(conv(substr(md5(substr({text}, i, {WINNOW_K})), 1, 8), 16, 10) as bigint))
+        ), hs ->
+            transform(sequence(1, greatest(size(hs) - {WINNOW_W - 1}, 1)),
+                      j -> array_min(slice(hs, j, {WINNOW_W})))
+        ), 1)
+        """
+    )
+
+
+@query("dedup_winnow", oracle=_WINNOW_ORACLE)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap candidate pairs via winnowing fingerprints:
+    docs sharing >= WINNOW_MIN_SHARED selected (non-boilerplate)
+    fingerprints, with the shared count as evidence weight."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    fps = docs.select(
+        "doc_id", F.explode(winnow_fingerprints()).alias("fp")
+    ).distinct()
+    stat = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    keep = (
+        fps.join(stat, "fp")
+        .filter((F.col("n") >= 2) & (F.col("n") <= FP_DF_CAP))
+        .select("fp", "doc_id")
+    )
+    left = keep.select("fp", F.col("doc_id").alias("doc_a"))
+    right = keep.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )

@@ -149,3 +149,91 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment", "acctbal_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-drift monitor: distribution shift of event types between the
+# first and second half of the observation window (chi-square-style
+# per-category components). The replication-side early warning that
+# upstream behavior changed — schema drift's statistical sibling.
+# Rational arithmetic only: every share is ONE IEEE division of exact
+# integers and the component combines them with exact-rounded
+# +,-,*,/ in an identical expression tree on both engines — no
+# ln()/pow() (engine-dependent libm), so the output is bit-exact.
+#
+# Scale shape: one scan → map-side halves assignment (bounds arrive
+# via a 1-row broadcast) → per-type conditional aggregate (map-side
+# partials; category cardinality is tiny) → totals via a second
+# 1-row broadcast. No corpus-sized shuffle at any scale.
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+h AS (
+    SELECT event_type,
+           CASE WHEN 2 * datediff('day', d0, d) < datediff('day', d0, d1)
+                THEN 0 ELSE 1 END AS half
+    FROM ev, b
+),
+c AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM h GROUP BY event_type
+),
+t AS (
+    SELECT CAST(SUM(n_early) AS BIGINT) AS t_early,
+           CAST(SUM(n_late) AS BIGINT) AS t_late
+    FROM c
+)
+SELECT event_type, n_early, n_late,
+       CAST(n_early AS DOUBLE) / CAST(t_early AS DOUBLE) AS share_early,
+       CAST(n_late AS DOUBLE) / CAST(t_late AS DOUBLE) AS share_late,
+       (CAST(n_early AS DOUBLE) / CAST(t_early AS DOUBLE)
+          - CAST(n_late AS DOUBLE) / CAST(t_late AS DOUBLE))
+       * (CAST(n_early AS DOUBLE) / CAST(t_early AS DOUBLE)
+          - CAST(n_late AS DOUBLE) / CAST(t_late AS DOUBLE))
+       / (CAST(n_early AS DOUBLE) / CAST(t_early AS DOUBLE)
+          + CAST(n_late AS DOUBLE) / CAST(t_late AS DOUBLE)) AS chi_component
+FROM c, t
+"""
+
+
+@query("drift_chisq", oracle=_DRIFT_ORACLE)
+def drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type distribution drift between the first and second half
+    of the window: per-category counts, shares, and the chi-square
+    component (share_early - share_late)² / (share_early + share_late).
+    Categories whose component dominates drive the drift."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    b = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    halves = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(
+            2 * F.datediff(F.col("d"), F.col("d0"))
+            < F.datediff(F.col("d1"), F.col("d0")),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("half"),
+    )
+    c = halves.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_early"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_late"),
+    )
+    t = c.agg(
+        F.sum("n_early").alias("t_early"), F.sum("n_late").alias("t_late")
+    )
+    se = F.col("n_early").cast("double") / F.col("t_early").cast("double")
+    sl = F.col("n_late").cast("double") / F.col("t_late").cast("double")
+    return c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n_early",
+        "n_late",
+        se.alias("share_early"),
+        sl.alias("share_late"),
+        ((se - sl) * (se - sl) / (se + sl)).alias("chi_component"),
+    )
