@@ -316,3 +316,117 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = co.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.join(tri).select("n_edges", "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths: bounded-hop Bellman-Ford over
+# the customer↔supplier purchase graph, edge cost inversely
+# proportional to relationship strength (more shared orders = cheaper
+# hop). BFS's weighted sibling: hop count becomes min-plus cost.
+# Integer costs only (floor division), so every relaxation is exact
+# in both engines.
+#
+# Scale shape: each of the _SSSP_HOPS rounds is ONE join of the
+# current distance relation against the cached edge list followed by
+# a min-aggregate — the distance relation is |V|-bounded, edges are
+# persisted once (PageRank's loop-invariant pattern). Unrolling a
+# FIXED hop bound keeps the plan static (resumable, explainable);
+# unbounded fixpoint iteration would add driver-side convergence
+# checks (a count per round) without changing any round's shape.
+# ---------------------------------------------------------------------------
+
+_SSSP_SEED = "c:1"
+_SSSP_HOPS = 4
+_SSSP_COST_NUM = 1000  # edge cost = NUM // shared_orders (BIGINT)
+
+_SSSP_ORACLE = f"""
+WITH pairs AS (
+  SELECT o_custkey AS ck, l_suppkey AS sk,
+         CAST({_SSSP_COST_NUM} // COUNT(DISTINCT o_orderkey) AS BIGINT) AS cost
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, l_suppkey
+),
+edges AS (
+  SELECT 'c:' || ck AS src, 's:' || sk AS dst, cost FROM pairs
+  UNION ALL
+  SELECT 's:' || sk, 'c:' || ck, cost FROM pairs
+),
+d0 AS (SELECT '{_SSSP_SEED}' AS node, CAST(0 AS BIGINT) AS dist),
+d1 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT * FROM d0
+    UNION ALL
+    SELECT e.dst, d.dist + e.cost FROM d0 d JOIN edges e ON d.node = e.src
+  ) GROUP BY node
+),
+d2 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT * FROM d1
+    UNION ALL
+    SELECT e.dst, d.dist + e.cost FROM d1 d JOIN edges e ON d.node = e.src
+  ) GROUP BY node
+),
+d3 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT * FROM d2
+    UNION ALL
+    SELECT e.dst, d.dist + e.cost FROM d2 d JOIN edges e ON d.node = e.src
+  ) GROUP BY node
+),
+d4 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT * FROM d3
+    UNION ALL
+    SELECT e.dst, d.dist + e.cost FROM d3 d JOIN edges e ON d.node = e.src
+  ) GROUP BY node
+)
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d4
+"""
+
+
+@query("sssp_weighted", oracle=_SSSP_ORACLE)
+def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-path cost from one seed customer within _SSSP_HOPS
+    relaxation rounds (min-plus Bellman-Ford; integer costs, exact)."""
+    while _PINNED:
+        _PINNED.pop().unpersist()
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            (F.lit(_SSSP_COST_NUM) / F.count_distinct("o_orderkey"))
+            .cast("bigint")
+            .alias("cost")
+        )
+    )
+    edges = (
+        pairs.select(
+            F.concat(F.lit("c:"), F.col("ck")).alias("src"),
+            F.concat(F.lit("s:"), F.col("sk")).alias("dst"),
+            "cost",
+        )
+        .union(
+            pairs.select(
+                F.concat(F.lit("s:"), F.col("sk")).alias("src"),
+                F.concat(F.lit("c:"), F.col("ck")).alias("dst"),
+                "cost",
+            )
+        )
+        .persist()
+    )
+    edges.count()  # eager: every relaxation round reuses this relation
+    _PINNED.append(edges)
+    dist = (
+        edges.sparkSession.range(1)
+        .select(F.lit(_SSSP_SEED).alias("node"), F.lit(0).cast("bigint").alias("dist"))
+    )
+    for _ in range(_SSSP_HOPS):
+        relaxed = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("dist")
+        )
+        dist = (
+            dist.union(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    return dist

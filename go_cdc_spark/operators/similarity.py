@@ -802,3 +802,131 @@ def sim_sparse_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SPARSE_TOP)
         .select("d1", "d2", "sim", "shared_terms")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR (maximal marginal relevance) diversified retrieval: greedy
+# re-rank of the top-N relevance pool balancing relevance against
+# redundancy — the standard RAG/retrieval step after ANN. Score of a
+# candidate at step t: λ·rel − (1−λ)·max_{s∈selected} sim(c, s);
+# the first pick is the pure-relevance argmax (empty-set penalty 0).
+#
+# Scale shape: the expensive part is the relevance pass, which is
+# exactly sim_topk's map-side broadcast-cosine (here one query, pool
+# of _MMR_POOL). The greedy loop then runs over a CONSTANT-size pool
+# (N² pairwise sims = 400 rows), persisted once; each of the K−1
+# steps is an anti-join + max-aggregate over that constant relation —
+# cost independent of corpus size by construction. Exact doubles:
+# 0.5·x is exact scaling, and both engines evaluate the identical
+# subtract/compare tree over the shared left-fold cosine.
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAMBDA = "0.5"  # exactly representable; written identically both sides
+
+_MMR_PINNED: list = []
+
+
+def _mmr_oracle() -> str:
+    base = f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id >= {N_QUERIES}),
+scored AS (SELECT cand_id, c_emb, {_sql_cosine("q_emb", "c_emb")} AS rel
+           FROM c, q),
+pool AS (SELECT cand_id, c_emb, rel FROM scored
+         ORDER BY rel DESC, cand_id LIMIT {_MMR_POOL}),
+pair AS (SELECT a.cand_id AS ia, b.cand_id AS ib,
+                {_sql_cosine("a.c_emb", "b.c_emb")} AS s
+         FROM pool a JOIN pool b ON a.cand_id != b.cand_id),
+p1 AS (SELECT cand_id, rel, {_MMR_LAMBDA} * rel AS mmr, 1 AS rank
+       FROM pool ORDER BY rel DESC, cand_id LIMIT 1),
+s1 AS (SELECT cand_id FROM p1)"""
+    for k in range(2, _MMR_K + 1):
+        base += f""",
+p{k} AS (
+  SELECT c.cand_id, c.rel,
+         {_MMR_LAMBDA} * c.rel - {_MMR_LAMBDA} * MAX(p.s) AS mmr, {k} AS rank
+  FROM pool c JOIN pair p ON p.ia = c.cand_id
+       AND p.ib IN (SELECT cand_id FROM s{k - 1})
+  WHERE c.cand_id NOT IN (SELECT cand_id FROM s{k - 1})
+  GROUP BY c.cand_id, c.rel
+  ORDER BY mmr DESC, c.cand_id LIMIT 1
+),
+s{k} AS (SELECT * FROM s{k - 1} UNION ALL SELECT cand_id FROM p{k})"""
+    union = " UNION ALL ".join(f"SELECT * FROM p{k}" for k in range(1, _MMR_K + 1))
+    return (
+        base
+        + f"""
+SELECT CAST(rank AS INT) AS rank, cand_id, rel AS relevance, mmr AS mmr_score
+FROM ({union})"""
+    )
+
+
+@query("sim_mmr", oracle=_mmr_oracle())
+def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR selection of _MMR_K diverse results from the top
+    _MMR_POOL relevance pool for one query vector (λ = 0.5)."""
+    while _MMR_PINNED:
+        _MMR_PINNED.pop().unpersist()
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    lam = F.lit(0.5)
+    pool = (
+        c.crossJoin(F.broadcast(q))
+        .select("cand_id", "c_emb", cosine_col("q_emb", "c_emb").alias("rel"))
+        .orderBy(F.col("rel").desc(), "cand_id")
+        .limit(_MMR_POOL)
+        .persist()
+    )
+    pool.count()  # eager: the greedy loop reuses the pool ~2K times
+    a, b = pool.alias("a"), pool.alias("b")
+    pair = (
+        a.join(b, F.col("a.cand_id") != F.col("b.cand_id"))
+        .select(
+            F.col("a.cand_id").alias("ia"),
+            F.col("b.cand_id").alias("ib"),
+            cosine_col("a.c_emb", "b.c_emb").alias("s"),
+        )
+        .persist()
+    )
+    pair.count()
+    _MMR_PINNED.extend([pool, pair])
+    slim = pool.select("cand_id", "rel")
+    selected = (
+        slim.orderBy(F.col("rel").desc(), "cand_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"), "cand_id", "rel", (lam * F.col("rel")).alias("mmr")
+        )
+    )
+    for k in range(2, _MMR_K + 1):
+        sel_ids = selected.select("cand_id")
+        pen = (
+            pair.join(sel_ids, pair.ib == sel_ids.cand_id)
+            .groupBy("ia")
+            .agg(F.max("s").alias("pen"))
+        )
+        pick = (
+            slim.join(sel_ids, "cand_id", "left_anti")
+            .join(pen, F.col("cand_id") == F.col("ia"))
+            .select(
+                F.lit(k).alias("rank"),
+                "cand_id",
+                "rel",
+                (lam * F.col("rel") - lam * F.col("pen")).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), "cand_id")
+            .limit(1)
+        )
+        selected = selected.union(pick)
+    return selected.select(
+        F.col("rank").cast("int").alias("rank"),
+        "cand_id",
+        F.col("rel").alias("relevance"),
+        F.col("mmr").alias("mmr_score"),
+    )
