@@ -396,9 +396,14 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .agg(
-            (F.lit(_SSSP_COST_NUM) / F.count_distinct("o_orderkey"))
-            .cast("bigint")
-            .alias("cost")
+            # true integral division (Spark `div`), matching the oracle's
+            # DuckDB `//` by construction — not double-divide-then-cast,
+            # which is only coincidentally equal while the numerator stays
+            # within double-exact range
+            F.expr(
+                f"cast({_SSSP_COST_NUM} as bigint)"
+                " div count(distinct o_orderkey)"
+            ).alias("cost")
         )
     )
     edges = (

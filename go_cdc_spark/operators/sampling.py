@@ -63,8 +63,8 @@ SELECT doc_id, lang, source, n_chars,
        CAST(({_PPS_RATE} * n_chars) AS DOUBLE)
            / CAST((10000 * w_max) AS DOUBLE) AS incl_prob
 FROM documents, w
-WHERE (CAST(concat('0x', substr(md5(concat('pps', CAST(doc_id AS VARCHAR))), 1, 4))
-            AS BIGINT) % 10000) * w_max < {_PPS_RATE} * n_chars
+WHERE CAST(concat('0x', substr(md5(concat('pps', CAST(doc_id AS VARCHAR))), 1, 4))
+           AS BIGINT) * 10000 * w_max < {_PPS_RATE} * 65536 * n_chars
 """
 
 
@@ -73,19 +73,27 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probability-proportional-to-size Bernoulli sampling: include each
     document with probability (RATE/10000)·(n_chars/max_chars).
 
-    The inclusion test is pure integer arithmetic
-    (``u · w_max < RATE · w``) so there is no float threshold to drift
-    between engines; the reported ``incl_prob`` is one exact integer
-    ratio through a single IEEE division. The max weight arrives via a
-    1-row broadcast crossJoin — no driver round-trip, no shuffle of the
-    corpus. At 100 TB this is scan → filter, embarrassingly parallel.
+    The inclusion test is pure integer arithmetic on the RAW 16-bit
+    hash — ``u · 10000 · w_max < RATE · 65536 · w`` — so there is no
+    float threshold to drift between engines AND no modulo bias: a
+    ``u % 10000`` residue over a uniform 0..65535 would make residues
+    0..5535 occur 7/65536 vs 6/65536, inflating the true inclusion rate
+    ~6.8% above the reported ``incl_prob`` and biasing any
+    Horvitz-Thompson estimator built on it. Cross-multiplying against
+    the full 65536-wide hash keeps the realized rate within 1/65536 of
+    the reported ratio. The max weight arrives via a 1-row broadcast
+    crossJoin — no driver round-trip, no shuffle of the corpus. At
+    100 TB this is scan → filter, embarrassingly parallel.
     """
     docs = load(spark, sf_dir, "documents")
     w_max = docs.agg(F.max("n_chars").alias("w_max"))
-    u = _hash16("pps") % 10000
+    u = _hash16("pps")
     return (
         docs.crossJoin(F.broadcast(w_max))
-        .filter(u * F.col("w_max") < F.lit(_PPS_RATE) * F.col("n_chars"))
+        .filter(
+            u * F.lit(10000) * F.col("w_max")
+            < F.lit(_PPS_RATE * 65536) * F.col("n_chars")
+        )
         .select(
             "doc_id",
             "lang",

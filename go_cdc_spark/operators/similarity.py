@@ -823,7 +823,12 @@ def sim_sparse_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MMR_POOL = 20
 _MMR_K = 5
-_MMR_LAMBDA = "0.5"  # exactly representable; written identically both sides
+_MMR_LAMBDA = 0.5  # exactly representable in binary; single source of truth
+# for BOTH the relevance coefficient (λ) and the diversity penalty (1-λ),
+# rendered identically into the oracle SQL and the Spark literals below so
+# changing λ cannot silently diverge the two engines
+_MMR_REL = repr(_MMR_LAMBDA)  # "0.5"
+_MMR_PEN = repr(1.0 - _MMR_LAMBDA)  # "0.5" — true MMR (1-λ) penalty
 
 _MMR_PINNED: list = []
 
@@ -840,14 +845,14 @@ pool AS (SELECT cand_id, c_emb, rel FROM scored
 pair AS (SELECT a.cand_id AS ia, b.cand_id AS ib,
                 {_sql_cosine("a.c_emb", "b.c_emb")} AS s
          FROM pool a JOIN pool b ON a.cand_id != b.cand_id),
-p1 AS (SELECT cand_id, rel, {_MMR_LAMBDA} * rel AS mmr, 1 AS rank
+p1 AS (SELECT cand_id, rel, {_MMR_REL} * rel AS mmr, 1 AS rank
        FROM pool ORDER BY rel DESC, cand_id LIMIT 1),
 s1 AS (SELECT cand_id FROM p1)"""
     for k in range(2, _MMR_K + 1):
         base += f""",
 p{k} AS (
   SELECT c.cand_id, c.rel,
-         {_MMR_LAMBDA} * c.rel - {_MMR_LAMBDA} * MAX(p.s) AS mmr, {k} AS rank
+         {_MMR_REL} * c.rel - {_MMR_PEN} * MAX(p.s) AS mmr, {k} AS rank
   FROM pool c JOIN pair p ON p.ia = c.cand_id
        AND p.ib IN (SELECT cand_id FROM s{k - 1})
   WHERE c.cand_id NOT IN (SELECT cand_id FROM s{k - 1})
@@ -875,7 +880,8 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
-    lam = F.lit(0.5)
+    lam = F.lit(_MMR_LAMBDA)
+    pen_coef = F.lit(1.0 - _MMR_LAMBDA)
     pool = (
         c.crossJoin(F.broadcast(q))
         .select("cand_id", "c_emb", cosine_col("q_emb", "c_emb").alias("rel"))
@@ -918,7 +924,7 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(k).alias("rank"),
                 "cand_id",
                 "rel",
-                (lam * F.col("rel") - lam * F.col("pen")).alias("mmr"),
+                (lam * F.col("rel") - pen_coef * F.col("pen")).alias("mmr"),
             )
             .orderBy(F.col("mmr").desc(), "cand_id")
             .limit(1)

@@ -69,13 +69,20 @@ def _payload(payload_col: str) -> F.Column:
 
 
 def _pos_col() -> F.Column:
+    # Fallback (no GTID) pos must stay lexicographically == binlog order:
+    #  * row is padded to 8 digits — a 4-digit pad broke ordering for
+    #    transactions touching >=10k rows (row=10000 sorted before row=2)
+    #  * file is coalesced to a fixed sentinel — concat_ws silently DROPS
+    #    null segments, so a NULL file (non-MySQL connectors without GTID)
+    #    would otherwise yield "pos:row" strings that interleave wrongly
+    #    with "file:pos:row" ones
     return F.coalesce(
         F.col("e.source.gtid"),
         F.concat_ws(
             ":",
-            F.col("e.source.file"),
+            F.coalesce(F.col("e.source.file"), F.lit("~nofile")),
             F.lpad(F.col("e.source.pos").cast("string"), 12, "0"),
-            F.lpad(F.coalesce(F.col("e.source.row"), F.lit(0)).cast("string"), 4, "0"),
+            F.lpad(F.coalesce(F.col("e.source.row"), F.lit(0)).cast("string"), 8, "0"),
         ),
     )
 

@@ -76,7 +76,7 @@ def test_data_change_mapping(spark):
     assert ins.data == {"id": "1", "name": "ann"}
     assert ins.schema == "shop" and ins.table == "users"
     assert ins.data_source == "dbz1"
-    assert ins.pos == "binlog.000007:000000000010:0000"
+    assert ins.pos == "binlog.000007:000000000010:00000000"
     assert ins.ts == datetime.datetime(2023, 11, 14, 22, 13, 20)
 
     assert ("insert", "2") in got  # r → insert
