@@ -153,6 +153,91 @@ class Engine:
 
     # -- step 5: incremental sync -----------------------------------------
 
+    def _changelog_stream(self, cfg: SourceConfig):
+        """The source's change stream in envelope form. ``native`` reads
+        CHANGE_EVENT_SCHEMA JSON-lines segments; ``debezium`` reads raw
+        Debezium message values (one JSON message per line, exactly a
+        Kafka topic's values) through the envelope adapter — the public
+        interchange format standing in for the reference's go-mysql
+        replication client (`internal/cannal/incremental.go:149`), which
+        has no OSS-Spark wire equivalent. An optional schema-change topic
+        dir unions in as op='ddl' events."""
+        if cfg.changelog_format == "debezium":
+            from .sources.debezium import (
+                debezium_schema_changes,
+                debezium_to_change_events,
+            )
+
+            raw = (
+                self.spark.readStream.option(
+                    "maxFilesPerTrigger", cfg.max_files_per_trigger
+                ).text(cfg.changelog)
+            )
+            stream = debezium_to_change_events(raw, default_source=cfg.name)
+            if cfg.schema_changelog:
+                ddl_raw = (
+                    self.spark.readStream.option(
+                        "maxFilesPerTrigger", cfg.max_files_per_trigger
+                    ).text(cfg.schema_changelog)
+                )
+                stream = stream.unionByName(
+                    debezium_schema_changes(ddl_raw, default_source=cfg.name)
+                )
+            return stream
+        return read_changelog_stream(
+            self.spark, cfg.changelog, cfg.max_files_per_trigger
+        )
+
+    def _attach_watermark(self, holder: SourceHolder) -> str | None:
+        """The consumer watermark that governs replay safety for this
+        source: the MOST-BEHIND table's position — its incremental
+        watermark row if the stream ever advanced, else its full-sync
+        snapshot position (events at-or-below it are skipped by
+        ``pos_threshold``, so purging through it loses nothing)."""
+        rows = self.meta.all()
+        per_table: list[str] = []
+        for (src_id, schema, table), _ in self.tables.items():
+            if src_id != holder.id:
+                continue
+            row = rows.get((holder.name, None, table)) or rows.get(
+                (holder.name, schema, table)
+            )
+            if row is None or row.last_pos is None:
+                return None  # a table with no recorded position at all
+            per_table.append(row.last_pos)
+        return min(per_table) if per_table else None
+
+    def safe_purge_pos(self, source_id: int) -> str | None:
+        """The highest changelog position retention may purge through
+        without ever tripping :meth:`check_attach`: the most-behind
+        table's watermark (pass to
+        :func:`~go_cdc_spark.sources.retention.purge_changelog`)."""
+        return self._attach_watermark(self.registry[source_id])
+
+    def check_attach(self) -> None:
+        """Replication attach-time safety (A17/A18): per source, refuse
+        to tail a changelog whose retention purged events this engine
+        never applied — the explicit form of the server-side check the
+        reference delegates to ``StartSyncGTID`` (MySQL error 1236).
+        Raises ``PurgedBinlogError`` (GTID flavor) or
+        ``ChangelogPurgedError`` (pos flavor); resuming past the hole
+        would silently lose rows, so boot must fail loudly instead."""
+        from .sources.retention import attach_guard
+
+        for holder in self.registry.values():
+            cfg = holder.config
+            if not cfg.changelog or not os.path.isdir(cfg.changelog):
+                continue
+            wm = self._attach_watermark(holder)
+            src_pos = self.meta.get_pos(holder.name)
+            attach_guard(
+                cfg.changelog,
+                watermark_pos=wm,
+                watermark_gtid_json=src_pos
+                if src_pos and src_pos.startswith("{")
+                else None,
+            )
+
     def incremental_sync(
         self,
         continuous: bool = False,
@@ -162,14 +247,15 @@ class Engine:
         materialized tables. ``availableNow`` (default) drains what
         exists and stops — the deterministic test/batch mode;
         ``continuous`` runs until stopped, restarting per
-        :class:`RestartPolicy` on failure."""
+        :class:`RestartPolicy` on failure. Attach safety runs first:
+        a purged-past-watermark changelog aborts the boot loudly."""
+        self.check_attach()
+
         def make_start(holder: SourceHolder, schema: str, table: str, mat):
             cfg = holder.config
 
             def start():
-                stream = read_changelog_stream(
-                    self.spark, cfg.changelog, cfg.max_files_per_trigger
-                )
+                stream = self._changelog_stream(cfg)
                 keep = holder.rules.to_column(
                     F.col("schema"), F.col("table")
                 ) & ((F.col("schema") == schema) & (F.col("table") == table))

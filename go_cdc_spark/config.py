@@ -62,6 +62,13 @@ class SourceConfig:
     num_partitions: int = 8
     # incremental
     changelog: str | None = None
+    # native = CHANGE_EVENT_SCHEMA JSON-lines segments;
+    # debezium = Debezium data-change messages (Kafka-topic values as
+    # JSON lines), adapted via sources.debezium onto the same envelope
+    changelog_format: str = "native"
+    # optional Debezium schema-change topic dir, unioned into the stream
+    # as op='ddl' events (only meaningful with changelog_format=debezium)
+    schema_changelog: str | None = None
     max_files_per_trigger: int = 1
     # buffer row events until their txn's commit event (OnRow/OnXID
     # parity); default off = apply-as-they-arrive like the materializer
@@ -110,6 +117,12 @@ def _build(raw: dict) -> EngineConfig:
     ids = [s.id for s in sources]
     if len(ids) != len(set(ids)):
         raise ValueError(f"duplicate source ids: {ids}")
+    for s in sources:
+        if s.changelog_format not in ("native", "debezium"):
+            raise ValueError(
+                f"source {s.name!r}: unknown changelog_format "
+                f"{s.changelog_format!r} (native | debezium)"
+            )
     return EngineConfig(
         meta_path=eng["meta_path"],
         state_dir=eng["state_dir"],
