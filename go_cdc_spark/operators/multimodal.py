@@ -8,15 +8,16 @@ metadata. Decode / feature-extraction runs as Arrow-batched pandas
 functions over ``mapInPandas`` so the bytes cross the JVM↔Python
 boundary once per batch, never per row.
 
-Decoders: REAL for the formats the stdlib can parse — PPM (P6) and BMP
-images (header + raw pixel stats, nearest-neighbor resample), WAV audio
-(via ``wave``). Formats needing external libs (JPEG/PNG/MP3/MP4) remain
-import-gated: when PIL/librosa are present they take over, otherwise an
-*unrecognized* payload falls back to a deterministic byte-level feature
+Decoders: REAL for the formats the stdlib can parse — PPM (P6), BMP and
+PNG images (PNG critical chunks via ``zlib``: IHDR/IDAT/IEND, all five
+scanline filters, 8-bit gray/RGB/alpha), WAV audio (via ``wave``).
+Formats needing external libs (JPEG/MP3/MP4) remain import-gated: when
+PIL/librosa are present they take over, otherwise an *unrecognized*
+payload falls back to a deterministic byte-level feature
 (``decode_status='stubbed'``) so the pipeline shape stays testable end
-to end. Recognition is strict (magic + full header validation), so
-fixture payloads (16 md5 bytes) can never accidentally enter a real
-decoder and perturb the oracle.
+to end. Recognition is strict (magic + full header validation + PNG
+CRCs), so fixture payloads (16 md5 bytes) can never accidentally enter
+a real decoder and perturb the oracle.
 
 Test corpus: the driver parquet has no media table, so media bytes are
 derived deterministically from ``documents.text`` (md5 → unhex) in BOTH
@@ -216,6 +217,136 @@ def decode_bmp(payload: bytes):
     return width, height, img
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, ch: int):
+    """Reverse PNG scanline filtering (types 0-4) → HxWxch uint8, or
+    None on a malformed stream. Sub/Average/Paeth carry a left-pixel
+    dependency, so those rows run a per-pixel loop; None/Up rows stay
+    vectorized. This code runs inside the Arrow batch loop — cost is
+    bounded by bytes-per-batch, same as the rest of the decode stage."""
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        return None
+    img = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intp)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.intp)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            return None
+        img[y] = cur
+        prev = cur
+    return img.reshape(height, width, ch)
+
+
+def decode_png(payload: bytes):
+    """PNG (critical chunks, 8-bit gray/RGB/±alpha, no interlace) →
+    (width, height, HxWx3 uint8 RGB array), or None if not a valid /
+    supported PNG. Pure stdlib: chunk walk + CRC check + ``zlib``
+    inflate + filter reversal. Palette (type 3), 16-bit, and Adam7
+    payloads are recognized-but-unsupported → None (quarantine path),
+    never an exception."""
+    import zlib
+
+    if not payload.startswith(_PNG_MAGIC):
+        return None
+    pos, n = len(_PNG_MAGIC), len(payload)
+    hdr = None
+    idat = []
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > n:
+            return None
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if hdr is None or not idat:
+        return None
+    width, height, depth, color, comp, filt, interlace = hdr
+    ch = _PNG_CHANNELS.get(color)
+    if (
+        ch is None or depth != 8 or comp != 0 or filt != 0 or interlace != 0
+        or width <= 0 or height <= 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    img = _png_unfilter(raw, width, height, ch)
+    if img is None:
+        return None
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif ch == 2:
+        img = np.repeat(img[..., :1], 3, axis=2)
+    elif ch == 4:
+        img = img[..., :3]
+    return width, height, img
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 → PNG bytes (filter 0 rows, one zlib stream) — the
+    inverse of decode_png for the resize/transcode stages."""
+    import zlib
+
+    h, w = arr.shape[:2]
+    raw = b"".join(
+        b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(payload: bytes):
     """PCM WAV → (n_channels, sample_rate, n_frames, sample array), or
     None if not a parseable RIFF/WAVE payload."""
@@ -273,6 +404,14 @@ def _decode_media(payload: bytes, kind: str) -> dict:
             "byte_mean": float(img.mean()),
             "decode_status": "bmp",
         }
+    png = decode_png(payload)
+    if png is not None:
+        _w, _h, img = png
+        return {
+            "n_bytes": len(payload),
+            "byte_mean": float(img.mean()),
+            "decode_status": "png",
+        }
     wav = decode_wav(payload)
     if wav is not None:
         _nch, _rate, _nf, samples = wav
@@ -284,12 +423,22 @@ def _decode_media(payload: bytes, kind: str) -> dict:
             "decode_status": "wav",
         }
     try:  # pragma: no cover - external libs absent in this container
-        import PIL.Image  # noqa: F401
+        import io
 
-        raise NotImplementedError(
-            "JPEG/PNG decode via PIL not wired yet — stdlib formats "
-            "(PPM/BMP/WAV) decode for real above"
-        )
+        import PIL.Image
+
+        # JPEG (and any other PIL-supported compressed format): decode,
+        # with the quarantine fallback below on any parse failure
+        try:
+            with PIL.Image.open(io.BytesIO(payload)) as im:
+                arr = np.asarray(im.convert("RGB"))
+            return {
+                "n_bytes": len(payload),
+                "byte_mean": float(arr.mean()),
+                "decode_status": im.format.lower() if im.format else "pil",
+            }
+        except Exception:
+            pass  # fall through to the byte-level quarantine path
     except ImportError:
         pass
     return {
@@ -340,9 +489,9 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.sql.files.maxPartitionBytes`` is the knob; the output is
     small typed features, so everything downstream is cheap again.
 
-    The fixture payloads (16 md5 bytes) never validate as PPM/BMP/WAV,
-    so the oracle checks the byte-level path; genuine format bytes take
-    the real decoders (tests/test_multimodal_real.py)."""
+    The fixture payloads (16 md5 bytes) never validate as
+    PPM/BMP/PNG/WAV, so the oracle checks the byte-level path; genuine
+    format bytes take the real decoders (tests/test_multimodal_real.py)."""
     media = with_media(load(spark, sf_dir, "documents")).select(
         "doc_id", F.col("media_meta.kind").alias("kind"), "media"
     )
@@ -363,8 +512,8 @@ TARGET_EDGE = 16
 
 
 def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body for the resize stage. Valid PPM payloads get a
-    REAL nearest-neighbor resample (decode → subsample → re-encode);
+    """mapInPandas body for the resize stage. Valid PPM/PNG payloads get
+    a REAL nearest-neighbor resample (decode → subsample → re-encode);
     anything else gets the deterministic byte decimation stand-in so the
     stage stays verifiable over the synthetic corpus. Output is the
     transformed payload hex plus updated dimensions — hex rather than
@@ -373,12 +522,16 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out_bytes, out_w, out_h = [], [], []
         for m, w, h in zip(pdf["media"], pdf["width"], pdf["height"]):
-            ppm = decode_ppm(m)
-            if ppm is not None:
-                pw, ph, img = ppm
+            decoded = decode_ppm(m)
+            encode = encode_ppm
+            if decoded is None:
+                decoded = decode_png(m)
+                encode = encode_png
+            if decoded is not None:
+                pw, ph, img = decoded
                 k = max(max(pw, ph) // TARGET_EDGE, 1)
                 small = img[::k, ::k]
-                out_bytes.append(encode_ppm(small))
+                out_bytes.append(encode(small))
                 out_h.append(small.shape[0])
                 out_w.append(small.shape[1])
             else:

@@ -15,8 +15,10 @@ import pytest
 
 from go_cdc_spark.operators.multimodal import (
     decode_bmp,
+    decode_png,
     decode_ppm,
     decode_wav,
+    encode_png,
     encode_ppm,
     extract_features_batches,
     resize_batches,
@@ -89,6 +91,141 @@ def test_bmp_rejects_invalid():
     payload = bytearray(make_bmp(img))
     payload[30] = 1  # compression != BI_RGB
     assert decode_bmp(bytes(payload)) is None
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png_filtered(img: np.ndarray, filters: list[int]) -> bytes:
+    """Build a PNG whose row y uses filter type filters[y] — exercises
+    the Sub/Up/Average/Paeth unfilter paths our own encoder (filter 0
+    everywhere) never emits."""
+    import zlib
+
+    h, w, ch = img.shape
+    assert ch == 3
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.intp)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.intp)
+        f = filters[y]
+        raw.append(f)
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((cur[x] - pred) & 0xFF)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_round_trip(ppm_img):
+    w, h, img = decode_png(encode_png(ppm_img))
+    assert (w, h) == (64, 48)
+    assert np.array_equal(img, ppm_img)
+
+
+def test_png_all_filter_types(ppm_img):
+    img = ppm_img[:5]  # 5 rows, one per filter type
+    w, h, out = decode_png(make_png_filtered(img, [0, 1, 2, 3, 4]))
+    assert (w, h) == (64, 5)
+    assert np.array_equal(out, img)
+
+
+def test_png_gray_and_alpha_channels():
+    import zlib
+
+    # 2x2 grayscale (color type 0): filter-0 rows, 1 channel
+    gray = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    raw = b"\x00" + gray[0].tobytes() + b"\x00" + gray[1].tobytes()
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, img = decode_png(payload)
+    assert (w, h) == (2, 2)
+    assert np.array_equal(img, np.repeat(gray[..., None], 3, axis=2))
+    # 1x1 RGBA (color type 6): alpha dropped
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x07\x08\x09\xff"))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, img = decode_png(payload)
+    assert img.tolist() == [[[7, 8, 9]]]
+
+
+def test_png_rejects_invalid(ppm_img):
+    good = encode_png(ppm_img[:2, :2])
+    assert decode_png(b"\x89PNG\r\n\x1a\n" + bytes(16)) is None  # garbage chunks
+    assert decode_png(b"\x00" * 16) is None  # no magic
+    corrupt = bytearray(good)
+    corrupt[-10] ^= 0xFF  # flip a byte inside IDAT → CRC mismatch
+    assert decode_png(bytes(corrupt)) is None
+    # 16-bit depth: recognized but unsupported → quarantine, not crash
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(7)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(deep) is None
+
+
+def test_resize_real_png(ppm_img):
+    payload = encode_png(ppm_img)  # 64x48 → step 4 → 16x12
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "media": [payload], "width": [64], "height": [48]}
+    )
+    (out,) = list(resize_batches(iter([pdf])))
+    assert int(out.loc[0, "width"]) == 16 and int(out.loc[0, "height"]) == 12
+    resized = bytes.fromhex(out.loc[0, "media_hex"])
+    w, h, img = decode_png(resized)  # output is itself a valid PNG
+    assert (w, h) == (16, 12)
+    assert np.array_equal(img, ppm_img[::4, ::4])
+
+
+def test_png_features_status(ppm_img):
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "kind": ["image"], "media": [encode_png(ppm_img)]}
+    )
+    (out,) = list(extract_features_batches(iter([pdf])))
+    assert out.loc[0, "decode_status"] == "png"
+    assert out.loc[0, "byte_mean"] == pytest.approx(float(ppm_img.mean()))
 
 
 def test_wav_decode_known_samples():

@@ -1,7 +1,24 @@
-"""Drive the driver contract cold: plain SparkSession, no engine defaults."""
-import sys, time
+"""Drive the driver contract cold: plain SparkSession, no engine defaults.
+
+Usage::
+
+    python tools/drive_contract.py [--out CONTRACT_rN.json]
+
+With --out, writes a per-query JSON artifact (name -> {pass, oracle,
+seconds, err}) so every round carries a committed proof that the FULL
+query surface — not just the driver's 50-query sample — matches the
+DuckDB oracle (VERDICT r03 prescription #2).
+"""
+import json
+import sys
+import time
+
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
+
+out_path = None
+if "--out" in sys.argv:
+    out_path = sys.argv[sys.argv.index("--out") + 1]
 
 spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
@@ -20,17 +37,36 @@ from oracle_harness import compare
 qs, osql = e.queries(), e.oracle_sql()
 print("queries:", len(qs), "with oracle:", len(osql))
 fails = []
+results = {}
 for name, fn in sorted(qs.items()):
     t0 = time.time()
-    sdf = fn(spark, "/root/testdata/sf0.01")
     try:
+        sdf = fn(spark, "/root/testdata/sf0.01")
         if name in osql:
             compare(name, sdf, osql[name], "/root/testdata/sf0.01")
-            print(f"  OK {name} ({time.time()-t0:.1f}s)")
+            dt = time.time() - t0
+            results[name] = {"pass": True, "oracle": True, "seconds": round(dt, 2), "err": None}
+            print(f"  OK {name} ({dt:.1f}s)")
         else:
             n = sdf.count()
-            print(f"  OK(rows-only) {name} rows={n} ({time.time()-t0:.1f}s)")
+            dt = time.time() - t0
+            results[name] = {"pass": True, "oracle": False, "rows": n, "seconds": round(dt, 2), "err": None}
+            print(f"  OK(rows-only) {name} rows={n} ({dt:.1f}s)")
     except AssertionError as ex:
-        fails.append(name); print(f"  FAIL {name}: {str(ex)[:200]}")
+        fails.append(name)
+        results[name] = {"pass": False, "oracle": name in osql, "seconds": round(time.time() - t0, 2), "err": str(ex)[:300]}
+        print(f"  FAIL {name}: {str(ex)[:200]}")
 print("FAILS:", fails)
+if out_path:
+    summary = {
+        "total": len(qs),
+        "with_oracle": len(osql),
+        "passed": sum(1 for r in results.values() if r["pass"]),
+        "failed": len(fails),
+        "sf": 0.01,
+        "results": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print("wrote", out_path)
 sys.exit(1 if fails else 0)
