@@ -16,6 +16,13 @@ import pytest
 # round records exactly this skip so the gap stays visible. The
 # default applyInPandasWithState path (test_stateful.py) is fully
 # exercised here regardless.
+#
+# Round-stamped (r02, r03, r04-2026-08-14): the container image cannot
+# change — no pip/apt, no network, and google.protobuf's runtime needs
+# generated C-descriptor modules that cannot be hand-vendored. This is
+# the documented permanent answer unless the driver image grows the
+# dependency. The same stateful semantics execute for real through the
+# applyInPandasWithState twin in test_stateful.py every round.
 import importlib.util
 
 # find_spec("google.protobuf") raises if the parent namespace package

@@ -33,15 +33,26 @@ BASE = "/root/testdata/sf0.1"
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
 
 # per-table key columns to offset per copy (disjoint key spaces per
-# copy; dimension tables stay fixed like real scale growth: facts grow,
-# dims don't)
+# copy). TPC-H scales part/supplier/customer WITH the fact tables (only
+# nation/region are fixed), so those dims replicate too, with fact FKs
+# offset to match — otherwise stacking lineitem k× multiplies the rows
+# per (partkey, suppkey) pair and a graph query's exponent measures
+# densification, not growth (the r03 triangle_count +0.69 artifact).
 FACT_OFFSETS = {
-    "orders": {"o_orderkey": 10_000_000, "o_custkey": 0},
-    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 10_000_000},
+    "lineitem": {
+        "l_orderkey": 10_000_000,
+        "l_partkey": 10_000_000,
+        "l_suppkey": 10_000_000,
+    },
+    "part": {"p_partkey": 10_000_000},
+    "supplier": {"s_suppkey": 10_000_000},
+    "customer": {"c_custkey": 10_000_000},
     "events": {"event_id": 10_000_000},
     "documents": {"doc_id": 1_000_000},
     "embeddings": {"vec_id": 1_000_000},
 }
+_GEN = "v2"  # bump to invalidate previously-synthesized corpora
 PROBE = [
     "q1_pricing_summary",
     "q18_large_volume",
@@ -56,7 +67,7 @@ PROBE = [
 
 def synthesize(spark, k: int) -> str:
     out = os.path.join(SCRATCH, f"sfx{k}")
-    if os.path.exists(os.path.join(out, "_DONE")):
+    if os.path.exists(os.path.join(out, f"_DONE_{_GEN}")):
         return out
     os.makedirs(out, exist_ok=True)
     for t in TABLE_NAMES:
@@ -75,7 +86,7 @@ def synthesize(spark, k: int) -> str:
         else:
             df = src
         df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
-    open(os.path.join(out, "_DONE"), "w").close()
+    open(os.path.join(out, f"_DONE_{_GEN}"), "w").close()
     return out
 
 

@@ -39,6 +39,9 @@ def timed(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     names = sys.argv[1:] or sorted(QUERIES)
     spark = get_spark("scale-sweep")
+    from scale_probe import synthesize  # same generator (key-offset v2)
+
+    synthesize(spark, 10)
     rows = []
     for name in names:
         try:
