@@ -166,22 +166,28 @@ class Engine:
             from .sources.debezium import (
                 debezium_schema_changes,
                 debezium_to_change_events,
+                debezium_txn_boundaries,
             )
 
-            raw = (
-                self.spark.readStream.option(
+            def topic(path: str):
+                return self.spark.readStream.option(
                     "maxFilesPerTrigger", cfg.max_files_per_trigger
-                ).text(cfg.changelog)
+                ).text(path)
+
+            stream = debezium_to_change_events(
+                topic(cfg.changelog), default_source=cfg.name
             )
-            stream = debezium_to_change_events(raw, default_source=cfg.name)
             if cfg.schema_changelog:
-                ddl_raw = (
-                    self.spark.readStream.option(
-                        "maxFilesPerTrigger", cfg.max_files_per_trigger
-                    ).text(cfg.schema_changelog)
-                )
                 stream = stream.unionByName(
-                    debezium_schema_changes(ddl_raw, default_source=cfg.name)
+                    debezium_schema_changes(
+                        topic(cfg.schema_changelog), default_source=cfg.name
+                    )
+                )
+            if cfg.txn_changelog:
+                stream = stream.unionByName(
+                    debezium_txn_boundaries(
+                        topic(cfg.txn_changelog), default_source=cfg.name
+                    )
                 )
             return stream
         return read_changelog_stream(

@@ -69,6 +69,11 @@ class SourceConfig:
     # optional Debezium schema-change topic dir, unioned into the stream
     # as op='ddl' events (only meaningful with changelog_format=debezium)
     schema_changelog: str | None = None
+    # optional Debezium transaction-metadata topic dir
+    # (provide.transaction.metadata=true): END events union in as
+    # op='commit' — required for read_committed over a Debezium source,
+    # since Debezium data events carry no XID-equivalent terminator
+    txn_changelog: str | None = None
     max_files_per_trigger: int = 1
     # buffer row events until their txn's commit event (OnRow/OnXID
     # parity); default off = apply-as-they-arrive like the materializer

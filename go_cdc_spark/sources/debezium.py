@@ -59,6 +59,14 @@ DEBEZIUM_SCHEMA_CHANGE_SCHEMA = (
     "file STRING, pos BIGINT, row INT>"
 )
 
+# Transaction-metadata topic message (provide.transaction.metadata=true):
+# status BEGIN/END, the transaction id the data events reference in
+# their `transaction.id`, and per-collection event counts.
+DEBEZIUM_TXN_SCHEMA = (
+    "status STRING, id STRING, event_count BIGINT, ts_ms BIGINT, "
+    "data_collections ARRAY<STRUCT<data_collection STRING, event_count BIGINT>>"
+)
+
 
 def _payload(payload_col: str) -> F.Column:
     """Unwrap the converter envelope if present: with schemas enabled
@@ -129,6 +137,41 @@ def debezium_to_change_events(
         )
         # tombstones, truncate/message ops, unparseable rows
         .filter(F.col("op").isNotNull())
+    )
+
+
+def debezium_txn_boundaries(
+    df: DataFrame, payload_col: str = "value", default_source: str = "debezium"
+) -> DataFrame:
+    """Map Debezium transaction-metadata topic messages to the engine's
+    transaction-scoped control events: ``status='END'`` → ``op='commit'``
+    with the txn id the data events carry in ``transaction.id`` — the
+    public equivalent of the MySQL XID event the reference's
+    read-committed flush keys on (internal/cannal/incremental.go
+    OnRow/OnXID). BEGIN events carry no release semantics and are
+    dropped; Debezium never emits rolled-back transactions (the binlog
+    only holds committed ones), so no rollback mapping exists — the
+    engine's native ``op='rollback'`` remains reachable from the native
+    changelog format only.
+
+    Schema/table/pos are NULL on purpose: a commit is transaction-
+    scoped, not table-scoped, and the txn gate's watermark advance
+    ignores NULL positions (``max(pos)`` skips them)."""
+    parsed = df.select(
+        F.from_json(_payload(payload_col), DEBEZIUM_TXN_SCHEMA).alias("e")
+    )
+    return parsed.filter(
+        (F.upper(F.col("e.status")) == "END") & F.col("e.id").isNotNull()
+    ).select(
+        F.lit(default_source).alias("data_source"),
+        F.lit(None).cast("string").alias("schema"),
+        F.lit(None).cast("string").alias("table"),
+        F.lit("commit").alias("op"),
+        F.lit(None).cast("map<string,string>").alias("data"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        F.expr("convert_timezone('UTC', timestamp_millis(e.ts_ms))").alias("ts"),
+        F.lit(None).cast("string").alias("pos"),
+        F.col("e.id").alias("txn_id"),
     )
 
 

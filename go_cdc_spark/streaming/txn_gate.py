@@ -144,24 +144,34 @@ class ReadCommittedGate:
         )
 
         out = passthrough.unionByName(released)
+        # Released rows can carry positions ABOVE everything in this
+        # batch (a commit-only batch releasing rows buffered earlier) —
+        # the watermark must cover them once applied, or it freezes at
+        # the pre-buffering position forever. Computed HERE, before
+        # _rewrite_pending swaps the store file the `released` plan
+        # still reads from lazily.
+        released_top = released.agg(F.max("pos").alias("p")).first().p
         # release BEFORE persisting the new pending set: if the
         # downstream fails, the pending store still holds the open rows
         # and redelivery of the batch re-releases idempotently (the
         # materializer's max-pos merge absorbs duplicates).
         self.downstream(out, batch_id)
         self._rewrite_pending(still_open)
-        self._advance_watermark(batch)
+        self._advance_watermark(batch, released_top)
 
-    def _advance_watermark(self, batch: DataFrame) -> None:
-        """A21 watermark, withheld-row-aware: advance to the batch max
-        position, capped strictly BELOW the oldest still-buffered row —
-        otherwise a restart's pos_threshold would drop that row when
-        its commit releases it in a later batch."""
+    def _advance_watermark(self, batch: DataFrame, released_top: str | None) -> None:
+        """A21 watermark, withheld-row-aware: advance to the max applied
+        position (batch ∪ released-from-pending), capped strictly BELOW
+        the oldest still-buffered row — otherwise a restart's
+        pos_threshold would drop that row when its commit releases it
+        in a later batch."""
         if self.meta is None:
             return
-        top = batch.agg(F.max("pos").alias("p")).first().p
-        if top is None:
+        batch_top = batch.agg(F.max("pos").alias("p")).first().p
+        tops = [t for t in (batch_top, released_top) if t is not None]
+        if not tops:
             return
+        top = max(tops)
         open_min = self.pending().agg(F.min("pos").alias("p")).first().p
         if open_min is not None and open_min <= top:
             capped = _pos_predecessor(open_min)
