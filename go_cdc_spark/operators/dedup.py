@@ -19,7 +19,7 @@ Every oracle-checked query keeps hashing engine-portable: md5 only
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -676,9 +676,14 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = docs.select(
         "doc_id", F.explode(winnow_fingerprints()).alias("fp")
     ).distinct()
-    stat = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    # df-cap via window count, not groupBy+self-join: the fingerprint
+    # relation (per-char md5, the expensive part) is scanned ONCE and
+    # shuffled once by fp; the count rides the same partitioning
+    # (interleaved A/B at sf0.1: join form 1.76s, window form 1.23s)
     keep = (
-        fps.join(stat, "fp")
+        fps.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
         .filter((F.col("n") >= 2) & (F.col("n") <= FP_DF_CAP))
         .select("fp", "doc_id")
     )

@@ -243,7 +243,14 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(e, F.col("f.node") == F.col(f"e{depth}.src"))
             .select(F.col(f"e{depth}.dst").alias("node"))
             .distinct()
+            # LAZY persist: each frontier feeds both the next level's
+            # broadcast and the final union — interleaved A/B at sf0.1
+            # (min of 5): plain 4.31s, lazy-persist 2.47s, unbroadcast
+            # 2.77s. No eager count: serializing levels into separate
+            # jobs measured slower than letting one action populate.
+            .persist()
         )
+        _PINNED.append(frontier)
         levels.append(frontier.select("node", F.lit(depth).alias("d")))
     all_levels = levels[0]
     for lv in levels[1:]:
@@ -433,5 +440,14 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dist = (
             dist.union(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+            # dist appears twice in the next round (union + join arm);
+            # a LAZY persist truncates the duplicated lineage without
+            # serializing rounds into separate jobs. Interleaved A/B at
+            # sf0.1 (min of 5): plain 3.25s, lazy-persist 2.95s,
+            # broadcast(dist) 4.87s — the broadcast loses because each
+            # round's broadcast materializes the whole dist prefix
+            # eagerly, defeating exchange reuse.
+            .persist()
         )
+        _PINNED.append(dist)
     return dist
