@@ -874,3 +874,111 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup: the first dedup stage of every web-crawl
+# pipeline (CCNet/C4 lineage) — collapse scheme/case/www/trailing-slash/
+# tracking-param variants of the same page BEFORE any content hashing
+# runs. The fixture corpus carries no URL column, so a deterministic
+# synthetic URL derives from (source, doc_id) identically in both
+# engines (the media-bytes pattern, operators/multimodal.py): the oracle
+# then checks real canonicalization string semantics, not fixture
+# plumbing.
+# ---------------------------------------------------------------------------
+
+# messy-on-purpose synthetic URL: mixed-case scheme, optional www,
+# bucketed path (collisions = duplicate pages), optional trailing
+# slash, interleaved tracking and content params
+_URL_SQL_SPARK = """
+concat(
+  element_at(array('HTTPS://', 'https://', 'http://', 'https://'),
+             cast(doc_id % 4 as int) + 1),
+  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+  source, '.example.com/articles/', cast(doc_id % 500 as string),
+  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 5 = 0 THEN concat('?utm_source=feed&ref=', cast(doc_id % 3 as string))
+       WHEN doc_id % 5 = 1 THEN concat('?ref=', cast(doc_id % 3 as string), '&utm_campaign=x')
+       ELSE '' END
+)
+""".strip()
+
+_URL_SQL_DUCK = """
+concat(
+  ['HTTPS://', 'https://', 'http://', 'https://'][CAST(doc_id % 4 AS INTEGER) + 1],
+  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+  source, '.example.com/articles/', CAST(doc_id % 500 AS VARCHAR),
+  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 5 = 0 THEN concat('?utm_source=feed&ref=', CAST(doc_id % 3 AS VARCHAR))
+       WHEN doc_id % 5 = 1 THEN concat('?ref=', CAST(doc_id % 3 AS VARCHAR), '&utm_campaign=x')
+       ELSE '' END
+)
+""".strip()
+
+_URL_DEDUP_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_SQL_DUCK} AS url FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         string_split(url, '?')[1] AS base,
+         CASE WHEN len(string_split(url, '?')) > 1
+              THEN string_split(url, '?')[2] ELSE NULL END AS q
+  FROM u
+), canon AS (
+  SELECT doc_id,
+         concat(
+           regexp_replace(regexp_replace(regexp_replace(
+               lower(base), '^https?://', ''), '^www\\.', ''), '/$', ''),
+           CASE WHEN q IS NOT NULL
+                     AND len(list_filter(string_split(q, '&'),
+                                         p -> p NOT LIKE 'utm_%')) > 0
+                THEN concat('?', array_to_string(
+                       list_sort(list_filter(string_split(q, '&'),
+                                             p -> p NOT LIKE 'utm_%')), '&'))
+                ELSE '' END
+         ) AS canon_url
+  FROM parts
+)
+SELECT canon_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_doc_id
+FROM canon GROUP BY canon_url
+"""
+
+
+@query("url_dedup_canonical", oracle=_URL_DEDUP_ORACLE)
+def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: lowercase host, strip scheme / www. /
+    trailing slash, drop utm_* tracking params, sort the survivors —
+    then group by the canonical form, keeping the min doc_id as
+    survivor.
+
+    Scale shape: canonicalization is pure map-side string expressions in
+    whole-stage codegen; the only shuffle is the final group-by on the
+    canonical URL, whose keys are near-unique by construction (no skew —
+    a hot canonical URL IS the duplicate cluster being collapsed, and it
+    collapses map-side via partial aggregation)."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.expr(_URL_SQL_SPARK)
+    base = F.lower(F.split_part(url, F.lit("?"), F.lit(1)))
+    q = F.nullif(F.split_part(url, F.lit("?"), F.lit(2)), F.lit(""))
+    base = F.regexp_replace(base, r"^https?://", "")
+    base = F.regexp_replace(base, r"^www\.", "")
+    base = F.regexp_replace(base, r"/$", "")
+    kept = F.expr("filter(split(q, '&'), p -> p NOT LIKE 'utm_%')")
+    canon = F.concat(
+        F.col("base"),
+        F.when(
+            F.col("q").isNotNull() & (F.size(kept) > 0),
+            F.concat(F.lit("?"), F.array_join(F.array_sort(kept), "&")),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        docs.select("doc_id", base.alias("base"), q.alias("q"))
+        .select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )

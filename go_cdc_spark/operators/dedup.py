@@ -271,11 +271,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact jaccard of every candidate pair (no threshold — the caller
     filters)."""
     docs = fan_out(load(spark, sf_dir, "documents"))
-    # one explode + one aggregation builds BOTH the distinct shingle set
-    # (collect_set) and the blocking key (min md5) — no interpreted
-    # array-lambda passes (see dedup_minhash_lsh for why those are the
-    # bottleneck); array_intersect/size downstream are order-insensitive
-    # so collect_set's unordered output is fine
+    pairs = _min_shingle_candidates(docs)
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size("sha") + F.size("shb") - inter
+    return pairs.select(
+        "doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard")
+    )
+
+
+def _min_shingle_candidates(docs: DataFrame) -> DataFrame:
+    """Candidate pairs (doc_a, sha, doc_b, shb) sharing a min-shingle
+    bucket (1-permutation MinHash blocking), hub-capped against
+    mega-clusters — the shared front half of the shingle-set dedup
+    family (jaccard / containment).
+
+    One explode + one aggregation builds BOTH the distinct shingle set
+    (collect_set) and the blocking key (min md5) — no interpreted
+    array-lambda passes (see dedup_minhash_lsh for why those are the
+    bottleneck); array_intersect/size downstream are order-insensitive
+    so collect_set's unordered output is fine. Identical docs share the
+    min-shingle bucket, so all-pairs there is quadratic in the
+    duplicate-cluster size — hub-link past BUCKET_PAIR_CAP (mirrored in
+    the oracles, so the gate holds at any scale)."""
     fp = (
         docs.select("doc_id", F.explode(shingles_col()).alias("s"))
         .groupBy("doc_id")
@@ -284,10 +301,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5("s")).alias("bucket"),
         )
     )
-    # same mega-cluster guard as dedup_minhash_lsh: identical docs share
-    # the min-shingle bucket, so all-pairs there is quadratic in the
-    # duplicate-cluster size — hub-link past BUCKET_PAIR_CAP (mirrored
-    # in the oracle, so the gate holds at any scale)
     bstat = fp.groupBy("bucket").agg(
         F.min("doc_id").alias("hub"), F.count(F.lit(1)).alias("n")
     )
@@ -309,10 +322,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hubs, "bucket")
         .select("doc_a", "sha", "doc_b", "shb")
     )
-    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
-    union = F.size("sha") + F.size("shb") - inter
-    return pairs_small.unionByName(pairs_hub).select(
-        "doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard")
+    return pairs_small.unionByName(pairs_hub)
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH fp AS (
+    SELECT doc_id,
+           list_distinct(__SHINGLES) AS shset,
+           list_aggregate(list_transform(__SHINGLES, s -> md5(s)), 'min') AS bucket
+    FROM documents
+),
+bstat AS (
+    SELECT bucket, MIN(doc_id) AS hub, COUNT(*) AS n FROM fp GROUP BY bucket
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, a.shset AS sha, b.doc_id AS doc_b, b.shset AS shb
+    FROM fp a
+    JOIN fp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    JOIN bstat s ON s.bucket = a.bucket
+    WHERE s.n <= {BUCKET_PAIR_CAP}
+    UNION ALL
+    SELECT h.doc_id, h.shset, x.doc_id, x.shset
+    FROM fp x
+    JOIN bstat s ON s.bucket = x.bucket
+    JOIN fp h ON h.bucket = s.bucket AND h.doc_id = s.hub
+    WHERE s.n > {BUCKET_PAIR_CAP} AND x.doc_id != s.hub
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sha, shb)) AS DOUBLE) / len(sha) AS contain_a_in_b,
+       CAST(len(list_intersect(sha, shb)) AS DOUBLE) / len(shb) AS contain_b_in_a,
+       CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+           / least(len(sha), len(shb)) AS overlap_coef
+FROM pairs
+""".replace("__SHINGLES", _SQL_SHINGLES)
+
+
+@query("dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (Broder): C(A→B) = |sh(A) ∩ sh(B)| /
+    |sh(A)| — catches SUB-document duplication that symmetric Jaccard
+    misses (a paragraph lifted into a much larger page has tiny Jaccard
+    but containment ≈ 1 for the smaller side). Reports both directions
+    plus the overlap coefficient (their max, = inter/min set size), over
+    the same hub-capped min-shingle candidate blocking as
+    dedup_ngram_jaccard — same one-pass shingle aggregation, same
+    mega-cluster bound, so the scale story is shared."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    pairs = _min_shingle_candidates(docs)
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("double")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        (inter / F.size("sha")).alias("contain_a_in_b"),
+        (inter / F.size("shb")).alias("contain_b_in_a"),
+        (inter / F.least(F.size("sha"), F.size("shb"))).alias("overlap_coef"),
     )
 
 

@@ -506,3 +506,73 @@ def stats_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "median", "iqr", "mad")
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing: exponentially-weighted moving average of per-user
+# daily activity. alpha = 0.5 on purpose — every weight is a power of
+# two, so weight*count products and their sums are EXACT in IEEE
+# doubles and the query stays hash-checkable across engines (the same
+# dyadic-arithmetic trick as the decimal accumulation policy in
+# operators/relational.py, but for geometric weights).
+# ---------------------------------------------------------------------------
+
+_EWMA_LOOKBACK = 8  # row-based lookback window (observed days)
+_EWMA_WEIGHTS = [0.5**k for k in range(_EWMA_LOOKBACK)]  # exact dyadic literals
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"COALESCE(CAST(LAG(n, {k}) OVER w AS DOUBLE) * {w!r}, 0.0)"
+        for k, w in enumerate(_EWMA_WEIGHTS)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(n, {k}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END"
+        for k, w in enumerate(_EWMA_WEIGHTS)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT user_id, day, CAST(n AS BIGINT) AS n_events,
+           ({num}) / ({den}) AS ewma
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    """
+
+
+@query("ewma_user_daily", oracle=_ewma_oracle())
+def ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of daily event counts over the last
+    {_EWMA_LOOKBACK} OBSERVED days (row-based lag, gaps excluded —
+    pair with resample_daily_fill first when calendar-gap decay is
+    wanted), weights renormalized over the rows actually present so
+    early days aren't biased toward zero.
+
+    Scale shape: one shuffle for the daily aggregate on (user_id, day),
+    then ONE window pass per user — all {_EWMA_LOOKBACK} lag terms
+    share a single sort within the same window frame (Catalyst
+    collapses same-window functions into one Window operator), so the
+    lookback length changes arithmetic width, not pass count."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    num = None
+    den = None
+    for k, wt in enumerate(_EWMA_WEIGHTS):
+        lagged = F.lag("n", k).over(w)
+        term = F.coalesce(lagged.cast("double") * F.lit(wt), F.lit(0.0))
+        wterm = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = wterm if den is None else den + wterm
+    return daily.select(
+        "user_id",
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        (num / den).alias("ewma"),
+    )
