@@ -69,6 +69,11 @@ HEADLINE = [
     "sample_priority",
     "join_bloom_prune",
     "sssp_weighted",
+    # round-4 surface
+    "dedup_containment",
+    "url_dedup_canonical",
+    "ewma_user_daily",
+    "sim_pq_codes",
 ]
 
 

@@ -936,3 +936,127 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel").alias("relevance"),
         F.col("mmr").alias("mmr_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): split each vector into M contiguous
+# subspaces, train a tiny codebook per subspace (Lloyd, same seed/
+# assignment/update rules as kmeans_centroids), and encode every vector
+# as M small codes. THE memory lever for billion-vector ANN: 64 floats
+# become 4 bytes here (M codes), and asymmetric distance at query time
+# is M table lookups. Jégou et al.'s public PQ formulation, re-expressed
+# as DataFrame ops.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUBDIM = DIM // _PQ_M
+_PQ_K = 8  # codewords per subspace (tiny corpus; 256 in production)
+
+_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+sub AS (
+  SELECT vec_id, sp.s AS s,
+         embedding[(sp.s * {_PQ_SUBDIM} + 1):((sp.s + 1) * {_PQ_SUBDIM})] AS sub
+  FROM e, (SELECT unnest(range(0, {_PQ_M})) AS s) sp
+),
+seed AS (SELECT s, vec_id AS code_id, sub AS cent FROM sub WHERE vec_id < {_PQ_K}),
+a1 AS (
+  SELECT x.vec_id, x.s, x.sub, p.code_id,
+         ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.s
+                            ORDER BY {_sql_cosine("x.sub", "p.cent")} DESC,
+                                     p.code_id) AS rn
+  FROM sub x JOIN seed p ON x.s = p.s
+),
+u1 AS (
+  SELECT s, code_id, d.dim,
+         CAST(SUM(CAST(floor(CAST(sub[d.dim] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS value
+  FROM a1, (SELECT unnest(range(1, {_PQ_SUBDIM} + 1)) AS dim) d
+  WHERE rn = 1
+  GROUP BY s, code_id, d.dim
+),
+c1 AS (SELECT s, code_id, list(value ORDER BY dim) AS cent FROM u1 GROUP BY s, code_id),
+a2 AS (
+  SELECT x.vec_id, x.s, p.code_id,
+         ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.s
+                            ORDER BY {_sql_cosine("x.sub", "p.cent")} DESC,
+                                     p.code_id) AS rn
+  FROM sub x JOIN c1 p ON x.s = p.s
+)
+SELECT vec_id, CAST(s AS INT) AS subspace, CAST(code_id AS BIGINT) AS code
+FROM a2 WHERE rn = 1
+"""
+
+
+@query("sim_pq_codes", oracle=_PQ_ORACLE)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: {_PQ_M} subspaces × {_PQ_SUBDIM} dims, {_PQ_K}-entry
+    codebook per subspace trained with one Lloyd round (seed = the
+    vec_id < {_PQ_K} subvectors; assignment/update rules identical to
+    kmeans_centroids so the exactness guarantees carry over: fixed-order
+    cosine folds, fixed-point integer means). Output long-form
+    (vec_id, subspace, code).
+
+    Scale shape: the subspace explode is map-side ({_PQ_M}× row
+    growth of SUBVECTORS, not full vectors — each carries DIM/{_PQ_M}
+    floats, so byte volume is unchanged); both assignment passes are
+    broadcast joins of {_PQ_M}×{_PQ_K}-row codebooks (map-side argmax,
+    zero corpus shuffle); the update is one groupBy of
+    {_PQ_M}×{_PQ_K}×{_PQ_SUBDIM} groups with map-side partials. The
+    whole pipeline shuffles codebook-sized relations only — exactly the
+    property that makes PQ trainable on a 100 TB vector corpus."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+                            "sub"
+                        ),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub"))
+
+    seeds = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "s", F.col("vec_id").alias("code_id"), F.col("sub").alias("cent")
+    )
+    aw = Window.partitionBy("vec_id", "s").orderBy(
+        F.desc(cosine_col("sub", "cent")), F.asc("code_id")
+    )
+    assigned = (
+        subs.join(F.broadcast(seeds), "s")
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("s", "code_id", "sub")
+    )
+    ex = assigned.select(
+        "s", "code_id", F.posexplode("sub").alias("pos", "val")
+    ).select("s", "code_id", (F.col("pos") + 1).alias("dim"), "val")
+    q = F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast("long")
+    upd = ex.groupBy("s", "code_id", "dim").agg(
+        (
+            F.sum(q).cast("double") / F.lit(1000000.0) / F.count(F.lit(1)).cast("double")
+        ).alias("value")
+    )
+    cent1 = upd.groupBy("s", "code_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "value"))),
+            lambda st: st["value"],
+        ).alias("cent")
+    )
+    return (
+        subs.join(F.broadcast(cent1), "s")
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("s").cast("int").alias("subspace"),
+            F.col("code_id").cast("long").alias("code"),
+        )
+    )
