@@ -354,3 +354,58 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix: first-order Markov view of user journeys —
+# P(next event type | current event type) with counts. The behavioral
+# twin of lm_bigram_score (same lag-pair shape, event stream instead of
+# token stream).
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@query("event_transitions", oracle=_TRANSITIONS_ORACLE)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences:
+    (from_type, to_type, count, row-normalized probability). Ties on ts
+    break by event_id so the sequence — and therefore the hash — is
+    deterministic.
+
+    Scale shape: one window pass partitioned by user_id (the natural
+    key, uniform by construction) produces the lag pairs; the
+    transition aggregate keys on the tiny (from, to) grid — map-side
+    partials collapse each partition to at most |types|² rows, and the
+    row-normalizing window runs over that grid, not the stream."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(row).cast("double")).alias("p"),
+    )

@@ -1060,3 +1060,142 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("code_id").cast("long").alias("code"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval + clustering evaluation: the measurement half of an
+# embedding pipeline. MRR avoids logarithms (1/rank is exact integer
+# division in doubles, deterministic IEEE in both engines — NDCG's log2
+# drifts a ulp between Java and DuckDB libm, see the verify notes), and
+# purity is a pure count ratio.
+# ---------------------------------------------------------------------------
+
+_MRR_NQ = 32  # evaluation query set: vec_id < _MRR_NQ
+_MRR_K = 10  # judged depth
+
+
+_MRR_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel FROM e
+      WHERE vec_id < {_MRR_NQ}),
+ranked AS (
+  SELECT q.qid, q.qlabel, e.label,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+                            ORDER BY {_sql_cosine("e.embedding", "q.qv")} DESC,
+                                     e.vec_id) AS rnk
+  FROM q JOIN e ON e.vec_id != q.qid
+)
+SELECT qid, qlabel,
+       CAST(MIN(CASE WHEN label = qlabel THEN rnk END) AS BIGINT) AS first_hit_rank,
+       COALESCE(1.0 / CAST(MIN(CASE WHEN label = qlabel THEN rnk END) AS DOUBLE),
+                0.0) AS rr
+FROM ranked
+WHERE rnk <= {_MRR_K}
+GROUP BY qid, qlabel
+"""
+
+
+@query("eval_retrieval_mrr", oracle=_MRR_ORACLE)
+def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality of the embedding space: for each of the
+    {_MRR_NQ} evaluation queries, the rank of the first same-label
+    neighbor within the top-{_MRR_K} (cosine, self excluded) and its
+    reciprocal — per-query rows; MRR is their mean, left to the caller
+    so the result stays hash-stable row-wise.
+
+    Scale shape: the query set broadcasts (evaluation sets are small by
+    construction); ranking is a per-qid window with
+    WindowGroupLimit pushing the top-{_MRR_K} cut into each partition
+    before the shuffle — the same partial-top-k plan as sim_topk, so
+    judged depth bounds the shuffle, not corpus size."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    q = emb.filter(F.col("vec_id") < _MRR_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(cosine_col("embedding", "qv")), F.asc("vec_id")
+    )
+    ranked = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MRR_K)
+    )
+    hit = F.min(F.when(F.col("label") == F.col("qlabel"), F.col("rnk")))
+    return ranked.groupBy("qid", "qlabel").agg(
+        hit.cast("long").alias("first_hit_rank"),
+        F.coalesce(F.lit(1.0) / hit.cast("double"), F.lit(0.0)).alias("rr"),
+    )
+
+
+_PURITY_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, embedding AS cent FROM e
+      WHERE vec_id < {N_CENTROIDS}),
+a AS (
+  SELECT e.vec_id, e.label, c.centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_sql_cosine("e.embedding", "c.cent")} DESC,
+                                     c.centroid_id) AS rn
+  FROM e CROSS JOIN c
+),
+m AS (
+  SELECT centroid_id, label, COUNT(*) AS n
+  FROM a WHERE rn = 1 GROUP BY centroid_id, label
+),
+t AS (
+  SELECT centroid_id, label, n,
+         SUM(n) OVER (PARTITION BY centroid_id) AS total,
+         ROW_NUMBER() OVER (PARTITION BY centroid_id
+                            ORDER BY n DESC, label) AS rn
+  FROM m
+)
+SELECT centroid_id,
+       CAST(total AS BIGINT) AS n_members,
+       CAST(label AS INT) AS majority_label,
+       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS purity
+FROM t WHERE rn = 1
+"""
+
+
+@query("eval_cluster_purity", oracle=_PURITY_ORACLE)
+def eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-label agreement of the IVF coarse partitioning: assign
+    every vector to its nearest seed centroid (sim_ivf's argmax rule),
+    then per cluster report size, majority label, and purity
+    (majority share) — the standard unsupervised-vs-ground-truth
+    diagnostic.
+
+    Scale shape: assignment is the broadcast argmax (zero corpus
+    shuffle); the purity rollup runs over the (centroid, label) grid —
+    K×|labels| rows — after map-side partials."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc(cosine_col("embedding", "cent")), F.asc("centroid_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("centroid_id", "label")
+    )
+    m = assigned.groupBy("centroid_id", "label").agg(F.count(F.lit(1)).alias("n"))
+    cw = Window.partitionBy("centroid_id")
+    rw = Window.partitionBy("centroid_id").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        m.withColumn("total", F.sum("n").over(cw))
+        .withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "centroid_id",
+            F.col("total").cast("long").alias("n_members"),
+            F.col("label").cast("int").alias("majority_label"),
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "purity"
+            ),
+        )
+    )
