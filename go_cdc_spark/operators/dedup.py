@@ -496,13 +496,16 @@ def connected_components(
     job launches for a graph that fits in one machine's memory, the
     same trade the boundary-sampling collect makes (snapshot.py). The
     ~16 MB/1M-edge collect is bounded by the constant. Above the
-    threshold, distributed min-label propagation: one join + one
-    groupBy-min per round, converging in O(component diameter) rounds —
-    near-dup clusters are shallow (diameter ≤ ~3) in practice.
+    threshold, distributed min-label propagation WITH pointer doubling:
+    each round is (1) a neighbor-min propagate (one join + one
+    groupBy-min) and (2) a label-of-label contraction (one self-join) —
+    the doubling step halves label-chain depth per round, so
+    convergence is O(log n) rounds even on adversarial path graphs,
+    not O(diameter) (Shiloach–Vishkin-style hybrid; plain propagation
+    would silently exceed max_iter on a >50-diameter chain).
     ``localCheckpoint`` cuts lineage each round so Catalyst analysis
     stays O(1) per iteration; the convergence probe is a metadata-sized
-    count. For adversarial graphs (long chains) switch to
-    large-star/small-star — same public pattern, fewer rounds.
+    count, and NON-convergence raises instead of returning wrong labels.
     Both paths produce identical results (cluster id = min member id).
     """
     # pin the (possibly expensive) candidate-pair plan ONCE — the size
@@ -528,14 +531,26 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iter):
         nbr = sym.join(labels, sym.b == labels.node).select(
             F.col("a").alias("node"), F.col("label")
         )
+        new = labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        # pointer doubling: label ← label[label]. Every label value is
+        # itself a node (it entered as some node's min-neighbor-or-self),
+        # so the self-join is total; each application halves the depth
+        # of any label chain — O(log n) total rounds on a path graph
+        # where plain propagation needs O(n).
         new = (
-            labels.union(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            new.alias("x")
+            .join(
+                new.select(
+                    F.col("node").alias("lnode"), F.col("label").alias("llabel")
+                ),
+                F.col("x.label") == F.col("lnode"),
+            )
+            .select("node", F.col("llabel").alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -548,6 +563,11 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "— refusing to return possibly-wrong cluster labels"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

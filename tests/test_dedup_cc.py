@@ -41,3 +41,38 @@ def test_distributed_path_matches_driver_path(spark, monkeypatch):
     monkeypatch.setattr(d, "DRIVER_CC_MAX_EDGES", 0)
     got = _cc(spark, edges)
     assert got == expect == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 30: 30}
+
+
+def test_distributed_path_converges_logarithmically_on_long_chain(
+    spark, monkeypatch
+):
+    """A 300-node path graph has diameter 299 — plain min-label
+    propagation needs ~299 rounds and would blow the max_iter=50 cap
+    (previously returning WRONG labels silently). Pointer doubling
+    converges in O(log n): require the whole chain labeled 1 within 12
+    rounds."""
+    import go_cdc_spark.operators.dedup as d
+
+    monkeypatch.setattr(d, "DRIVER_CC_MAX_EDGES", 0)
+    n = 300
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    )
+    out = connected_components(df, "src", "dst", max_iter=12)
+    got = {r.node: r.cluster_id for r in out.collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == n
+
+
+def test_distributed_path_raises_when_unconverged(spark, monkeypatch):
+    """max_iter too small must raise, never return partial labels."""
+    import pytest
+
+    import go_cdc_spark.operators.dedup as d
+
+    monkeypatch.setattr(d, "DRIVER_CC_MAX_EDGES", 0)
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 300)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, "src", "dst", max_iter=2)
