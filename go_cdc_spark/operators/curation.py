@@ -982,3 +982,92 @@ def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination: flag training vectors whose embedding is
+# near-identical to any evaluation vector — the companion to the n-gram
+# check above for paraphrased/remixed benchmark leakage that lexical
+# shingles miss. Eval set = vec_id < _SEM_EVAL_N (stand-in; production
+# passes the benchmark embedding table).
+# ---------------------------------------------------------------------------
+
+_SEM_EVAL_N = 32
+_SEM_TAU = 0.999  # near-duplicate cosine threshold
+
+
+def _curation_sql_cosine(a: str, b: str) -> str:
+    from .similarity import _sql_cosine
+
+    return _sql_cosine(a, b)
+
+
+_SEM_DECON_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, embedding AS ev_vec FROM e
+       WHERE vec_id < {_SEM_EVAL_N}),
+tr AS (SELECT vec_id, embedding FROM e WHERE vec_id >= {_SEM_EVAL_N}),
+sims AS (
+  SELECT tr.vec_id,
+         {{cos}} AS cos,
+         ev.eval_id
+  FROM tr CROSS JOIN ev
+),
+best AS (
+  SELECT vec_id, cos, eval_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, eval_id) AS rn
+  FROM sims
+)
+SELECT vec_id, cos AS max_cosine, CAST(eval_id AS BIGINT) AS nearest_eval_id,
+       CAST(cos >= {_SEM_TAU} AS BOOLEAN) AS contaminated
+FROM best WHERE rn = 1
+"""
+
+
+@query(
+    "decontaminate_semantic",
+    oracle=_SEM_DECON_ORACLE.format(
+        cos=_curation_sql_cosine("tr.embedding", "ev.ev_vec")
+    ),
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: per training vector, the max
+    cosine against the evaluation set, the nearest eval id, and a
+    contaminated flag at {_SEM_TAU} — catches paraphrase-level leakage
+    the lexical n-gram probe can't.
+
+    Scale shape: eval embeddings broadcast (benchmark sets are small by
+    construction); the scan side computes the argmax per vector inside
+    its own partition (window keyed by the unique vec_id — map-side
+    WindowGroupLimit cut) — the 100 TB training corpus is never
+    shuffled. Exact-fold cosine (similarity.py) keeps the score
+    hash-identical across engines."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine_col
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = emb.filter(F.col("vec_id") < _SEM_EVAL_N).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev_vec")
+    )
+    tr = emb.filter(F.col("vec_id") >= _SEM_EVAL_N)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("eval_id")
+    )
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            cosine_col("embedding", "ev_vec").alias("cos"),
+            "eval_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cos").alias("max_cosine"),
+            F.col("eval_id").cast("long").alias("nearest_eval_id"),
+            (F.col("cos") >= F.lit(_SEM_TAU)).alias("contaminated"),
+        )
+    )

@@ -779,3 +779,53 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+_REPEATED_SPANS_ORACLE = f"""
+WITH fp AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+               j -> list_min(hs[j:j + {WINNOW_W - 1}]))) AS fp
+    FROM (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(length(text) - {WINNOW_K - 1}, 1) + 1),
+                   i -> CAST(concat('0x', substr(md5(substr(text, i, {WINNOW_K})), 1, 8)) AS BIGINT)) AS hs
+        FROM documents
+    ) t
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_uniq_fps,
+       1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS dup_span_frac
+FROM fp GROUP BY doc_id
+"""
+
+
+@query("quality_repeated_spans", oracle=_REPEATED_SPANS_ORACLE)
+def quality_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition at the substring level: the share of a
+    doc's winnowing fingerprints that are repeats of earlier spans in
+    the SAME doc — the signal that catches looped/templated generation
+    (lyrics choruses, boilerplate stutter, degenerate model output)
+    which token-level duplicate fractions (quality_repetition)
+    understate on long spans.
+
+    Scale shape: fingerprints never leave their doc's partition — the
+    aggregate keys on the unique doc_id, so this is one explode + one
+    map-side-partial groupBy; no posting lists, no joins (contrast
+    dedup_winnow, which shuffles by fingerprint to find CROSS-doc
+    repeats)."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    fps = docs.select("doc_id", F.explode(winnow_fingerprints()).alias("fp"))
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.count_distinct("fp").alias("n_uniq_fps"),
+        (
+            F.lit(1.0)
+            - F.count_distinct("fp").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_span_frac"),
+    )
