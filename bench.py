@@ -74,6 +74,11 @@ HEADLINE = [
     "url_dedup_canonical",
     "ewma_user_daily",
     "sim_pq_codes",
+    "event_transitions",
+    "eval_retrieval_mrr",
+    "eval_cluster_purity",
+    "decontaminate_semantic",
+    "quality_repeated_spans",
 ]
 
 
