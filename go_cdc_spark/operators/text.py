@@ -525,3 +525,143 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training: the tokenizer-training primitive (Sennrich et al.,
+# public BPE formulation). Each round counts adjacent symbol pairs
+# weighted by word frequency, picks the most frequent pair
+# (deterministic tie-break), and merges it corpus-wide. Merging is
+# expressed as a fixed-depth chain of space-delimited string
+# replacements — replace() is leftmost-non-overlapping in every engine,
+# and a chain of _BPE_REPLACE_DEPTH applications reaches the fixpoint
+# for symbol sequences up to 2^depth repeats, so both engines compute
+# the identical merged corpus.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 2
+_BPE_REPLACE_DEPTH = 4  # fixpoint for up to 2^4 consecutive repeats
+
+
+def _sql_bpe_pairs(seq_rel: str) -> str:
+    """DuckDB: weighted adjacent-pair counts over a (word, cnt, seq)
+    relation; seq is the space-joined symbol sequence."""
+    return f"""
+  SELECT t[i] AS l, t[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, string_split(seq, ' ') AS t FROM {seq_rel}),
+       (SELECT unnest(range(1, 16)) AS i)
+  WHERE i < len(t)
+  GROUP BY t[i], t[i + 1]
+""".strip()
+
+
+def _sql_bpe_merge(seq_rel: str, top_rel: str) -> str:
+    rep = "concat(' ', seq, ' ')"
+    for _ in range(_BPE_REPLACE_DEPTH):
+        rep = (
+            f"replace({rep}, concat(' ', l, ' ', r, ' '), "
+            "concat(' ', l, r, ' '))"
+        )
+    return f"""
+  SELECT word, cnt, trim({rep}) AS seq
+  FROM {seq_rel} CROSS JOIN {top_rel}
+""".strip()
+
+
+_BPE_ORACLE = f"""
+WITH wc AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok != '' GROUP BY tok
+),
+s0 AS (
+  SELECT word, cnt, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+  FROM wc
+),
+p1 AS ({_sql_bpe_pairs("s0")}),
+t1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+s1 AS ({_sql_bpe_merge("s0", "t1")}),
+p2 AS ({_sql_bpe_pairs("s1")}),
+t2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1)
+SELECT 1 AS merge_rank, l AS lhs, r AS rhs, concat(l, r) AS merged,
+       c AS pair_count FROM t1
+UNION ALL
+SELECT 2, l, r, concat(l, r), c FROM t2
+"""
+
+
+def _bpe_pairs(seqs: DataFrame) -> DataFrame:
+    pair = F.expr(
+        """
+        filter(transform(sequence(1, greatest(size(split(seq, ' ')) - 1, 1)),
+                         i -> struct(try_element_at(split(seq, ' '), i) AS l,
+                                     try_element_at(split(seq, ' '), i + 1) AS r)),
+               x -> x.r IS NOT NULL)
+        """
+    )
+    return (
+        seqs.select("cnt", F.explode(pair).alias("p"))
+        .select("cnt", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .groupBy("l", "r")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+
+
+def _bpe_merge(seqs: DataFrame, top: DataFrame) -> DataFrame:
+    rep = "concat(' ', seq, ' ')"
+    for _ in range(_BPE_REPLACE_DEPTH):
+        rep = (
+            f"replace({rep}, concat(' ', l, ' ', r, ' '), "
+            "concat(' ', l, r, ' '))"
+        )
+    return seqs.crossJoin(F.broadcast(top)).select(
+        "word", "cnt", F.expr(f"trim({rep})").alias("seq")
+    )
+
+
+@query("bpe_train_merges", oracle=_BPE_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first {_BPE_ROUNDS} BPE merges on the corpus: word
+    frequencies → character symbol sequences → repeat (count weighted
+    adjacent pairs → pick argmax pair, ties by (count desc, l, r) →
+    merge corpus-wide). Output one row per learned merge:
+    (merge_rank, lhs, rhs, merged, pair_count).
+
+    Scale shape: pair counting aggregates the (vocabulary-sized, NOT
+    corpus-sized) word table — the word-count rollup is the only
+    corpus-wide shuffle, and it's the same partial-agg shape as
+    text_stats. Each round shuffles |pairs| ≤ |vocab|×len rows and
+    broadcasts ONE row back; rounds are a fixed unrolled constant, the
+    standard iterate-over-broadcast-scalar pattern (kmeans_centroids).
+    Production BPE runs thousands of merges with the same per-round
+    plan — driver-side loop, nothing new per round."""
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    seqs = wc.select(
+        "word",
+        "cnt",
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+    )
+    out = None
+    for rank in range(1, _BPE_ROUNDS + 1):
+        top = (
+            _bpe_pairs(seqs)
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+        )
+        row = top.select(
+            F.lit(rank).alias("merge_rank"),
+            F.col("l").alias("lhs"),
+            F.col("r").alias("rhs"),
+            F.concat("l", "r").alias("merged"),
+            F.col("c").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+        if rank < _BPE_ROUNDS:
+            seqs = _bpe_merge(seqs, top)
+    return out
