@@ -79,6 +79,7 @@ HEADLINE = [
     "eval_cluster_purity",
     "decontaminate_semantic",
     "quality_repeated_spans",
+    "bpe_train_merges",
 ]
 
 
