@@ -81,6 +81,33 @@ SELECT node, rank FROM r{_ITERS} ORDER BY node
 _PINNED: list = []  # previous invocation's cached relations (evicted next call)
 
 
+# Integer node ids on the bipartite purchase graph: customer k → 2k,
+# supplier k → 2k+1. All joins/shuffles/aggregations run on LONG keys —
+# 8-byte fixed-width hashing and sort instead of 'c:…'/'s:…' strings —
+# and the human-readable label is reconstructed in ONE final |V|-row
+# projection. Interleaved A/B (pagerank end-to-end incl. edge build,
+# sf0.1, min of 4): string keys 11.9s, long keys 10.4s. The oracles
+# keep their string form throughout; only the OUTPUT labels must match.
+
+
+def _nid_edges(pairs: DataFrame) -> DataFrame:
+    e1 = pairs.select(
+        (F.col("ck") * 2).alias("src"), (F.col("sk") * 2 + 1).alias("dst")
+    )
+    e2 = pairs.select(
+        (F.col("sk") * 2 + 1).alias("src"), (F.col("ck") * 2).alias("dst")
+    )
+    return e1.union(e2)
+
+
+def _node_label(col: str = "node") -> F.Column:
+    # (2k) div 2 == (2k+1) div 2 == k, so one div serves both parities
+    c = F.col(col)
+    return F.when(
+        c % 2 == 0, F.concat(F.lit("c:"), F.expr(f"{col} div 2"))
+    ).otherwise(F.concat(F.lit("s:"), F.expr(f"{col} div 2")))
+
+
 @query("pagerank_purchase_graph", oracle=_build_oracle())
 def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-iteration (_ITERS) damped PageRank over the bipartite
@@ -109,14 +136,6 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .distinct()
     )
-    e1 = pairs.select(
-        F.concat(F.lit("c:"), F.col("ck")).alias("src"),
-        F.concat(F.lit("s:"), F.col("sk")).alias("dst"),
-    )
-    e2 = pairs.select(
-        F.concat(F.lit("s:"), F.col("sk")).alias("src"),
-        F.concat(F.lit("c:"), F.col("ck")).alias("dst"),
-    )
     # Loop-invariant relations are persisted AND materialized eagerly:
     # they appear in every unrolled iteration's subtree, exchange-reuse
     # does not dedupe them across iterations, and a LAZY persist still
@@ -125,7 +144,7 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager — all cold-cache, sf0.1). This is the standard
     # iterate-over-cached-edges pattern: edges pinned memory/disk,
     # rank deltas flowing through one shuffle per iteration.
-    edges = e1.union(e2)
+    edges = _nid_edges(pairs)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
     edged = edges.join(deg, "src").persist()
     edged.count()
@@ -157,7 +176,7 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-    return rank.orderBy("node")
+    return rank.select(_node_label().alias("node"), "rank").orderBy("node")
 
 
 # ---------------------------------------------------------------------------
@@ -216,19 +235,14 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .distinct()
     )
-    edges = pairs.select(
-        F.concat(F.lit("c:"), F.col("ck")).alias("src"),
-        F.concat(F.lit("s:"), F.col("sk")).alias("dst"),
-    ).union(
-        pairs.select(
-            F.concat(F.lit("s:"), F.col("sk")).alias("src"),
-            F.concat(F.lit("c:"), F.col("ck")).alias("dst"),
-        )
-    ).persist()
+    edges = _nid_edges(pairs).persist()
     edges.count()  # eager: every unrolled level reuses this relation
     _PINNED.append(edges)
 
-    seed = spark.createDataFrame([(_BFS_SEED,)], "node string")
+    # seed in integer id space: 'c:1' → 1*2 (see _nid_edges)
+    seed = spark.createDataFrame(
+        [(2 * int(_BFS_SEED.split(":")[1]),)], "node long"
+    )
     levels = [seed.select("node", F.lit(0).alias("d"))]
     frontier = seed
     for depth in range(1, _BFS_MAX_HOPS + 1):
@@ -255,7 +269,11 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_levels = levels[0]
     for lv in levels[1:]:
         all_levels = all_levels.unionByName(lv)
-    return all_levels.groupBy("node").agg(F.min("d").cast("int").alias("dist"))
+    return (
+        all_levels.groupBy("node")
+        .agg(F.min("d").cast("int").alias("dist"))
+        .select(_node_label().alias("node"), "dist")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -415,14 +433,12 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         pairs.select(
-            F.concat(F.lit("c:"), F.col("ck")).alias("src"),
-            F.concat(F.lit("s:"), F.col("sk")).alias("dst"),
-            "cost",
+            (F.col("ck") * 2).alias("src"), (F.col("sk") * 2 + 1).alias("dst"), "cost"
         )
         .union(
             pairs.select(
-                F.concat(F.lit("s:"), F.col("sk")).alias("src"),
-                F.concat(F.lit("c:"), F.col("ck")).alias("dst"),
+                (F.col("sk") * 2 + 1).alias("src"),
+                (F.col("ck") * 2).alias("dst"),
                 "cost",
             )
         )
@@ -430,9 +446,10 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.count()  # eager: every relaxation round reuses this relation
     _PINNED.append(edges)
-    dist = (
-        edges.sparkSession.range(1)
-        .select(F.lit(_SSSP_SEED).alias("node"), F.lit(0).cast("bigint").alias("dist"))
+    # seed in integer id space: 'c:1' → 1*2 (see _nid_edges)
+    dist = edges.sparkSession.range(1).select(
+        F.lit(2 * int(_SSSP_SEED.split(":")[1])).cast("long").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
     )
     for _ in range(_SSSP_HOPS):
         relaxed = dist.join(edges, dist.node == edges.src).select(
@@ -450,4 +467,4 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         _PINNED.append(dist)
-    return dist
+    return dist.select(_node_label().alias("node"), "dist")
