@@ -80,6 +80,7 @@ HEADLINE = [
     "decontaminate_semantic",
     "quality_repeated_spans",
     "bpe_train_merges",
+    "mine_hard_negatives",
     # heaviest single query on the surface — tracked so the iterative
     # plan can't regress silently (A/B: per-iteration persist LOSES
     # here, 5.7s vs 4.7s — linear lineage + ReuseExchange already

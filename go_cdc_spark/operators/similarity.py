@@ -1199,3 +1199,62 @@ def eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_HN_K = 5  # hard negatives per anchor
+
+
+_HN_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS qlabel FROM e
+      WHERE vec_id < {_MRR_NQ}),
+ranked AS (
+  SELECT q.anchor_id, q.qlabel, e.vec_id AS neg_id, e.label AS neg_label,
+         {_sql_cosine("e.embedding", "q.qv")} AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.anchor_id
+                            ORDER BY {_sql_cosine("e.embedding", "q.qv")} DESC,
+                                     e.vec_id) AS rnk
+  FROM q JOIN e ON e.label != q.qlabel
+)
+SELECT anchor_id, qlabel, neg_id, neg_label, cos,
+       CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {_HN_K}
+"""
+
+
+@query("mine_hard_negatives", oracle=_HN_ORACLE)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    anchor, the {_HN_K} highest-cosine vectors of a DIFFERENT label —
+    the pairs that carry the most gradient signal (in-batch random
+    negatives are mostly easy; mining against the full corpus is the
+    standard offline step). Deterministic ties by vec_id.
+
+    Scale shape: identical to eval_retrieval_mrr — anchors broadcast,
+    per-anchor top-k via WindowGroupLimit (the partial top-k cut runs
+    inside each corpus partition before any shuffle), so the judged
+    depth bounds shuffle volume, not corpus size. At 100 TB the anchor
+    set shards into broadcast-sized batches and the same plan loops."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    q = emb.filter(F.col("vec_id") < _MRR_NQ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("neg_id"))
+    return (
+        emb.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "anchor_id",
+            "qlabel",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            cosine_col("embedding", "qv").alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HN_K)
+        .select(
+            "anchor_id", "qlabel", "neg_id", "neg_label", "cos",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
