@@ -450,3 +450,72 @@ include_tables = ["region"]
     rows = meta.all()
     assert rows[("alpha", None, "region")].last_pos == str(pa + 4).zfill(12)
     assert rows[("beta", None, "region")].last_pos == str(pb + 4).zfill(12)
+
+
+def test_mixed_changelog_formats_one_engine(spark, tmp_path):
+    """One engine, two sources speaking DIFFERENT wire formats — source
+    1 the native CHANGE_EVENT_SCHEMA JSON-lines changelog, source 2 a
+    Debezium topic replay. Both must materialize independently through
+    their own adapters; neither stream may leak into the other's
+    state."""
+    seg1 = tmp_path / "cl-native"
+    seg2 = tmp_path / "cl-dbz"
+    seg1.mkdir(), seg2.mkdir()
+    cfg = f"""
+[engine]
+meta_path      = "{tmp_path}/meta"
+state_dir      = "{tmp_path}/state"
+checkpoint_dir = "{tmp_path}/ckpt"
+
+[[source]]
+id        = 1
+name      = "native_src"
+type      = "parquet"
+path      = "{SF}"
+changelog = "{seg1}"
+[source.primary_keys]
+region = ["r_regionkey"]
+[source.rules.global]
+include_tables = ["region"]
+
+[[source]]
+id               = 2
+name             = "dbz_src"
+type             = "parquet"
+path             = "{SF}"
+changelog        = "{seg2}"
+changelog_format = "debezium"
+[source.primary_keys]
+region = ["r_regionkey"]
+[source.rules.global]
+include_tables = ["region"]
+"""
+    p = tmp_path / "config.toml"
+    p.write_text(cfg)
+    engine = Engine(load_config(str(p)), spark=spark)
+    engine.init_sources()
+    snaps = engine.full_sync()
+    pos1 = int(next(s.pos for s in snaps[1] if s.table == "region"))
+    with open(seg1 / "seg0.json", "w") as f:
+        f.write(
+            json.dumps(
+                _event(pos1 + 1, "update", {"r_regionkey": "2", "r_name": "NATIVE-V2"})
+            )
+            + "\n"
+        )
+    dbz = {
+        "payload": {
+            "before": {"r_regionkey": 0, "r_name": "AFRICA"},
+            "after": {"r_regionkey": 0, "r_name": "DBZ-V2"},
+            "op": "u",
+            "ts_ms": 1700000000000,
+            "source": {"name": "dbz_src", "db": "main", "table": "region",
+                       "gtid": "uuid-z:1"},
+        }
+    }
+    (seg2 / "topic-0.json").write_text(json.dumps(dbz) + "\n")
+    engine.incremental_sync()
+    s1 = {r.r_regionkey: r.r_name for r in engine.read_table(1, "main", "region").collect()}
+    s2 = {r.r_regionkey: r.r_name for r in engine.read_table(2, "main", "region").collect()}
+    assert s1[2] == "NATIVE-V2" and s1[0] == "AFRICA"
+    assert s2[0] == "DBZ-V2" and s2[2] == "ASIA"
