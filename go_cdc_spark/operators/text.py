@@ -665,3 +665,64 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         if rank < _BPE_ROUNDS:
             seqs = _bpe_merge(seqs, top)
     return out
+
+
+_BPE_APPLY_ORACLE = f"""
+WITH wc AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok != '' GROUP BY tok
+),
+s0 AS (
+  SELECT word, cnt, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+  FROM wc
+),
+p1 AS ({_sql_bpe_pairs("s0")}),
+t1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+s1 AS ({_sql_bpe_merge("s0", "t1")}),
+p2 AS ({_sql_bpe_pairs("s1")}),
+t2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+s2 AS ({_sql_bpe_merge("s1", "t2")})
+SELECT CAST(SUM(s0.cnt) AS BIGINT) AS n_words,
+       CAST(SUM(s0.cnt * len(string_split(s0.seq, ' '))) AS BIGINT) AS symbols_before,
+       CAST(SUM(s0.cnt * len(string_split(s2.seq, ' '))) AS BIGINT) AS symbols_after
+FROM s0 JOIN s2 USING (word)
+"""
+
+
+@query("bpe_apply_stats", oracle=_BPE_APPLY_ORACLE)
+def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the {_BPE_ROUNDS} learned merges back to the corpus and
+    report the compression: total words, symbol count before/after —
+    the roundtrip proof that training and application agree (every
+    tokenizer-build pipeline ships this sanity stat).
+
+    Same scale shape as bpe_train_merges: all arithmetic happens on the
+    vocabulary-sized relation with word frequencies as weights."""
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    s0 = wc.select(
+        "word",
+        "cnt",
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+    )
+    seqs = s0
+    for _ in range(_BPE_ROUNDS):
+        top = _bpe_pairs(seqs).orderBy(F.desc("c"), "l", "r").limit(1)
+        seqs = _bpe_merge(seqs, top)
+    merged = seqs.select("word", F.col("seq").alias("mseq"))
+    nsym = F.size(F.split("seq", " "))
+    msym = F.size(F.split("mseq", " "))
+    return (
+        s0.join(merged, "word")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * nsym).cast("long").alias("symbols_before"),
+            F.sum(F.col("cnt") * msym).cast("long").alias("symbols_after"),
+        )
+    )
