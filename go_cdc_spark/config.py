@@ -128,6 +128,18 @@ def _build(raw: dict) -> EngineConfig:
                 f"source {s.name!r}: unknown changelog_format "
                 f"{s.changelog_format!r} (native | debezium)"
             )
+        if s.changelog_format != "debezium":
+            # These topics are only unioned into the stream by the
+            # debezium branch of Engine._changelog_stream; a native
+            # source carrying them would silently never see those
+            # commits/DDL — fail at load time instead.
+            for bad in ("txn_changelog", "schema_changelog"):
+                if getattr(s, bad) is not None:
+                    raise ValueError(
+                        f"source {s.name!r}: {bad} requires "
+                        "changelog_format='debezium' (ignored under "
+                        f"{s.changelog_format!r})"
+                    )
     return EngineConfig(
         meta_path=eng["meta_path"],
         state_dir=eng["state_dir"],

@@ -100,6 +100,18 @@ def _nid_edges(pairs: DataFrame) -> DataFrame:
     return e1.union(e2)
 
 
+def _node_id(label: str) -> int:
+    """Inverse of _node_label: 'c:k' → 2k (customer), 's:k' → 2k+1
+    (supplier).  Used for seed translation so changing a seed constant
+    to a supplier can never silently seed the wrong parity."""
+    kind, _, k = label.partition(":")
+    if kind == "c":
+        return 2 * int(k)
+    if kind == "s":
+        return 2 * int(k) + 1
+    raise ValueError(f"unknown node label kind: {label!r}")
+
+
 def _node_label(col: str = "node") -> F.Column:
     # (2k) div 2 == (2k+1) div 2 == k, so one div serves both parities
     c = F.col(col)
@@ -239,10 +251,8 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.count()  # eager: every unrolled level reuses this relation
     _PINNED.append(edges)
 
-    # seed in integer id space: 'c:1' → 1*2 (see _nid_edges)
-    seed = spark.createDataFrame(
-        [(2 * int(_BFS_SEED.split(":")[1]),)], "node long"
-    )
+    # seed in integer id space via the label inverse (see _nid_edges)
+    seed = spark.createDataFrame([(_node_id(_BFS_SEED),)], "node long")
     levels = [seed.select("node", F.lit(0).alias("d"))]
     frontier = seed
     for depth in range(1, _BFS_MAX_HOPS + 1):
@@ -446,9 +456,9 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.count()  # eager: every relaxation round reuses this relation
     _PINNED.append(edges)
-    # seed in integer id space: 'c:1' → 1*2 (see _nid_edges)
+    # seed in integer id space via the label inverse (see _nid_edges)
     dist = edges.sparkSession.range(1).select(
-        F.lit(2 * int(_SSSP_SEED.split(":")[1])).cast("long").alias("node"),
+        F.lit(_node_id(_SSSP_SEED)).cast("long").alias("node"),
         F.lit(0).cast("bigint").alias("dist"),
     )
     for _ in range(_SSSP_HOPS):

@@ -545,12 +545,14 @@ _BPE_REPLACE_DEPTH = 4  # fixpoint for up to 2^4 consecutive repeats
 
 def _sql_bpe_pairs(seq_rel: str) -> str:
     """DuckDB: weighted adjacent-pair counts over a (word, cnt, seq)
-    relation; seq is the space-joined symbol sequence."""
+    relation; seq is the space-joined symbol sequence.  The position
+    list is derived per-row from the symbol count (mirrors Spark's
+    ``sequence(1, size-1)``) so arbitrarily long words count every
+    adjacent pair — no fixed cap."""
     return f"""
   SELECT t[i] AS l, t[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
-  FROM (SELECT cnt, string_split(seq, ' ') AS t FROM {seq_rel}),
-       (SELECT unnest(range(1, 16)) AS i)
-  WHERE i < len(t)
+  FROM (SELECT cnt, t, unnest(range(1, greatest(len(t), 1))) AS i
+        FROM (SELECT cnt, string_split(seq, ' ') AS t FROM {seq_rel}))
   GROUP BY t[i], t[i + 1]
 """.strip()
 

@@ -132,6 +132,12 @@ class ReadCommittedGate:
             candidates[self.txn_col] == F.col("__ctxn"),
             "left_anti",
         )
+        # The dedup + anti-join plan above is read by FOUR consumers
+        # (released agg, downstream apply, still_open rewrite, and the
+        # watermark's pending re-read) — persist once so the pending
+        # store scan + dedup shuffle runs a single time per micro-batch
+        # instead of being re-evaluated by each consumer.
+        candidates = candidates.persist()
         released = candidates.join(
             F.broadcast(commits),
             candidates[self.txn_col] == F.col("__ctxn"),
@@ -155,9 +161,12 @@ class ReadCommittedGate:
         # downstream fails, the pending store still holds the open rows
         # and redelivery of the batch re-releases idempotently (the
         # materializer's max-pos merge absorbs duplicates).
-        self.downstream(out, batch_id)
-        self._rewrite_pending(still_open)
-        self._advance_watermark(batch, released_top)
+        try:
+            self.downstream(out, batch_id)
+            self._rewrite_pending(still_open)
+            self._advance_watermark(batch, released_top)
+        finally:
+            candidates.unpersist()
 
     def _advance_watermark(self, batch: DataFrame, released_top: str | None) -> None:
         """A21 watermark, withheld-row-aware: advance to the max applied

@@ -72,6 +72,23 @@ def test_config_loader_validates(tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate"):
         load_config(str(p2))
+    # debezium-only topic dirs on a native source must be rejected at
+    # load time (the native branch never unions them — a read_committed
+    # source would otherwise silently never see its commits)
+    p3 = tmp_path / "native_txn.toml"
+    p3.write_text(
+        '[engine]\nmeta_path="m"\nstate_dir="s"\ncheckpoint_dir="c"\n'
+        '[[source]]\nid=1\nname="a"\ntxn_changelog="/tmp/txn"\n'
+    )
+    with pytest.raises(ValueError, match="txn_changelog requires"):
+        load_config(str(p3))
+    p4 = tmp_path / "native_schema.toml"
+    p4.write_text(
+        '[engine]\nmeta_path="m"\nstate_dir="s"\ncheckpoint_dir="c"\n'
+        '[[source]]\nid=1\nname="a"\nschema_changelog="/tmp/ddl"\n'
+    )
+    with pytest.raises(ValueError, match="schema_changelog requires"):
+        load_config(str(p4))
 
 
 def test_jdbc_dsn_assembly():
