@@ -127,20 +127,26 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     both directions, so every node has out-edges — no dangling-mass
     term needed).
 
-    Scale shape: the edge list is built once (one orders⋈lineitem
-    shuffle, then DISTINCT on the pair) and reused by all iterations;
-    each iteration is exactly one shuffle — contributions aggregate
-    by dst — plus a broadcast of the per-src degree (node-sized, dim
-    table at fact scale... degree and rank relations are |V|-sized
-    while edges are |E|-sized, so rank⋈edges broadcasts rank when |V|
-    fits and falls back to a co-partitioned src join when it doesn't;
-    AQE makes that call per iteration). The node count enters as a
-    1-row broadcast, never a driver collect. Unrolling the iterations
-    keeps the whole computation one Catalyst plan;
-    checkpoint/cache the rank relation every few iterations at real
-    scale to cap lineage depth."""
+    Scale shape — ONE shuffle per iteration, rank co-partitioned with
+    edges throughout: the edge list is built once (one orders⋈lineitem
+    shuffle, then DISTINCT on the pair), explicitly hash-partitioned
+    by ``src`` into the session's shuffle-partition count, and pinned;
+    ``rank`` leaves each iteration's ``groupBy("dst")`` already
+    hash-partitioned on the SAME key space and count, so the next
+    iteration's edge⋈rank join is a zero-exchange co-partitioned
+    shuffled-hash join (rank — |V|-sized — is the hinted build side;
+    edges stream through unsorted and unshuffled). The only per-
+    iteration exchange is the dst aggregation itself, which keeps its
+    map-side partial combine. Because the bipartite graph carries both
+    edge directions, every node has in-edges, so the aggregation
+    output covers ALL nodes and no nodes⋈contrib repair join is
+    needed in-loop. The node count enters as a 1-row broadcast, never
+    a driver collect. Unrolling the iterations keeps the whole
+    computation one Catalyst plan; checkpoint/cache the rank relation
+    every few iterations at real scale to cap lineage depth."""
     while _PINNED:  # bound the cache leak: at most one invocation live
         _PINNED.pop().unpersist()
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     pairs = (
@@ -153,40 +159,43 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # does not dedupe them across iterations, and a LAZY persist still
     # recomputes — the iteration stages run concurrently and race to
     # populate the cache (measured: 21s plain, 30s lazy-persist, 7s
-    # eager — all cold-cache, sf0.1). This is the standard
-    # iterate-over-cached-edges pattern: edges pinned memory/disk,
-    # rank deltas flowing through one shuffle per iteration.
+    # eager — all cold-cache, sf0.1). The explicit fixed-count
+    # repartition (not AQE-coalescible) pins the cached partitioning
+    # that every iteration's join reuses.
     edges = _nid_edges(pairs)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
-    edged = edges.join(deg, "src").persist()
+    edged = edges.join(deg, "src").repartition(nparts, "src").persist()
     edged.count()
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
-    nodes.count()  # eager for the same concurrent-populate race as edged
-    _PINNED.extend([edged, nodes])
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-
-    rank = nodes.join(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .repartition(nparts, "node")  # pin: iteration-0 rank derives from this
+        .persist()
     )
+    # The eager cache-populating count IS the node count — reuse it as
+    # a plan literal instead of re-aggregating a 1-row broadcast nn per
+    # iteration (which cost six 1-row count shuffles + six BNL joins
+    # per query). 1.0/n and 0.15/n fold to the identical IEEE doubles
+    # the oracle's runtime divisions produce.
+    n = float(nodes.count())
+    _PINNED.extend([edged, nodes])
+
+    rank = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(_ITERS):
         contrib = (
-            edged.join(rank.withColumnRenamed("node", "src"), "src")
+            edged.join(
+                rank.withColumnRenamed("node", "src").hint("shuffle_hash"),
+                "src",
+            )
             .select("dst", (F.col("rank") / F.col("deg")).alias("x"))
             .groupBy("dst")
             .agg(
                 F.sum(F.col("x").cast("decimal(18,12)")).cast("double").alias("mass")
             )
         )
-        rank = (
-            nodes.join(F.broadcast(nn))
-            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(_TELEPORT) / F.col("n")
-                    + _DAMP * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        rank = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(_TELEPORT / n) + _DAMP * F.col("mass")).alias("rank"),
         )
     return rank.select(_node_label().alias("node"), "rank").orderBy("node")
 
@@ -422,9 +431,17 @@ SELECT node, CAST(dist AS BIGINT) AS dist FROM d4
 @query("sssp_weighted", oracle=_SSSP_ORACLE)
 def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheapest-path cost from one seed customer within _SSSP_HOPS
-    relaxation rounds (min-plus Bellman-Ford; integer costs, exact)."""
+    relaxation rounds (min-plus Bellman-Ford; integer costs, exact).
+
+    Scale shape: edges are hash-partitioned by ``src`` once and
+    pinned; ``dist`` leaves each round's ``groupBy("node")`` already
+    co-partitioned on the same key space, so the relaxation join is a
+    zero-exchange shuffled-hash join (dist — |V|-bounded — is the
+    build side). The one shuffle per round is the min-merge
+    aggregation over dist ∪ relaxed."""
     while _PINNED:
         _PINNED.pop().unpersist()
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     pairs = (
@@ -452,6 +469,7 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cost",
             )
         )
+        .repartition(nparts, "src")
         .persist()
     )
     edges.count()  # eager: every relaxation round reuses this relation
@@ -462,7 +480,7 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("dist"),
     )
     for _ in range(_SSSP_HOPS):
-        relaxed = dist.join(edges, dist.node == edges.src).select(
+        relaxed = dist.hint("shuffle_hash").join(edges, dist.node == edges.src).select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("dist")
         )
         dist = (

@@ -12,6 +12,8 @@ genuinely-new ones; only the latter may apply.
 from __future__ import annotations
 
 import json
+import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -165,3 +167,235 @@ def test_torn_parallel_snapshot_reconciled_by_replay(spark, tmp_path):
     expect[77] = "LEMURIA"
     del expect[0]
     assert state == expect  # and key 1 kept its base name (pos 90 discarded)
+
+
+# ---------------------------------------------------------------------------
+# Fault injection: crash BETWEEN the foreachBatch state write and the
+# streaming checkpoint commit. Structured Streaming then REPLAYS the
+# batch on restart (offset WAL precedes execution; the commit log trails
+# it), so the MERGE must be idempotent under exact redelivery — the
+# strong form of the reference's exactly-once materialization claim
+# (docs/全量抓取逻辑.md:66-69). The clean run and the crash-replay run
+# must converge to identical table state AND identical _cdc_meta.
+# ---------------------------------------------------------------------------
+
+from go_cdc_spark.sources.changelog import format_pos
+from go_cdc_spark.streaming.txn_gate import ReadCommittedGate
+
+
+def _acct_ev(op, id_, pos, v=None, txn=None):
+    e = {
+        "data_source": "ds1",
+        "schema": "bank",
+        "table": "accounts",
+        "op": op,
+        "ts": None,
+        "pos": format_pos(pos),
+        "txn_id": txn,
+    }
+    if op in ("insert", "update"):
+        e["data"] = {"id": str(id_), "v": v}
+    elif op == "delete":
+        e["before"] = {"id": str(id_)}
+    return e
+
+
+def _write_seg(dirpath, name, events, mtime=None):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    p = dirpath / name
+    with open(p, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    if mtime is not None:
+        # the file stream source orders by modification time; segments
+        # written back-to-back can tie (or invert) within the fs
+        # timestamp granularity — pin strictly increasing mtimes so
+        # batch order matches log order, as a real tailer would see
+        os.utime(p, (mtime, mtime))
+
+
+_SEGMENTS = [
+    ("seg1.json", [
+        _acct_ev("insert", 1, 110, v="a"),
+        _acct_ev("insert", 2, 120, v="b"),
+    ]),
+    ("seg2.json", [
+        _acct_ev("update", 1, 130, v="a2"),
+        _acct_ev("delete", 2, 140),
+        _acct_ev("insert", 3, 150, v="c"),
+    ]),
+    ("seg3.json", [
+        _acct_ev("update", 3, 160, v="c2"),
+        _acct_ev("insert", 2, 170, v="b-again"),
+    ]),
+]
+
+
+class _CrashAfterWrite(StreamingMaterializer):
+    """Completes batch N's state write + watermark upsert, then dies
+    before the streaming engine can commit the batch — the exact
+    window where replay happens on restart."""
+
+    crash_batch = 1
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.crashed = False
+
+    def process_batch(self, batch, batch_id):
+        super().process_batch(batch, batch_id)
+        if batch_id == self.crash_batch and not self.crashed:
+            self.crashed = True
+            raise RuntimeError("injected crash: state written, checkpoint uncommitted")
+
+
+def _snap_accounts(spark):
+    return spark.createDataFrame([], "id long, v string")
+
+
+def _run_materializer(spark, tmp_path, tag, cls=StreamingMaterializer):
+    seg = tmp_path / f"segments_{tag}"
+    base = time.time() - 100
+    for i, (name, events) in enumerate(_SEGMENTS):
+        _write_seg(seg, name, events, mtime=base + 10 * i)
+    meta = CheckpointStore(spark, str(tmp_path / f"meta_{tag}"))
+    mat = cls(
+        spark, _snap_accounts(spark), keys=["id"],
+        state_path=str(tmp_path / f"state_{tag}"),
+        pos_threshold=format_pos(100), meta=meta, table="accounts",
+    )
+    stream = read_changelog_stream(spark, str(seg), max_files_per_trigger=1)
+    q = mat.start(stream, str(tmp_path / f"ckpt_{tag}"))
+    try:
+        q.awaitTermination(120)
+        crashed = False
+    except Exception:
+        crashed = True
+    return mat, meta, seg, crashed
+
+
+def test_crash_between_merge_write_and_checkpoint_commit(spark, tmp_path):
+    # reference: uninterrupted run
+    mat_clean, meta_clean, _, crashed = _run_materializer(spark, tmp_path, "clean")
+    assert not crashed
+    want = {(r.id, r.v) for r in mat_clean.read_table().collect()}
+    want_pos = meta_clean.get_pos("ds1", None, "accounts")
+    assert want == {(1, "a2"), (2, "b-again"), (3, "c2")}
+
+    # crash run: batch 1's write lands, its checkpoint commit does not
+    mat_c, meta_c, seg, crashed = _run_materializer(
+        spark, tmp_path, "crash", cls=_CrashAfterWrite
+    )
+    assert crashed, "injected crash did not surface"
+
+    # restart (fresh process → fresh materializer over the same state
+    # and checkpoint): Structured Streaming redelivers batch 1 in full
+    meta_r = CheckpointStore(spark, str(tmp_path / "meta_crash"))
+    mat_r = StreamingMaterializer(
+        spark, _snap_accounts(spark), keys=["id"],
+        state_path=str(tmp_path / "state_crash"),
+        pos_threshold=format_pos(100), meta=meta_r, table="accounts",
+    )
+    stream = read_changelog_stream(spark, str(seg), max_files_per_trigger=1)
+    q = mat_r.start(stream, str(tmp_path / "ckpt_crash"))
+    q.awaitTermination(120)
+
+    got = {(r.id, r.v) for r in mat_r.read_table().collect()}
+    assert got == want
+    assert meta_r.get_pos("ds1", None, "accounts") == want_pos
+
+
+class _CrashingGate(ReadCommittedGate):
+    """Dies after the downstream apply + pending-store rewrite +
+    watermark advance of batch N — the gate's full side-effect set —
+    but before the streaming commit."""
+
+    crash_batch = 1
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.crashed = False
+
+    def process_batch(self, batch, batch_id):
+        super().process_batch(batch, batch_id)
+        if batch_id == self.crash_batch and not self.crashed:
+            self.crashed = True
+            raise RuntimeError("injected crash after gate side-effects")
+
+
+_TXN_SEGMENTS = [
+    ("seg1.json", [                        # t1 and t2 open, buffered
+        _acct_ev("insert", 1, 110, v="a", txn="t1"),
+        _acct_ev("insert", 2, 120, v="b", txn="t2"),
+        _acct_ev("insert", 4, 125, v="d", txn=None),   # autocommit
+    ]),
+    ("seg2.json", [                        # commit t1; t2 grows
+        _acct_ev("update", 2, 130, v="b2", txn="t2"),
+        _acct_ev("commit", 135, 135, txn="t1"),
+        _acct_ev("insert", 5, 140, v="e", txn=None),
+    ]),
+    ("seg3.json", [                        # commit t2
+        _acct_ev("commit", 150, 150, txn="t2"),
+    ]),
+]
+
+
+def _run_gated(spark, tmp_path, tag, cls=ReadCommittedGate):
+    seg = tmp_path / f"gseg_{tag}"
+    base = time.time() - 100
+    for i, (name, events) in enumerate(_TXN_SEGMENTS):
+        _write_seg(seg, name, events, mtime=base + 10 * i)
+    meta = CheckpointStore(spark, str(tmp_path / f"gmeta_{tag}"))
+    mat = StreamingMaterializer(
+        spark, _snap_accounts(spark), keys=["id"],
+        state_path=str(tmp_path / f"gstate_{tag}"),
+    )
+    gate = cls(
+        spark, str(tmp_path / f"gpend_{tag}"), downstream=mat.process_batch,
+        meta=meta, table="accounts",
+    )
+    stream = read_changelog_stream(spark, str(seg), max_files_per_trigger=1)
+    q = gate.start(stream, str(tmp_path / f"gckpt_{tag}"))
+    try:
+        q.awaitTermination(120)
+        crashed = False
+    except Exception:
+        crashed = True
+    return mat, gate, meta, seg, crashed
+
+
+def test_crash_mid_batch_with_txn_gate_pending_replay(spark, tmp_path):
+    """Crash after batch 1 (which releases t1 from the pending store
+    and re-buffers t2): redelivery must not double-apply released rows
+    nor double-buffer t2's in-batch row (the (table, pos) pending
+    dedup), and the watermark must match the clean run."""
+    mat_clean, gate_clean, meta_clean, _, crashed = _run_gated(spark, tmp_path, "clean")
+    assert not crashed
+    want = {(r.id, r.v) for r in mat_clean.read_table().collect()}
+    assert want == {(1, "a"), (2, "b2"), (4, "d"), (5, "e")}
+    assert gate_clean.pending().count() == 0
+    want_pos = meta_clean.get_pos("ds1", None, "accounts")
+
+    mat_c, gate_c, meta_c, seg, crashed = _run_gated(
+        spark, tmp_path, "crash", cls=_CrashingGate
+    )
+    assert crashed
+
+    # fresh-process restart over the same pending store + checkpoint
+    meta_r = CheckpointStore(spark, str(tmp_path / "gmeta_crash"))
+    mat_r = StreamingMaterializer(
+        spark, _snap_accounts(spark), keys=["id"],
+        state_path=str(tmp_path / "gstate_crash"),
+    )
+    gate_r = ReadCommittedGate(
+        spark, str(tmp_path / "gpend_crash"), downstream=mat_r.process_batch,
+        meta=meta_r, table="accounts",
+    )
+    stream = read_changelog_stream(spark, str(seg), max_files_per_trigger=1)
+    q = gate_r.start(stream, str(tmp_path / "gckpt_crash"))
+    q.awaitTermination(120)
+
+    got = {(r.id, r.v) for r in mat_r.read_table().collect()}
+    assert got == want
+    assert gate_r.pending().count() == 0
+    assert meta_r.get_pos("ds1", None, "accounts") == want_pos

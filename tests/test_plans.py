@@ -245,3 +245,59 @@ def test_bloom_prune_probe_is_map_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     semi = plan.index("BroadcastHashJoin [l_orderkey")
     assert semi > exchange, plan
+
+
+def _shuffle_stages(df) -> set:
+    """Unique shuffle-stage ids in the FINAL adaptive plan, excluding
+    cached-relation build plans (their one-time build shuffles are not
+    per-query loop cost). Stage ids dedupe re-printed shared stages."""
+    df.collect()  # finalize the adaptive plan
+    fp = df._jdf.queryExecution().executedPlan().finalPhysicalPlan()
+    seen: set = set()
+
+    def walk(node):
+        name = node.nodeName()
+        if "TableCacheQueryStage" in name or "InMemoryTableScan" in name:
+            return
+        if "ShuffleQueryStage" in name:
+            seen.add(node.id())
+        if "QueryStage" in name:
+            try:
+                walk(node.plan())
+                return
+            except Exception:
+                pass
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(fp)
+    return seen
+
+
+def test_pagerank_loop_is_copartitioned(spark, sf_dir):
+    """Each PageRank iteration joins the cached hash(src, P) edge
+    relation with the previous iteration's rank, which leaves the dst
+    aggregation already hash-partitioned on the same key space — so
+    the WHOLE query runs exactly _ITERS + 1 shuffles: one contribution
+    aggregation per iteration plus the final global sort. An exchange
+    feeding the rank side of the join (the r4 plan) would add up to
+    _ITERS more |V|-row shuffles; this pins its absence. (At test
+    scale AQE may demote individual co-partitioned joins to broadcast
+    — that is runtime adaptivity, not a lost shuffle, and doesn't
+    change the count.)"""
+    from go_cdc_spark.operators import graph as g
+
+    stages = _shuffle_stages(QUERIES["pagerank_purchase_graph"](spark, sf_dir))
+    assert len(stages) == g._ITERS + 1, stages
+
+
+def test_sssp_relaxation_join_is_copartitioned(spark, sf_dir):
+    """Bellman-Ford runs one min-merge aggregation shuffle per
+    relaxation round plus one seed-side exchange (the 1-row round-0
+    dist is the only dist relation not born co-partitioned); the
+    pinned hash(src, P) edge cache never re-shuffles."""
+    from go_cdc_spark.operators import graph as g
+
+    stages = _shuffle_stages(QUERIES["sssp_weighted"](spark, sf_dir))
+    assert len(stages) <= g._SSSP_HOPS + 1, stages
