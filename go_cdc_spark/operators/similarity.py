@@ -249,6 +249,83 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTIPROBE_ORACLE = f"""
+WITH b AS (SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket FROM embeddings),
+     probes AS (SELECT unnest(range(0, {N_BITS + 1})) AS j),
+     q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                  CASE WHEN j = 0 THEN bucket
+                       ELSE xor(bucket, CAST(2 ** (j - 1) AS INTEGER)) END AS bucket
+           FROM b CROSS JOIN probes WHERE vec_id < {N_QUERIES}),
+     c AS (SELECT vec_id AS cand_id, embedding AS c_emb, bucket FROM b
+           WHERE vec_id >= {N_QUERIES}),
+     scored AS (
+        SELECT query_id, cand_id, {_sql_cosine("q_emb", "c_emb")} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {_sql_cosine("q_emb", "c_emb")} DESC, cand_id) AS rn
+        FROM q JOIN c USING (bucket)
+     )
+SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank
+FROM scored WHERE rn <= {TOP_K}
+"""
+
+
+@query("sim_lsh_multiprobe", oracle=_MULTIPROBE_ORACLE)
+def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH: each query probes its own bucket PLUS every
+    bucket at Hamming distance 1 ({N_BITS + 1} probes of 2^{N_BITS}
+    buckets) — the classic recall lever for sign-random-projection
+    tables (Lv et al., VLDB'07): a near neighbor that lands one
+    sign-flip away is still found, at {N_BITS + 1}× the candidate
+    volume of single-probe sim_lsh_ann (measured on this fixture:
+    recall@{TOP_K} 0.175 → 0.500 at sf0.01; ann_recall_at_k records
+    it per round).
+
+    Scale shape: identical to sim_lsh_ann — the probe expansion
+    explodes the (broadcast-sized) QUERY side only, {N_BITS + 1} rows
+    per query; the corpus side still computes one signature map-side
+    and shuffles once on the bucket key."""
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        bucket_col("embedding").alias("bucket"),
+        norm_col("embedding").alias("norm"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("int")
+            for j in range(N_BITS)
+        ],
+    )
+    q = (
+        b.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probes).alias("bucket"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    c = b.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+        F.col("norm").alias("c_norm"),
+    )
+    scored = F.broadcast(q).join(c, "bucket").select(
+        "query_id",
+        "cand_id",
+        cosine_from(dot_col("q_emb", "c_emb"), "q_norm", "c_norm").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 _IVF_ORACLE = f"""
 WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings
               WHERE vec_id < {N_CENTROIDS}),
@@ -952,8 +1029,10 @@ _PQ_M = 4  # subspaces
 _PQ_SUBDIM = DIM // _PQ_M
 _PQ_K = 8  # codewords per subspace (tiny corpus; 256 in production)
 
-_PQ_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+# Shared CTE body: PQ training (one Lloyd round) + final assignment —
+# used by the sim_pq_codes oracle and re-used (with an ADC search on
+# top) by the ann_recall_at_k oracle.
+_PQ_CTES = f"""e AS (SELECT vec_id, embedding FROM embeddings),
 sub AS (
   SELECT vec_id, sp.s AS s,
          embedding[(sp.s * {_PQ_SUBDIM} + 1):((sp.s + 1) * {_PQ_SUBDIM})] AS sub
@@ -982,7 +1061,10 @@ a2 AS (
                             ORDER BY {_sql_cosine("x.sub", "p.cent")} DESC,
                                      p.code_id) AS rn
   FROM sub x JOIN c1 p ON x.s = p.s
-)
+)"""
+
+_PQ_ORACLE = f"""
+WITH {_PQ_CTES}
 SELECT vec_id, CAST(s AS INT) AS subspace, CAST(code_id AS BIGINT) AS code
 FROM a2 WHERE rn = 1
 """
@@ -1005,6 +1087,26 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PQ_M}×{_PQ_K}×{_PQ_SUBDIM} groups with map-side partials. The
     whole pipeline shuffles codebook-sized relations only — exactly the
     property that makes PQ trainable on a 100 TB vector corpus."""
+    subs, cent1 = _pq_fit(spark, sf_dir)
+    aw = Window.partitionBy("vec_id", "s").orderBy(
+        F.desc(cosine_col("sub", "cent")), F.asc("code_id")
+    )
+    return (
+        subs.join(F.broadcast(cent1), "s")
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("s").cast("int").alias("subspace"),
+            F.col("code_id").cast("long").alias("code"),
+        )
+    )
+
+
+def _pq_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """PQ training shared by sim_pq_codes and the ADC search in
+    ann_recall_at_k: returns (subvectors, trained codebook) after one
+    Lloyd round — the Spark twin of the _PQ_CTES oracle body."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     subs = emb.select(
         "vec_id",
@@ -1050,15 +1152,161 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda st: st["value"],
         ).alias("cent")
     )
-    return (
+    return subs, cent1
+
+
+def _pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search: candidates are represented ONLY by their codes —
+    each is reconstructed as the concatenation of its per-subspace
+    codewords, and ranked by cosine(query, reconstruction) (equivalent
+    to asymmetric-distance computation: dot(q, recon) decomposes into
+    per-subspace codeword dots). Same shape as sim_topk with the
+    reconstruction join in front: codes ⋈ broadcast codebook, then
+    broadcast queries × map-side cosine → per-query top-k window."""
+    subs, cent1 = _pq_fit(spark, sf_dir)
+    aw = Window.partitionBy("vec_id", "s").orderBy(
+        F.desc(cosine_col("sub", "cent")), F.asc("code_id")
+    )
+    codes = (
         subs.join(F.broadcast(cent1), "s")
         .withColumn("rn", F.row_number().over(aw))
         .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("s").cast("int").alias("subspace"),
-            F.col("code_id").cast("long").alias("code"),
+        .select("vec_id", "s", "code_id")
+    )
+    recon = (
+        codes.join(F.broadcast(cent1), ["s", "code_id"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "cent"))),
+                    lambda st: st["cent"],
+                )
+            ).alias("recon")
         )
+    )
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            norm_col("embedding").alias("q_norm"),
+        )
+    )
+    cands = recon.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("recon").alias("c_emb"),
+        norm_col("recon").alias("c_norm"),
+    )
+    scored = F.broadcast(queries).crossJoin(cands).select(
+        "query_id",
+        "cand_id",
+        cosine_from(dot_col("q_emb", "c_emb"), "q_norm", "c_norm").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+_RECALL_PQ_SEARCH = f"""
+pq_codes AS (SELECT vec_id, s, code_id FROM a2 WHERE rn = 1),
+pq_recon AS (
+  SELECT c.vec_id, flatten(list(b.cent ORDER BY c.s)) AS recon
+  FROM pq_codes c JOIN c1 b ON c.s = b.s AND c.code_id = b.code_id
+  GROUP BY c.vec_id
+),
+pq_q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         WHERE vec_id < {N_QUERIES}),
+pq_c AS (SELECT vec_id AS cand_id, recon AS c_emb FROM pq_recon
+         WHERE vec_id >= {N_QUERIES}),
+pq_ann AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_sql_cosine("q_emb", "c_emb")} DESC,
+                                       cand_id) AS rn
+    FROM pq_q CROSS JOIN pq_c
+  ) WHERE rn <= {TOP_K}
+)"""
+
+
+def _recall_oracle() -> str:
+    routes = {
+        "lsh_ann": f"(SELECT query_id, cand_id FROM ({_LSH_ORACLE}) t)",
+        "lsh_multiprobe": f"(SELECT query_id, cand_id FROM ({_MULTIPROBE_ORACLE}) t)",
+        "ivf": f"(SELECT query_id, cand_id FROM ({_IVF_ORACLE}) t)",
+        "pq_adc": "(SELECT query_id, cand_id FROM pq_ann)",
+    }
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS route,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM exact e
+        JOIN {src} r ON e.query_id = r.query_id AND e.cand_id = r.cand_id)
+           AS hits
+  FROM (SELECT 1)"""
+        for name, src in routes.items()
+    )
+    return f"""
+WITH {_PQ_CTES},
+{_RECALL_PQ_SEARCH},
+exact AS (SELECT query_id, cand_id FROM ({_TOPK_ORACLE}) t),
+expected AS (SELECT CAST(COUNT(*) AS BIGINT) AS expected FROM exact),
+arms AS ({arms})
+SELECT route, hits, expected,
+       CAST(hits AS DOUBLE) / CAST(expected AS DOUBLE) AS recall
+FROM arms CROSS JOIN expected
+"""
+
+
+@query("ann_recall_at_k", oracle=_recall_oracle())
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of every approximate-NN route against the exact
+    brute-force ground truth (sim_topk): |ANN∩exact| / |exact| over the
+    {N_QUERIES}-query evaluation set — the measurement that converts
+    "the ANN runs" into "the ANN works". Routes: sign-random-projection
+    LSH (sim_lsh_ann), IVF nprobe=1 (sim_ivf), and PQ asymmetric-
+    distance search over the trained {_PQ_M}×{_PQ_K} codebook
+    (_pq_adc_topk). sim_sparse_tfidf is deliberately absent: within
+    its self-consistent df-capped metric the inverted-index join is
+    candidate-complete (any shared term yields the pair), so recall
+    against its own metric is 1.0 by construction — there is no
+    algorithmic approximation to measure.
+
+    Scale shape: each route is its own (already scale-shaped) plan;
+    the recall join intersects two |Q|×k pair sets — broadcast-sized
+    by construction — and the output is one row per route. Ties in
+    every top-k are broken by cand_id in both engines, so the pair
+    sets (and therefore recall) are deterministic and hash-exact."""
+    exact = sim_topk(spark, sf_dir).select("query_id", "cand_id")
+    expected = exact.agg(F.count(F.lit(1)).cast("long").alias("expected"))
+    routes = {
+        "lsh_ann": sim_lsh_ann,
+        "lsh_multiprobe": sim_lsh_multiprobe,
+        "ivf": sim_ivf,
+        "pq_adc": _pq_adc_topk,
+    }
+    arms = []
+    for name, fn in routes.items():
+        ann = fn(spark, sf_dir).select("query_id", "cand_id")
+        hits = (
+            exact.join(ann, ["query_id", "cand_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+            .select(F.lit(name).alias("route"), "hits")
+        )
+        arms.append(hits)
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.crossJoin(F.broadcast(expected)).select(
+        "route",
+        "hits",
+        "expected",
+        (F.col("hits").cast("double") / F.col("expected").cast("double")).alias(
+            "recall"
+        ),
     )
 
 

@@ -18,12 +18,37 @@ from pyspark.sql import functions as F
 from ..plans.registry import query
 from ..tables import load
 
-# Tiny built-in marker lists for the language-ID heuristic (stand-in for
-# an n-gram language model; deterministic + oracle-expressible).
+# Marker lists retained for quality_score's stop_ratio and for the
+# accuracy-comparison test against the trigram model below.
 LANG_MARKERS = {
     "en": ("the", "a", "of"),
     "de": ("der", "und", "das"),
     "es": ("el", "la", "que"),
+}
+
+# Byte-trigram language model: the highest-frequency character
+# trigrams of each language (public linguistic frequency tables —
+# e.g. Cavnar & Trenkle's n-gram categorization line of work), with
+# small integer weights (2 = strongly distinctive, 1 = frequent).
+# Integer weights + integer occurrence counts keep every score exact
+# in both engines — no logits, no floats. Scoring is pure map-side
+# string arithmetic (count occurrences via length-difference after
+# replace), so language ID adds ZERO shuffle at any corpus size —
+# deliberately NOT explode-trigrams + join, which would shuffle the
+# whole corpus by doc_id for the score sum.
+LANG_TRIGRAMS: dict[str, tuple[tuple[str, int], ...]] = {
+    "en": ((" th", 2), ("the", 2), ("he ", 1), ("ing", 2), ("ng ", 1),
+           ("and", 1), (" of", 1), ("ion", 1), ("tio", 1), (" to", 1),
+           ("ed ", 1), (" wi", 1), ("is ", 1), ("at ", 1), ("ere", 1)),
+    "de": (("der", 2), ("ich", 2), ("sch", 2), ("ein", 2), ("die", 1),
+           ("und", 2), ("che", 1), ("ung", 2), ("cht", 1), ("gen", 1),
+           ("en ", 1), ("er ", 1), (" ge", 1), ("ber", 1), ("das", 1)),
+    "es": (("que", 2), (" qu", 1), ("ión", 2), ("ón ", 1), ("una", 1),
+           ("los", 2), (" lo", 1), ("ado", 1), ("ent", 1), ("nte", 1),
+           ("de ", 1), (" de", 1), ("la ", 1), (" la", 1), ("os ", 1)),
+    "fr": (("eur", 2), ("ais", 2), ("eau", 2), ("oux", 1), (" ét", 2),
+           ("été", 1), ("les", 1), (" le", 1), ("ent", 1), ("ons", 1),
+           ("our", 1), ("ux ", 1), ("est", 1), (" es", 1), ("de ", 1)),
 }
 
 BPE_ISH_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"
@@ -106,44 +131,107 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def trigram_score_col(lang: str, padded: str = "__padded") -> Column:
+    """Σ weight × occurrence-count of each model trigram in the padded
+    lowercased text. Counting is (len(s) − len(replace(s, t, ''))) / |t|
+    — pure string expressions, no explode, no shuffle; replace is
+    non-overlapping left-to-right in both engines so counts match."""
+    terms = [
+        (F.length(padded) - F.length(F.replace(F.col(padded), F.lit(t))))
+        / F.lit(len(t)) * F.lit(w)
+        for t, w in LANG_TRIGRAMS[lang]
+    ]
+    total = terms[0]
+    for term in terms[1:]:
+        total = total + term
+    return total.cast("long")
+
+
+def _sql_trigram_score(lang: str, padded: str = "__padded") -> str:
+    return (
+        "CAST("
+        + " + ".join(
+            f"(length({padded}) - length(replace({padded}, {_sql_quote(t)}, ''))) / {len(t)} * {w}"
+            for t, w in LANG_TRIGRAMS[lang]
+        )
+        + " AS BIGINT)"
+    )
+
+
+_LANGS = tuple(LANG_TRIGRAMS)  # argmax tie-break order: en > de > es > fr
+
+
+def _argmax_lang_sql() -> str:
+    arms = []
+    for i, lang in enumerate(_LANGS[:-1]):
+        conds = [f"{lang}_score >= {o}_score" for o in _LANGS[i + 1:]]
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{_LANGS[-1]}' END"
+
+
+def _argmax_lang_col() -> Column:
+    out = F.lit(_LANGS[-1])
+    expr = None
+    for i, lang in enumerate(_LANGS[:-1]):
+        cond = F.lit(True)
+        for o in _LANGS[i + 1:]:
+            cond = cond & (F.col(f"{lang}_score") >= F.col(f"{o}_score"))
+        arm = F.when(cond, F.lit(lang))
+        expr = arm if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(out)
+
+
 @query(
     "lang_id",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang,
-           en_hits, de_hits, es_hits,
-           CASE WHEN de_hits > en_hits AND de_hits >= es_hits THEN 'de'
-                WHEN es_hits > en_hits THEN 'es'
-                ELSE 'en' END AS pred_lang
+           {", ".join(f"{lg}_score" for lg in _LANGS)},
+           {_argmax_lang_sql()} AS pred_lang
     FROM (
         SELECT doc_id, lang,
-               CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS en_hits,
-               CAST(len(list_filter(string_split(text, ' '), w -> w IN ('der', 'und', 'das'))) AS BIGINT) AS de_hits,
-               CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la', 'que'))) AS BIGINT) AS es_hits
-        FROM documents
+               {", ".join(f"{_sql_trigram_score(lg)} AS {lg}_score" for lg in _LANGS)}
+        FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS __padded
+              FROM documents)
     )
     """,
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID via stopword-marker voting (n-gram-frequency heuristic
-    stand-in): count marker hits per candidate language, argmax with a
-    deterministic tie-break."""
+    """Language ID via a character-trigram frequency model
+    (LANG_TRIGRAMS: top trigrams per language with small integer
+    weights, after Cavnar & Trenkle-style n-gram categorization) —
+    replacing the round-1 marker-word stand-in. Each language's score
+    is the weighted trigram occurrence count over the space-padded
+    lowercased text; prediction is the argmax with the deterministic
+    tie-break order {_LANGS} (ties prefer the earlier language, so
+    trigram-free text — e.g. CJK — degrades to 'en' explicitly).
+
+    Accuracy: on real multilingual sentences the model separates
+    en/de/es/fr where the old marker heuristic could not see 'fr' at
+    all (tests/test_curation_units.py::test_lang_id_trigram_on_real_
+    sentences). On the synthetic fixture corpus the `lang` label is
+    uncorrelated with the generated text by construction, so corpus
+    accuracy is the label prior for ANY model — the fixture checks
+    exactness, the sentence test checks discrimination.
+
+    Scale shape: ~60 replace+length expressions per row, all inside
+    whole-stage codegen; zero shuffle at any corpus size (scoring adds
+    no exchange to the scan)."""
     docs = load(spark, sf_dir, "documents")
-    scored = docs.select(
+    padded = docs.select(
         "doc_id",
         "lang",
-        marker_hits("en").alias("en_hits"),
-        marker_hits("de").alias("de_hits"),
-        marker_hits("es").alias("es_hits"),
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" ")).alias("__padded"),
     )
-    return scored.withColumn(
-        "pred_lang",
-        F.when(
-            (F.col("de_hits") > F.col("en_hits")) & (F.col("de_hits") >= F.col("es_hits")),
-            F.lit("de"),
-        )
-        .when(F.col("es_hits") > F.col("en_hits"), F.lit("es"))
-        .otherwise(F.lit("en")),
+    scored = padded.select(
+        "doc_id",
+        "lang",
+        *[trigram_score_col(lg).alias(f"{lg}_score") for lg in _LANGS],
     )
+    return scored.withColumn("pred_lang", _argmax_lang_col())
 
 
 @query(

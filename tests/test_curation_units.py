@@ -94,3 +94,26 @@ def test_chunk_documents_empty_doc_yields_no_chunks(spark, tmp_path):
     d = _write_docs(spark, tmp_path, ["", "abc"])
     rows = chunk_documents(spark, d).collect()
     assert [(r.doc_id, r.chunk_no, r.chunk_text) for r in rows] == [(1, 0, "abc")]
+
+
+def test_lang_id_trigram_on_real_sentences(spark, tmp_path):
+    """Discrimination check on genuine multilingual sentences: the
+    trigram model must label each correctly — including French, which
+    the retired marker-word heuristic could not represent at all (it
+    had no fr marker list). The fixture corpus can't test this: its
+    `lang` labels are uncorrelated with the synthetic text."""
+    from go_cdc_spark.operators.text import lang_id
+
+    sentences = [
+        ("the children were reading the interesting story together", "en"),
+        ("der schnelle braune fuchs springt über den faulen hund und die kinder lachen", "de"),
+        ("la organización de los pueblos que hablan una lengua común es una cuestión importante", "es"),
+        ("les chanteurs étaient heureux de la chanson et des couleurs du printemps", "fr"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, truth, "src1", len(t)) for i, (t, truth) in enumerate(sentences)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.lang: r.pred_lang for r in lang_id(spark, str(tmp_path)).collect()}
+    assert got == {"en": "en", "de": "de", "es": "es", "fr": "fr"}
