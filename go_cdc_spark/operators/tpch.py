@@ -197,11 +197,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     for one part type, per year — a ratio of conditional aggregate over
     total aggregate computed in a single grouped pass.
 
-    Scale shape: part is pre-filtered on p_type and broadcast (prunes
-    lineitem early — the most selective edge goes first); nation×2 and
-    region broadcast; the only big shuffles are lineitem⋈orders and
-    orders⋈customer. Both sums come out of ONE hash aggregate (CASE
-    inside sum), not two passes."""
+    Scale shape: part is pre-filtered on p_type and joined FIRST
+    (prunes lineitem early — the most selective edge goes first), but
+    deliberately NOT hint-broadcast: part grows with SF, so the
+    broadcast decision belongs to the optimizer/AQE, which broadcasts
+    the filtered side while it fits and degrades to a shuffle join
+    when it outgrows the threshold (hash-identical either way —
+    pinned by test_plans.py::test_broadcast_degradation_parity).
+    Only the genuinely SF-invariant dims (nation 25 rows, region 5)
+    keep explicit hints. The only big shuffles are lineitem⋈orders
+    and orders⋈customer. Both sums come out of ONE hash aggregate
+    (CASE inside sum), not two passes."""
     pa = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = load(spark, sf_dir, "lineitem")
     su = load(spark, sf_dir, "supplier")
@@ -219,7 +225,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(pa, F.col("p_partkey") == F.col("l_partkey"))
         .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cu, F.col("o_custkey") == F.col("c_custkey"))
@@ -357,7 +363,8 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: percentage of one month's revenue from PROMO
     parts — conditional and total sums from one aggregate, divided.
 
-    Scale shape: part broadcasts (dimension); the month filter prunes
+    Scale shape: part joins un-hinted (AQE broadcasts the filtered
+    side while it fits, shuffle-join beyond); the month filter prunes
     the lineitem scan to ~1/80th; the whole query is map-side join +
     singleton aggregate, no fact shuffle at all."""
     li = load(spark, sf_dir, "lineitem").filter(
@@ -367,7 +374,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = load(spark, sf_dir, "part")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -462,15 +469,16 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the correlated subquery decorrelates to ONE extra
     aggregate over only the candidate parts' lineitems (filtered part
-    broadcasts into lineitem first, so both the avg input and the probe
-    side are pruned to the brand's ~2% of rows), then a broadcast join
+    joins into lineitem first — un-hinted, AQE picks broadcast while
+    the filtered part fits — so both the avg input and the probe
+    side are pruned to the brand's ~2% of rows), then an un-hinted join
     of the tiny per-part averages back onto the same pruned fact —
     lineitem is scanned once, shuffled never."""
     pa = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 25)
     )
     li = load(spark, sf_dir, "lineitem")
-    cand = li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey")).select(
+    cand = li.join(pa, F.col("l_partkey") == F.col("p_partkey")).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     # cand is consumed twice (avg input + probe); both consumptions are
@@ -480,7 +488,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(F.col("l_quantity")).alias("avg_qty")
     )
     return (
-        cand.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("avg_partkey"))
+        cand.join(part_avg, F.col("l_partkey") == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
     )
@@ -515,7 +523,8 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-way join back down to a handful of orders.
 
     Scale shape: the qualifying order keys are a tiny aggregate output
-    (p99 of per-order quantity is ~260), broadcast as a left-semi build
+    (p99 of per-order quantity is ~260), a left-semi build side that
+    AQE broadcasts while it fits (un-hinted: it grows with SF)
     side into BOTH fact scans — lineitem AND orders — before anything
     joins. The customer join then sees only the surviving ~1% of
     orders (broadcast build side), so neither customers nor orders
@@ -529,18 +538,18 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty") > 300)
         .select("l_orderkey")
     )
-    li_big = li.join(F.broadcast(big), "l_orderkey", "left_semi")
+    li_big = li.join(big, "l_orderkey", "left_semi")
     o_big = load(spark, sf_dir, "orders").join(
-        F.broadcast(big.withColumnRenamed("l_orderkey", "o_orderkey")),
+        big.withColumnRenamed("l_orderkey", "o_orderkey"),
         "o_orderkey",
         "left_semi",
     )
     cu = load(spark, sf_dir, "customer")
     reduced = li_big.join(
-        F.broadcast(o_big), F.col("l_orderkey") == F.col("o_orderkey")
+        o_big, F.col("l_orderkey") == F.col("o_orderkey")
     )
     return (
-        cu.join(F.broadcast(reduced), F.col("c_custkey") == F.col("o_custkey"))
+        cu.join(reduced, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum(F.col("l_quantity")).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -579,10 +588,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem rows one of three quantity bands — both derivable
     single-side filters push to the scans, shrinking the join inputs
     before the full cross-side disjunction is checked post-join. Part
-    broadcasts; no fact shuffle."""
+    joins un-hinted (AQE broadcast while it fits); no fact shuffle."""
     li = load(spark, sf_dir, "lineitem")
     pa = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+    j = li.join(pa, F.col("p_partkey") == F.col("l_partkey"))
     band = (
         (
             (F.col("p_brand") == "Brand#2")
@@ -683,7 +692,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.filter(
             F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
         )
-        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -789,8 +798,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the part-name filter is the selectivity driver — it
     prunes the part side BEFORE the join (filter above the scan,
-    broadcast the survivors), so the big lineitem⋈orders join runs on
-    pre-filtered lineitems. supplier/nation broadcast as dims; the only
+    the survivors join back un-hinted), so the big lineitem⋈orders
+    join runs on pre-filtered lineitems. nation keeps its broadcast
+    hint (25 rows at any SF); supplier joins un-hinted; the only
     big shuffle is lineitem⋈orders on orderkey, then the tiny
     (nation, year) aggregate."""
     li = load(spark, sf_dir, "lineitem")
@@ -803,9 +813,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     na = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("supp_nation"),

@@ -96,12 +96,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the supply relation aggregates lineitem down to
     |part|×|suppliers-per-part| pairs in one shuffle keyed on
-    (partkey, suppkey); the region restriction broadcasts (dim⋈dim⋈dim
-    is tiny) and prunes BEFORE the per-part MIN, so the second
-    aggregate and the join-back both run on the reduced pair set,
-    co-partitioned on partkey (AQE coalesces the equality join's
-    exchange into the MIN's). part is broadcast; nothing re-scans
-    lineitem."""
+    (partkey, suppkey); the region restriction prunes BEFORE the
+    per-part MIN, so the second aggregate and the join-back both run
+    on the reduced pair set, co-partitioned on partkey (AQE coalesces
+    the equality join's exchange into the MIN's). Nothing re-scans
+    lineitem. nation/region keep explicit broadcast hints (25/5 rows
+    at ANY SF); the supplier-derived dims relation and filtered part
+    grow with SF, so their joins carry NO hint — the optimizer/AQE
+    broadcasts while they fit and degrades to a shuffle join beyond
+    the threshold (parity pinned by
+    test_plans.py::test_broadcast_degradation_parity)."""
     su = load(spark, sf_dir, "supplier")
     na = load(spark, sf_dir, "nation")
     re = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -111,7 +115,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
     eligible = _supply(spark, sf_dir).join(
-        F.broadcast(dims), F.col("suppkey") == F.col("s_suppkey")
+        dims, F.col("suppkey") == F.col("s_suppkey")
     )
     mins = eligible.groupBy(F.col("partkey").alias("mpartkey")).agg(
         F.min("supply_cost").alias("min_cost")
@@ -123,7 +127,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("partkey") == F.col("mpartkey"))
             & (F.col("supply_cost") == F.col("min_cost")),
         )
-        .join(F.broadcast(pa), F.col("p_partkey") == F.col("partkey"))
+        .join(pa, F.col("p_partkey") == F.col("partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -159,7 +163,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds a fraction of that nation's total — the scalar-subquery-
     threshold archetype.
 
-    Scale shape: the nation's supplier keys broadcast into the
+    Scale shape: the nation's supplier keys flow into the
     lineitem scan (map-side prune to ~1/|nation| of rows); ONE shuffle
     aggregates per-part value; the global total is a 1-row re-aggregate
     of the per-part partials (NOT a second lineitem scan) broadcast
@@ -172,7 +176,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     li = load(spark, sf_dir, "lineitem")
     filtered = li.join(
-        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        supp, F.col("l_suppkey") == F.col("s_suppkey")
     ).select(
         "l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("val")
     )
@@ -225,7 +229,7 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the supply link dedups in one (partkey, suppkey)
     shuffle; the excluded-supplier list is dim-sized and broadcast as a
     left-anti hash join (NOT IN with non-nullable keys ≡ anti join);
-    part is broadcast with its filters applied map-side. The final
+    part joins un-hinted with its filters applied map-side. The final
     COUNT(DISTINCT suppkey) expands to a two-phase distinct-aggregate —
     partial distinct within partitions before the (brand,type,size)
     exchange, so the wide shuffle carries deduped pairs only."""
@@ -245,7 +249,7 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         supply.join(bad, F.col("suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(pa), F.col("p_partkey") == F.col("partkey"))
+        .join(pa, F.col("p_partkey") == F.col("partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -292,7 +296,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both the all-time and the 1996 quantity aggregate
     come out of ONE conditional-sum pass over lineitem (one shuffle on
     the pair key, two sum buffers) — not two scans joined after; the
-    part-name filter broadcasts into the pair set; the candidate
+    part-name filter joins into the pair set (un-hinted); the candidate
     supplier keys collapse via the semi join (dedup for free) and the
     outer side is dim-sized. The `1.5 ×` threshold compares
     decimal-exact doubles, so the semi-join membership hash-matches
@@ -313,7 +317,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     candidates = (
-        pair_qty.join(F.broadcast(pa), F.col("p_partkey") == F.col("partkey"))
+        pair_qty.join(pa, F.col("p_partkey") == F.col("partkey"))
         .filter(F.col("qty96").isNotNull() & (F.col("qty_all") > 1.5 * F.col("qty96")))
         .select("suppkey")
     )

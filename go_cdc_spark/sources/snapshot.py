@@ -85,20 +85,49 @@ class SnapshotSource(Protocol):
 # --------------------------------------------------------------------------
 
 
+def _eq_pred(col: str, v) -> str:
+    """Null-safe two-valued equality: NULL data never makes the
+    predicate UNKNOWN (which ``NOT`` would silently drop), and a NULL
+    boundary value compares as IS NULL, not ``= NULL``."""
+    if v is None:
+        return f"{col} IS NULL"
+    return f"({col} IS NOT NULL AND {col} = {_sql_lit(v)})"
+
+
+def _gt_pred(col: str, v) -> str:
+    """Null-safe two-valued ``>`` under the NULL-sorts-first total
+    order (MySQL ASC index order): NULL > anything is FALSE; anything
+    non-NULL > NULL is TRUE."""
+    if v is None:
+        return f"{col} IS NOT NULL"
+    return f"({col} IS NOT NULL AND {col} > {_sql_lit(v)})"
+
+
 def tuple_gt(pk_cols: Sequence[str], values: Sequence) -> str:
     """Row-constructor ``(pk1,..,pkn) > (v1,..,vn)`` expanded to portable
     SQL (MySQL supports the row form; the expansion works everywhere and
-    lets the source's optimizer use the PK index the same way)."""
+    lets the source's optimizer use the PK index the same way). Every
+    leaf comparison is null-safe two-valued (see _gt_pred), so the
+    expression itself is never UNKNOWN and ``NOT tuple_gt`` (tuple_le)
+    keeps rows with NULLs in key-prefix columns — a unique index used
+    as the chunking key may contain them even though a true PK cannot."""
     clauses = []
     for i in range(len(pk_cols)):
-        eqs = [f"{pk_cols[j]} = {_sql_lit(values[j])}" for j in range(i)]
-        eqs.append(f"{pk_cols[i]} > {_sql_lit(values[i])}")
+        eqs = [_eq_pred(pk_cols[j], values[j]) for j in range(i)]
+        eqs.append(_gt_pred(pk_cols[i], values[i]))
         clauses.append("(" + " AND ".join(eqs) + ")")
     return "(" + " OR ".join(clauses) + ")"
 
 
 def tuple_le(pk_cols: Sequence[str], values: Sequence) -> str:
     return f"NOT {tuple_gt(pk_cols, values)}"
+
+
+def boundary_sort_key(t: Sequence) -> tuple:
+    """Sort key for sampled boundary tuples under the same
+    NULL-sorts-first total order the predicates use (plain ``sorted``
+    raises on None vs non-None)."""
+    return tuple((v is not None, v) for v in t)
 
 
 def _sql_lit(v) -> str:
@@ -291,7 +320,7 @@ class JdbcSnapshotSource:
         sample = self._query(
             f"SELECT {', '.join(pks)} FROM {fq} ORDER BY {', '.join(pks)}"
         ).limit(100_000)
-        rows = sorted({tuple(r) for r in sample.collect()})
+        rows = sorted({tuple(r) for r in sample.collect()}, key=boundary_sort_key)
         step = max(len(rows) // self.num_partitions, 1)
         preds = chunk_predicates(pks, rows[step::step])
         return self.spark.read.jdbc(self.url, fq, predicates=preds, properties=self.properties)

@@ -155,3 +155,147 @@ def txn_assembler(changes: DataFrame, timeout_ms: int = TXN_TIMEOUT_MS) -> DataF
         "update",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup dedup with the band index IN STREAMING STATE.
+#
+# NearDupIngest (streaming/ingest.py) keeps its band index in a parquet
+# side-store rewritten by foreachBatch; this is the state-store twin:
+# the MinHash band index lives in keyed streaming state (checkpointed,
+# restart-safe, scaled by band-key hashing), so a near-duplicate
+# arriving in ANY later micro-batch is flagged without a side-store
+# read. Banding is identical to operators/dedup.dedup_minhash_lsh
+# (MINHASH_K lanes, BAND_ROWS-row bands); signatures are computed
+# MAP-SIDE with array-lambda folds (no aggregation) so this is the
+# query's only stateful operator.
+#
+# State bound (documented contract): one entry per band KEY, each
+# holding at most NEARDUP_BAND_CAP accepted (doc_id, packed-signature)
+# pairs — ≈ cap × (8 + MINHASH_K×9) bytes per band key. A band at cap
+# stops absorbing new signatures (further docs in that band are only
+# CHECKED, mirroring BUCKET_PAIR_CAP's hub-skew bound in the batch
+# LSH); at production scale raise the cap or add a TTL timeout.
+# ---------------------------------------------------------------------------
+
+from ..operators.dedup import BAND_ROWS, MINHASH_K, N_SEEDS  # noqa: E402
+from ..operators.text import shingles_col  # noqa: E402
+
+NEARDUP_BAND_CAP = 64
+NEARDUP_EST = 0.5  # lane-agreement threshold (≈ Jaccard estimate)
+
+NEARDUP_OUTPUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.StringType()),
+        T.StructField("is_dup", T.BooleanType()),
+    ]
+)
+
+_NEARDUP_STATE = T.StructType(
+    [
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _map_side_signature(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{MINHASH_K-1}) via array-lambda folds — the
+    aggregation-free twin of ingest._signatures, required here so the
+    band-keyed applyInPandasWithState is the only stateful operator in
+    the streaming query (Spark allows one). Two md5 passes over the
+    shingle array (one per 128-bit digest), then 32-bit lane mins."""
+    import pyspark.sql.functions as F
+
+    # NB: higher-order-function lambdas must be SINGLE-argument here — a
+    # second parameter is interpreted by Spark as the array index, so the
+    # usual `lambda x, k=k:` default-capture idiom silently receives the
+    # element position instead of k. Bind loop variables via closures.
+    def _digest(g: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{g}:"), s))
+
+    def _lane(pos: int):
+        return lambda d: F.substring(d, pos, 8)
+
+    digs = [
+        F.transform(shingles_col(), _digest(g)).alias(f"dg{g}")
+        for g in range(N_SEEDS)
+    ]
+    base = docs.select("doc_id", *digs)
+    return base.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.col(f"dg{i // 4}"), _lane(1 + 8 * (i % 4)))
+            ).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ],
+    )
+
+
+def _near_dup_flag(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    ids, sigs = state.get if state.exists else ([], [])
+    ids, sigs = list(ids), list(sigs)
+    known = [s.split("|") for s in sigs]
+    rows = [pdf for pdf in pdfs if len(pdf)]
+    if not rows:
+        if state.exists:
+            state.update((ids, sigs))
+        return
+    batch = pd.concat(rows, ignore_index=True).sort_values("doc_id")
+    out = []
+    for _, row in batch.iterrows():
+        lanes = row["sig"].split("|")
+        dup = any(
+            sum(a == b for a, b in zip(lanes, ks)) / MINHASH_K >= NEARDUP_EST
+            for ks in known
+        )
+        if not dup and len(ids) < NEARDUP_BAND_CAP:
+            ids.append(int(row["doc_id"]))
+            sigs.append(row["sig"])
+            known.append(lanes)
+        out.append(
+            {"doc_id": int(row["doc_id"]), "band": key[0], "is_dup": bool(dup)}
+        )
+    state.update((ids, sigs))
+    yield pd.DataFrame(out)
+
+
+def near_dup_stream_flags(docs: DataFrame) -> DataFrame:
+    """Per-(doc, band) near-dup verdicts over a document stream: a doc
+    is a near-duplicate iff ANY of its bands flags it (downstream:
+    ``groupBy(doc_id).agg(max(is_dup))`` or an anti-join on flagged
+    ids — see tests). Within a batch the survivor rule is greedy by
+    doc_id per band, the same one-pass rule as NearDupIngest; across
+    batches the band state answers "similar to anything accepted so
+    far" without touching the corpus."""
+    import pyspark.sql.functions as F
+
+    sig = _map_side_signature(docs)
+    packed = sig.select(
+        "doc_id",
+        F.concat_ws("|", *[F.col(f"h{i}") for i in range(MINHASH_K)]).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)],
+                        )
+                    )
+                    for b in range(MINHASH_K // BAND_ROWS)
+                ]
+            )
+        ).alias("band"),
+    )
+    return packed.groupBy("band").applyInPandasWithState(
+        _near_dup_flag,
+        NEARDUP_OUTPUT,
+        _NEARDUP_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

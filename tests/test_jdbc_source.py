@@ -7,7 +7,11 @@ from __future__ import annotations
 
 import pytest
 
-from go_cdc_spark.sources.snapshot import JdbcSnapshotSource, NoPrimaryKeyError
+from go_cdc_spark.sources.snapshot import (
+    JdbcSnapshotSource,
+    NoPrimaryKeyError,
+    chunk_predicates,
+)
 
 
 def _source(spark, answers: dict[str, list[tuple]]):
@@ -228,3 +232,116 @@ def test_read_table_composite_tuple_mode(spark):
     assert _multiset(out, cols) == _oracle_multiset(con, "events", cols)
     call = [c for c in fake.calls if c["predicates"] is not None][0]
     assert len(call["predicates"]) >= 2  # genuinely chunked
+
+
+# -- non-trivial key types: DECIMAL / TIMESTAMP / NULL key prefixes ---------
+#
+# A true PK can't hold NULL, but the chunking key is whatever unique
+# index discovery hands back — on MySQL that can be a UNIQUE index with
+# nullable prefix columns. The tuple predicates are null-safe
+# two-valued expressions under the NULL-sorts-first total order, so
+# NOT(tuple_gt) keeps NULL-prefix rows and every row lands in exactly
+# one chunk.
+
+
+def _custom_source(spark, con, table, pks, num_partitions):
+    src = JdbcSnapshotSource(
+        spark, "jdbc:stub://", {}, num_partitions=num_partitions
+    )
+    fake = _DuckJdbcReader(spark, con, [(c,) for c in pks])
+    src.spark = fake
+    return src, fake
+
+
+def test_read_table_tuple_mode_decimal_timestamp_pk(spark):
+    """Composite (DECIMAL, TIMESTAMP) key: boundary literals render as
+    quoted/decimal SQL text that the second engine (DuckDB) evaluates
+    exactly; chunked union == full read, no row lost or doubled."""
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE fees AS
+           SELECT CAST(100 + (i * 7) % 83 + 0.25 * (i % 4) AS DECIMAL(10, 2)) AS fee,
+                  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i % 97) HOUR AS ts,
+                  i AS payload
+           FROM range(500) t(i)"""
+    )
+    src, fake = _custom_source(spark, con, "fees", ["fee", "ts"], 4)
+    chunked = src.read_table("main", "fees")
+    cols = ["fee", "ts", "payload"]
+    src1, _ = _custom_source(spark, con, "fees", ["fee", "ts"], 1)
+    full = src1.read_table("main", "fees")
+    assert _multiset(chunked, cols) == _multiset(full, cols)
+    call = [c for c in fake.calls if c["predicates"] is not None][0]
+    assert len(call["predicates"]) >= 2
+    # disjointness on the engine itself: per-chunk counts sum to total
+    counts = [
+        con.execute(f"SELECT COUNT(*) FROM fees WHERE {p}").fetchone()[0]
+        for p in call["predicates"]
+    ]
+    assert sum(counts) == 500 and min(counts) > 0
+
+
+def test_read_table_tuple_mode_null_key_prefix(spark):
+    """NULLs in the LEADING chunk-key column (legal for a UNIQUE-index
+    key): every NULL-prefix row must appear in exactly one chunk — the
+    naive `NOT (ts > x)` form silently drops them all (UNKNOWN under
+    three-valued logic), which is the bug class this pins."""
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE sess AS
+           SELECT CASE WHEN i % 3 = 0 THEN NULL
+                       ELSE TIMESTAMP '2024-01-01' + INTERVAL (i % 50) HOUR
+                  END AS started,
+                  i AS sess_id
+           FROM range(300) t(i)"""
+    )
+    src, fake = _custom_source(spark, con, "sess", ["started", "sess_id"], 4)
+    chunked = src.read_table("main", "sess")
+    cols = ["started", "sess_id"]
+    src1, _ = _custom_source(spark, con, "sess", ["started", "sess_id"], 1)
+    full = src1.read_table("main", "sess")
+
+    def nullsafe(df):
+        return sorted(
+            (tuple((v is not None, v) for v in r) for r in df.select(*cols).collect()),
+        )
+
+    assert nullsafe(chunked) == nullsafe(full)
+    call = [c for c in fake.calls if c["predicates"] is not None][0]
+    # with 100 NULL-prefix rows out of 300 and 4 chunks, at least one
+    # sampled boundary tuple necessarily has a NULL prefix — the
+    # IS NULL / IS NOT NULL forms must appear in the rendered SQL
+    assert any("IS NOT NULL" in p for p in call["predicates"])
+    counts = [
+        con.execute(f"SELECT COUNT(*) FROM sess WHERE {p}").fetchone()[0]
+        for p in call["predicates"]
+    ]
+    assert sum(counts) == 300, (counts, call["predicates"])
+
+
+def test_chunk_predicates_null_boundary_partition_property(spark):
+    """Decision-table property on the second engine: for a key space
+    containing NULLs in both columns' values AND a boundary tuple with
+    a NULL component, chunk_predicates assigns every row to exactly
+    one chunk (evaluated by DuckDB, not by our own code)."""
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE kv AS SELECT * FROM (VALUES
+           (NULL, 1), (NULL, 2), (NULL, NULL),
+           ('a', NULL), ('a', 1), ('a', 2),
+           ('b', NULL), ('b', 7), ('c', 1)) t(x, y)"""
+    )
+    boundaries = [(None, 1), ("a", None), ("a", 1), ("b", 7)]
+    preds = chunk_predicates(["x", "y"], boundaries)
+    matched = [
+        con.execute(f"SELECT COUNT(*) FROM kv WHERE {p}").fetchone()[0]
+        for p in preds
+    ]
+    assert sum(matched) == 9, (matched, preds)
+    # pairwise disjoint: each row matches exactly one predicate
+    for i, p in enumerate(preds):
+        for q in preds[i + 1:]:
+            both = con.execute(
+                f"SELECT COUNT(*) FROM kv WHERE ({p}) AND ({q})"
+            ).fetchone()[0]
+            assert both == 0, (p, q)

@@ -301,3 +301,48 @@ def test_sssp_relaxation_join_is_copartitioned(spark, sf_dir):
 
     stages = _shuffle_stages(QUERIES["sssp_weighted"](spark, sf_dir))
     assert len(stages) <= g._SSSP_HOPS + 1, stages
+
+
+def test_broadcast_degradation_parity(spark, sf_dir):
+    """Broadcast-degradation safety at scale boundaries: the SF-growing
+    join sides in the TPC-H archetypes carry NO broadcast hint, so when
+    a dimension outgrows the threshold the optimizer degrades to a
+    shuffle join instead of OOMing an executor. Simulate "dim outgrew
+    broadcast" by disabling auto-broadcast entirely and assert (a) a
+    shuffle join (SortMerge/ShuffledHash) actually appears where the
+    broadcast was, and (b) results stay hash-identical to the
+    default-config run."""
+    import pandas as pd
+
+    targets = ["q8_market_share", "q2_min_cost_supplier", "q18_large_volume"]
+    before = {}
+    for name in targets:
+        df = QUERIES[name](spark, sf_dir)
+        before[name] = df.toPandas().sort_values(list(df.columns)).reset_index(drop=True)
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for name in targets:
+            df = QUERIES[name](spark, sf_dir)
+            df.collect()  # finalize adaptive plan
+            plan = _physical(df)
+            assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), (
+                f"{name}: no shuffle join appeared with broadcasts disabled"
+            )
+            after = df.toPandas().sort_values(list(df.columns)).reset_index(drop=True)
+            pd.testing.assert_frame_equal(before[name], after)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -96,3 +96,56 @@ def test_txn_assembler_flushes_on_commit(spark, tmp_path):
     assert rows["t1"].first_pos == "1".zfill(12) and rows["t1"].last_pos == "2".zfill(12)
     # t2 never committed: evicted by the processing-time timeout, incomplete
     assert not rows["t2"].complete and rows["t2"].n_events == 1
+
+
+def test_near_dup_stream_drops_perturbed_doc_in_later_batch(spark, tmp_path):
+    """Cross-batch near-dup via state-store band index: the same doc
+    lightly perturbed arriving in a LATER micro-batch must be flagged;
+    within-batch near-dups are flagged greedily (lower id wins); the
+    distinct doc survives everywhere."""
+    import os
+    import time
+
+    from go_cdc_spark.streaming.ingest import read_docs_stream
+    from go_cdc_spark.streaming.stateful import near_dup_stream_flags
+
+    base = " ".join(f"w{i}" for i in range(30))
+    perturbed = base.replace("w15", "zz")          # 3 of 28 shingles change
+    within = base.replace("w3", "qq")              # near-dup inside batch 1
+    distinct = " ".join(f"d{i}" for i in range(30))
+
+    seg = tmp_path / "docs"
+    seg.mkdir()
+    t0 = time.time() - 100
+
+    def _doc(i, text):
+        return {"doc_id": i, "text": text, "lang": "en", "source": "s"}
+
+    for name, docs, mt in [
+        ("b1.json", [_doc(1, base), _doc(2, distinct), _doc(4, within)], t0),
+        ("b2.json", [_doc(7, perturbed)], t0 + 10),
+    ]:
+        p = seg / name
+        with open(p, "w") as f:
+            for d in docs:
+                f.write(json.dumps(d) + "\n")
+        os.utime(p, (mt, mt))
+
+    stream = read_docs_stream(spark, str(seg), max_files_per_trigger=1)
+    flags = near_dup_stream_flags(stream)
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("neardup_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    verdict = {
+        r.doc_id: r.dup
+        for r in spark.sql(
+            "SELECT doc_id, MAX(CAST(is_dup AS INT)) = 1 AS dup "
+            "FROM neardup_sink GROUP BY doc_id"
+        ).collect()
+    }
+    assert verdict == {1: False, 2: False, 4: True, 7: True}, verdict
