@@ -86,6 +86,9 @@ HEADLINE = [
     # here, 5.7s vs 4.7s — linear lineage + ReuseExchange already
     # dedupe; contrast bfs/sssp whose relations feed two consumers)
     "pagerank_purchase_graph",
+    "lang_id",
+    "sim_lsh_multiprobe",
+    "ann_recall_at_k",
 ]
 
 

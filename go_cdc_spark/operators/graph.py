@@ -474,13 +474,19 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.count()  # eager: every relaxation round reuses this relation
     _PINNED.append(edges)
-    # seed in integer id space via the label inverse (see _nid_edges)
-    dist = edges.sparkSession.range(1).select(
-        F.lit(_node_id(_SSSP_SEED)).cast("long").alias("node"),
-        F.lit(0).cast("bigint").alias("dist"),
+    # seed in integer id space via the label inverse (see _nid_edges).
+    # A LocalRelation, NOT range().select(lit(..)): a literal-projected
+    # seed key constant-folds out of round 1's join condition, which
+    # voids the shuffle_hash hint ("no equi-join keys") and the
+    # co-partitioned plan for that round.
+    dist = edges.sparkSession.createDataFrame(
+        [(_node_id(_SSSP_SEED), 0)], "node long, dist bigint"
     )
     for _ in range(_SSSP_HOPS):
-        relaxed = dist.hint("shuffle_hash").join(edges, dist.node == edges.src).select(
+        # hint scoped to the join arm only — `dist` itself also feeds
+        # the union/groupBy path, where a join hint is meaningless and
+        # logs a confusing "no equi-join keys" warning
+        relaxed = dist.alias("d").hint("shuffle_hash").join(edges, F.col("d.node") == edges.src).select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("dist")
         )
         dist = (

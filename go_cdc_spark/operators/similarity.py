@@ -402,6 +402,82 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_NPROBE = 2
+
+_IVF_NPROBE2_ORACLE = f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings
+              WHERE vec_id < {N_CENTROIDS}),
+     assign AS (
+        SELECT vec_id, embedding, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {_sql_cosine("embedding", "cent_emb")} DESC, centroid_id) AS rn
+        FROM embeddings CROSS JOIN cent
+     ),
+     q AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id FROM assign
+           WHERE vec_id < {N_QUERIES} AND rn <= {_IVF_NPROBE}),
+     c AS (SELECT vec_id AS cand_id, embedding AS c_emb, centroid_id FROM assign
+           WHERE vec_id >= {N_QUERIES} AND rn = 1),
+     scored AS (
+        SELECT query_id, cand_id, {_sql_cosine("q_emb", "c_emb")} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {_sql_cosine("q_emb", "c_emb")} DESC, cand_id) AS rn
+        FROM q JOIN c USING (centroid_id)
+     )
+SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank
+FROM scored WHERE rn <= {TOP_K}
+"""
+
+
+@query("sim_ivf_nprobe2", oracle=_IVF_NPROBE2_ORACLE)
+def sim_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe={_IVF_NPROBE}: each QUERY probes its
+    {_IVF_NPROBE} nearest cells (candidates still live in exactly one
+    cell) — the standard IVF recall knob, demonstrated as a registered
+    query so ann_recall_at_k measures the lever, not just the floor.
+
+    Scale note: identical plan shape to sim_ivf — the probe expansion
+    multiplies only the (broadcast-small) query side by nprobe; the
+    corpus side still assigns map-side and shuffles once on
+    centroid_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc(cosine_col("embedding", "cent_emb")), F.asc("centroid_id")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(aw))
+        .select("vec_id", "embedding", "centroid_id", "rn")
+    )
+    q = assign.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "centroid_id",
+        norm_col("embedding").alias("q_norm"),
+    )
+    c = assign.filter((F.col("vec_id") >= N_QUERIES) & (F.col("rn") == 1)).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        "centroid_id",
+        norm_col("embedding").alias("c_norm"),
+    )
+    scored = F.broadcast(q).join(c, "centroid_id").select(
+        "query_id",
+        "cand_id",
+        cosine_from(dot_col("q_emb", "c_emb"), "q_norm", "c_norm").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 # --- multi-table, occupancy-adaptive LSH for near-dup blocking -------------
 #
 # One fixed-width hash table goes quadratic as the corpus grows: bucket
@@ -1239,6 +1315,7 @@ def _recall_oracle() -> str:
         "lsh_ann": f"(SELECT query_id, cand_id FROM ({_LSH_ORACLE}) t)",
         "lsh_multiprobe": f"(SELECT query_id, cand_id FROM ({_MULTIPROBE_ORACLE}) t)",
         "ivf": f"(SELECT query_id, cand_id FROM ({_IVF_ORACLE}) t)",
+        "ivf_nprobe2": f"(SELECT query_id, cand_id FROM ({_IVF_NPROBE2_ORACLE}) t)",
         "pq_adc": "(SELECT query_id, cand_id FROM pq_ann)",
     }
     arms = "\nUNION ALL\n".join(
@@ -1286,6 +1363,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_ann": sim_lsh_ann,
         "lsh_multiprobe": sim_lsh_multiprobe,
         "ivf": sim_ivf,
+        "ivf_nprobe2": sim_ivf_nprobe2,
         "pq_adc": _pq_adc_topk,
     }
     arms = []

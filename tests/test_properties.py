@@ -219,3 +219,47 @@ def test_pagerank_matches_python_reference(spark, sf_dir):
     assert set(got) == set(rank)
     for v in nodes:
         assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+
+
+# -- null-safe composite-key chunking: randomized partition property --------
+
+_KEYVAL = st.one_of(st.none(), st.integers(min_value=0, max_value=9))
+_KEYTUP = st.tuples(_KEYVAL, _KEYVAL)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(_KEYTUP, min_size=1, max_size=30),
+    st.lists(_KEYTUP, min_size=0, max_size=5),
+)
+def test_chunk_predicates_partition_with_nulls(rows, raw_bounds):
+    """For ANY key multiset (including NULLs anywhere) and ANY boundary
+    tuples (including NULL components), chunk_predicates assigns every
+    row to EXACTLY one chunk — evaluated by DuckDB, the second engine,
+    not by the code under test. This is the gap/overlap-free contract
+    parallel JDBC snapshots rely on (A5), extended to nullable
+    unique-index chunk keys."""
+    import duckdb
+
+    from go_cdc_spark.sources.snapshot import boundary_sort_key, chunk_predicates
+
+    bounds = sorted(set(raw_bounds), key=boundary_sort_key)
+    preds = chunk_predicates(["x", "y"], bounds)
+
+    con = duckdb.connect()
+    values = ", ".join(
+        "(" + ", ".join("NULL" if v is None else str(v) for v in t) + ")"
+        for t in rows
+    )
+    con.execute(f"CREATE TABLE kv AS SELECT * FROM (VALUES {values}) t(x, y)")
+    matched = [
+        con.execute(f"SELECT COUNT(*) FROM kv WHERE {p}").fetchone()[0]
+        for p in preds
+    ]
+    assert sum(matched) == len(rows), (matched, preds)
+    for i, p in enumerate(preds):
+        for q in preds[i + 1:]:
+            both = con.execute(
+                f"SELECT COUNT(*) FROM kv WHERE ({p}) AND ({q})"
+            ).fetchone()[0]
+            assert both == 0, (p, q)
