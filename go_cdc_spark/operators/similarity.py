@@ -64,7 +64,13 @@ _HYPERPLANES: list[list[float]] = (
 
 def dot_col(a: Column | str, b: Column | str) -> Column:
     """Left-fold double-precision dot product — bit-identical to the
-    DuckDB form in :func:`_sql_dot` (same op order, IEEE754)."""
+    DuckDB form in :func:`_sql_dot` (same op order, IEEE754).
+
+    Measured r5: this higher-order-function fold BEATS a fully
+    unrolled 64-term ``element_at(a,i)*element_at(b,i)`` expression
+    chain 2.2× (0.70s vs 1.58s, 5k×32 cosines at sf0.1, min-of-3
+    interleaved) — the unrolled tree blows past codegen limits while
+    Spark 4's HOF evaluation is array-local. Keep the fold."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

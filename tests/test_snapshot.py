@@ -272,3 +272,38 @@ def test_full_type_map_roundtrip_through_materialize(spark):
                 ), (k, f, a, b)
             else:
                 assert a == b, (k, f, a, b)
+
+
+def test_snapshot_all_partial_failure_isolated(spark, tmp_path):
+    """A10 fault isolation: one table failing mid-fan-out must not take
+    down the others — the failing table returns a rollback-marked
+    snapshot (reference: fullamount_service.go:122-127 dispatches a
+    Rollback event), every other table completes, and the checkpoint
+    store records positions ONLY for the successes."""
+
+    class FlakyTable(ParquetSnapshotSource):
+        def read_table(self, schema, table):
+            if table == "nation":
+                raise RuntimeError("injected read failure for nation")
+            return super().read_table(schema, table)
+
+    src = FlakyTable(
+        spark, SF,
+        primary_keys={"region": ["r_regionkey"], "nation": ["n_nationkey"],
+                      "customer": ["c_custkey"]},
+    )
+    store = CheckpointStore(spark, str(tmp_path / "meta"))
+    rules = FilterRules.parse(
+        {"global": {"include_tables": ["region", "nation", "customer"]}}
+    )
+    snaps = snapshot_all(src, "ds1", rules=rules, checkpoint=store, concurrency=3)
+    by_table = {s.table: s for s in snaps}
+    assert sorted(by_table) == ["customer", "nation", "region"]
+    assert by_table["nation"].error is not None
+    [rb] = by_table["nation"].events.collect()
+    assert rb.op == OP_ROLLBACK and "injected read failure" in rb.data["err"]
+    for ok in ("region", "customer"):
+        assert by_table[ok].error is None
+        assert store.get_pos("ds1", sc="main", tb=ok) == by_table[ok].pos
+    meta = store.all()
+    assert ("ds1", "main", "nation") not in meta  # no checkpoint for the failure

@@ -149,3 +149,54 @@ def test_near_dup_stream_drops_perturbed_doc_in_later_batch(spark, tmp_path):
         ).collect()
     }
     assert verdict == {1: False, 2: False, 4: True, 7: True}, verdict
+
+
+def test_near_dup_state_survives_restart(spark, tmp_path):
+    """The band index lives in CHECKPOINTED state: stop the query after
+    batch 1, start a fresh query over the same checkpoint, deliver the
+    perturbed doc — it must still be flagged (state recovered, not
+    rebuilt from a side-store)."""
+    import os
+    import time
+
+    from go_cdc_spark.streaming.ingest import read_docs_stream
+    from go_cdc_spark.streaming.stateful import near_dup_stream_flags
+
+    base = " ".join(f"w{i}" for i in range(30))
+    perturbed = base.replace("w15", "zz")
+    seg = tmp_path / "docs"
+    seg.mkdir()
+    t0 = time.time() - 100
+
+    def _write(name, docs, mt):
+        p = seg / name
+        with open(p, "w") as f:
+            for d in docs:
+                f.write(json.dumps(d) + "\n")
+        os.utime(p, (mt, mt))
+
+    _write("b1.json", [{"doc_id": 1, "text": base, "lang": "en", "source": "s"}], t0)
+
+    out_dir = str(tmp_path / "flags")
+
+    def _run():
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        stream = read_docs_stream(spark, str(seg), max_files_per_trigger=1)
+        q = (
+            near_dup_stream_flags(stream)
+            .writeStream.option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()  # batch 1 accepted into state; query terminates
+    _write("b2.json", [{"doc_id": 9, "text": perturbed, "lang": "en", "source": "s"}], t0 + 10)
+    _run()  # FRESH query, same checkpoint: state recovered
+
+    flags = spark.read.parquet(out_dir)
+    flagged = {r.doc_id for r in flags.filter("is_dup").select("doc_id").distinct().collect()}
+    assert flagged == {9}, flagged
