@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import query
 from ..tables import load
@@ -140,8 +141,9 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial combine. Because the bipartite graph carries both
     edge directions, every node has in-edges, so the aggregation
     output covers ALL nodes and no nodes⋈contrib repair join is
-    needed in-loop. The node count enters as a 1-row broadcast, never
-    a driver collect. Unrolling the iterations keeps the whole
+    needed in-loop. The node count is the eager cache-populating
+    count() reused as a plan literal (metadata-sized driver scalar,
+    not a data collect). Unrolling the iterations keeps the whole
     computation one Catalyst plan; checkpoint/cache the rank relation
     every few iterations at real scale to cap lineage depth."""
     while _PINNED:  # bound the cache leak: at most one invocation live
@@ -163,8 +165,18 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition (not AQE-coalescible) pins the cached partitioning
     # that every iteration's join reuses.
     edges = _nid_edges(pairs)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
-    edged = edges.join(deg, "src").repartition(nparts, "src").persist()
+    # Degree as a window count AFTER the src repartition: the window
+    # reuses the pinned hash(src, P) partitioning (sort-only, no
+    # exchange), replacing the old groupBy(deg)+join-back — one fewer
+    # |E| shuffle and one fewer join in the build (interleaved A/B
+    # sf0.1 min-of-4: 5.00s → 4.45s end-to-end, results bit-equal).
+    edged = (
+        edges.repartition(nparts, "src")
+        .withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src")).cast("double")
+        )
+        .persist()
+    )
     edged.count()
     nodes = (
         edges.select(F.col("src").alias("node"))
