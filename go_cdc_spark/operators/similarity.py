@@ -370,12 +370,17 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle, keyed by centroid_id — at 100 TB make nlist ~ sqrt(N)
     so cells stay executor-sized, and raise nprobe for recall.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "__enorm", norm_col("embedding")
+    )
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("__enorm").alias("__cnorm"),
     )
     aw = Window.partitionBy("vec_id").orderBy(
-        F.desc(cosine_col("embedding", "cent_emb")), F.asc("centroid_id")
+        F.desc(cosine_from(dot_col("embedding", "cent_emb"), "__enorm", "__cnorm")),
+        F.asc("centroid_id"),
     )
     cell = (
         emb.crossJoin(F.broadcast(cent))
@@ -445,12 +450,17 @@ def sim_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplies only the (broadcast-small) query side by nprobe; the
     corpus side still assigns map-side and shuffles once on
     centroid_id."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "__enorm", norm_col("embedding")
+    )
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("__enorm").alias("__cnorm"),
     )
     aw = Window.partitionBy("vec_id").orderBy(
-        F.desc(cosine_col("embedding", "cent_emb")), F.asc("centroid_id")
+        F.desc(cosine_from(dot_col("embedding", "cent_emb"), "__enorm", "__cnorm")),
+        F.asc("centroid_id"),
     )
     assign = (
         emb.crossJoin(F.broadcast(cent))
@@ -657,12 +667,19 @@ def _centroid_arrays(updates: DataFrame) -> DataFrame:
 def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid by cosine (argmax, ties to min centroid_id) —
     the exact assignment rule sim_ivf uses, so trained centroids drop
-    straight into its probe."""
+    straight into its probe. Norms precomputed once per vector and
+    per centroid: the argmax over k candidates evaluates k dot folds,
+    not 3k (same bits — identical divide/multiply tree)."""
+    e = emb.withColumn("__enorm", norm_col("embedding"))
+    c = cent.withColumn("__cnorm", norm_col("cent"))
     aw = Window.partitionBy("vec_id").orderBy(
-        F.desc(cosine_col("embedding", "cent")), F.asc("centroid_id")
+        F.desc(
+            cosine_from(dot_col("embedding", "cent"), "__enorm", "__cnorm")
+        ),
+        F.asc("centroid_id"),
     )
     return (
-        emb.crossJoin(F.broadcast(cent))
+        e.crossJoin(F.broadcast(c))
         .withColumn("rn", F.row_number().over(aw))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
@@ -1171,7 +1188,8 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     property that makes PQ trainable on a 100 TB vector corpus."""
     subs, cent1 = _pq_fit(spark, sf_dir)
     aw = Window.partitionBy("vec_id", "s").orderBy(
-        F.desc(cosine_col("sub", "cent")), F.asc("code_id")
+        F.desc(cosine_from(dot_col("sub", "cent"), "__snorm", "__bnorm")),
+        F.asc("code_id"),
     )
     return (
         subs.join(F.broadcast(cent1), "s")
@@ -1205,13 +1223,19 @@ def _pq_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
                 ]
             )
         ).alias("x"),
-    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub"))
+    ).select(
+        "vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub")
+    ).withColumn("__snorm", norm_col("sub"))
 
     seeds = subs.filter(F.col("vec_id") < _PQ_K).select(
-        "s", F.col("vec_id").alias("code_id"), F.col("sub").alias("cent")
+        "s",
+        F.col("vec_id").alias("code_id"),
+        F.col("sub").alias("cent"),
+        F.col("__snorm").alias("__bnorm"),
     )
     aw = Window.partitionBy("vec_id", "s").orderBy(
-        F.desc(cosine_col("sub", "cent")), F.asc("code_id")
+        F.desc(cosine_from(dot_col("sub", "cent"), "__snorm", "__bnorm")),
+        F.asc("code_id"),
     )
     assigned = (
         subs.join(F.broadcast(seeds), "s")
@@ -1233,7 +1257,7 @@ def _pq_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             F.array_sort(F.collect_list(F.struct("dim", "value"))),
             lambda st: st["value"],
         ).alias("cent")
-    )
+    ).withColumn("__bnorm", norm_col("cent"))
     return subs, cent1
 
 
@@ -1247,7 +1271,8 @@ def _pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast queries × map-side cosine → per-query top-k window."""
     subs, cent1 = _pq_fit(spark, sf_dir)
     aw = Window.partitionBy("vec_id", "s").orderBy(
-        F.desc(cosine_col("sub", "cent")), F.asc("code_id")
+        F.desc(cosine_from(dot_col("sub", "cent"), "__snorm", "__bnorm")),
+        F.asc("code_id"),
     )
     codes = (
         subs.join(F.broadcast(cent1), "s")
@@ -1256,7 +1281,7 @@ def _pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "s", "code_id")
     )
     recon = (
-        codes.join(F.broadcast(cent1), ["s", "code_id"])
+        codes.join(F.broadcast(cent1.drop("__bnorm")), ["s", "code_id"])
         .groupBy("vec_id")
         .agg(
             F.flatten(
@@ -1440,17 +1465,22 @@ def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit pushing the top-{_MRR_K} cut into each partition
     before the shuffle — the same partial-top-k plan as sim_topk, so
     judged depth bounds the shuffle, not corpus size."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label", norm_col("embedding").alias("e_norm")
+    )
     q = emb.filter(F.col("vec_id") < _MRR_NQ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
+        F.col("e_norm").alias("q_norm"),
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(cosine_col("embedding", "qv")), F.asc("vec_id")
-    )
+    # norms precomputed once per vector map-side: each pair evaluates
+    # ONE fold (the cross dot), not three — same bits, 3× less fold work
+    cos = cosine_from(dot_col("embedding", "qv"), "e_norm", "q_norm")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     ranked = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("cos", cos)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _MRR_K)
     )
@@ -1502,12 +1532,17 @@ def eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: assignment is the broadcast argmax (zero corpus
     shuffle); the purity rollup runs over the (centroid, label) grid —
     K×|labels| rows — after map-side partials."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label", norm_col("embedding").alias("__enorm")
+    )
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent"),
+        F.col("__enorm").alias("__cnorm"),
     )
     aw = Window.partitionBy("vec_id").orderBy(
-        F.desc(cosine_col("embedding", "cent")), F.asc("centroid_id")
+        F.desc(cosine_from(dot_col("embedding", "cent"), "__enorm", "__cnorm")),
+        F.asc("centroid_id"),
     )
     assigned = (
         emb.crossJoin(F.broadcast(cent))
@@ -1567,11 +1602,14 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside each corpus partition before any shuffle), so the judged
     depth bounds shuffle volume, not corpus size. At 100 TB the anchor
     set shards into broadcast-sized batches and the same plan loops."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label", norm_col("embedding").alias("e_norm")
+    )
     q = emb.filter(F.col("vec_id") < _MRR_NQ).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
+        F.col("e_norm").alias("q_norm"),
     )
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("neg_id"))
     return (
@@ -1581,7 +1619,10 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qlabel",
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
-            cosine_col("embedding", "qv").alias("cos"),
+            # one fold per pair: norms precomputed map-side per vector
+            cosine_from(dot_col("embedding", "qv"), "e_norm", "q_norm").alias(
+                "cos"
+            ),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _HN_K)

@@ -346,3 +346,17 @@ def test_broadcast_degradation_parity(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_new_ann_routes_keep_partial_topk(spark, sf_dir):
+    """sim_lsh_multiprobe and sim_ivf_nprobe2 must keep the same
+    rank-limit pushdown as sim_topk: a Partial WindowGroupLimit below
+    the query_id exchange trims each map partition to its local top-k,
+    so the shuffle carries |Q|×k×partitions rows, not every scored
+    candidate."""
+    for name in ("sim_lsh_multiprobe", "sim_ivf_nprobe2"):
+        plan = _physical(QUERIES[name](spark, sf_dir))
+        partial = re.search(r"WindowGroupLimit .*row_number\(\), \d+, Partial", plan)
+        exchange = re.search(r"Exchange hashpartitioning\(query_id", plan)
+        assert partial and exchange, f"{name}: pushdown missing:\n{plan[:1200]}"
+        assert exchange.start() < partial.start(), name
