@@ -89,6 +89,7 @@ HEADLINE = [
     "lang_id",
     "sim_lsh_multiprobe",
     "ann_recall_at_k",
+    "cdc_incremental_agg",
 ]
 
 

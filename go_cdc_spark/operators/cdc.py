@@ -139,8 +139,11 @@ def cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CDC_APPLY_ORACLE = """
-WITH changes AS (
+# Shared CTE: the deterministic customer-change stream derived from
+# events, threshold-filtered and latest-wins collapsed — the common
+# prefix of every CDC-over-fixture oracle below.
+_CDC_CHANGES_CTE = """
+changes AS (
     SELECT user_id AS c_custkey,
            CASE WHEN event_type = 'error' THEN 'delete'
                 WHEN event_type = 'signup' THEN 'insert'
@@ -160,6 +163,10 @@ WITH changes AS (
         FROM filtered
     ) WHERE rn = 1
 )
+"""
+
+_CDC_APPLY_ORACLE = f"""
+WITH {_CDC_CHANGES_CTE}
 SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
 FROM customer c
 WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
@@ -169,17 +176,13 @@ FROM latest WHERE op <> 'delete'
 """
 
 
-@query("cdc_apply_changes", oracle=_CDC_APPLY_ORACLE)
-def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The signature MERGE: snapshot (customer) ⊕ change stream (derived
-    deterministically from events) with the pos > tableGTID handoff rule.
+_CDC_TABLE_GTID = "100".zfill(12)
 
-    Exercises the real operator (:func:`apply_changes`) end-to-end:
-    envelope → threshold filter → latest-wins collapse → anti-join+union.
-    """
-    cust = load(spark, sf_dir, "customer")
-    ev = load(spark, sf_dir, "events")
-    changes = ev.select(
+
+def _derived_customer_changes(ev: DataFrame) -> DataFrame:
+    """The Spark twin of ``_CDC_CHANGES_CTE``'s ``changes`` step: a
+    deterministic customer-image change stream derived from events."""
+    return ev.select(
         F.col("user_id").alias("c_custkey"),
         F.when(F.col("event_type") == "error", F.lit("delete"))
         .when(F.col("event_type") == "signup", F.lit("insert"))
@@ -191,8 +194,143 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("event_type").alias("c_mktsegment"),
         F.lpad(F.col("event_id").cast("string"), 12, "0").alias("pos"),
     )
-    table_gtid = "100".zfill(12)
-    return apply_changes(cust, changes, keys=["c_custkey"], pos_threshold=table_gtid)
+
+
+@query("cdc_apply_changes", oracle=_CDC_APPLY_ORACLE)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature MERGE: snapshot (customer) ⊕ change stream (derived
+    deterministically from events) with the pos > tableGTID handoff rule.
+
+    Exercises the real operator (:func:`apply_changes`) end-to-end:
+    envelope → threshold filter → latest-wins collapse → anti-join+union.
+    """
+    cust = load(spark, sf_dir, "customer")
+    changes = _derived_customer_changes(load(spark, sf_dir, "events"))
+    return apply_changes(cust, changes, keys=["c_custkey"], pos_threshold=_CDC_TABLE_GTID)
+
+
+def incremental_agg(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+    pos_threshold: str | None = None,
+    base_agg: DataFrame | None = None,
+    pos_col: str = "pos",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental view maintenance of ``SELECT group_cols, COUNT(*),
+    SUM(sum_cols…) FROM merged GROUP BY group_cols`` — maintained with
+    signed deltas from the change stream, NEVER by re-merging and
+    re-scanning the base table.
+
+    The delta algebra (latest-wins MERGE semantics, matching
+    :func:`apply_changes` / the reference's apply loop,
+    docs/全量抓取逻辑.md:44-52): every key present in the collapsed
+    change set retracts its base row (before-image, the snapshot's
+    group) and, unless the final op is a delete, asserts its new image
+    (after-image group — group migration falls out for free). Sums
+    accumulate in exact decimal, so delta-maintenance is bit-identical
+    to full recomputation at any parallelism.
+
+    Twin of ``streaming/ivm.py``'s :class:`IncrementalAggregate`, which
+    folds per-event ``+data − before`` deltas and therefore needs full
+    before-images (``binlog_row_image=FULL``). This batch form covers
+    the minimal-image case: the before-image is LOOKED UP from the base
+    table instead, touching only the changed keys.
+
+    Scale shape: the base table is touched only by a semi-join on the
+    changed keys (broadcast/DPP-prunable — a change batch is tiny next
+    to a 100 TB base); when ``base_agg`` is supplied (the stored MV, as
+    in a real deployment; schema ``group_cols + [n, sum_<col>…]``, the
+    same shape this function returns) the base is never fully scanned
+    at all and the per-batch cost is O(|changes| + |touched keys| +
+    |groups|).
+
+    Returns ``group_cols + [n (long), sum_<col> (decimal)]``.
+    """
+    from .relational import DEC
+
+    dec38 = "decimal(38,6)"
+    if pos_threshold is not None:
+        changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
+    latest = cdc_collapse(changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True)
+
+    def grouped(df: DataFrame, sign: int) -> DataFrame:
+        aggs = [(F.count(F.lit(1)) * sign).cast("long").alias("n")] + [
+            (F.sum(F.col(c).cast(DEC)) * sign).cast(dec38).alias(f"sum_{c}")
+            for c in sum_cols
+        ]
+        return df.groupBy(*group_cols).agg(*aggs)
+
+    if base_agg is None:
+        base_agg = grouped(snapshot, 1)
+    # Retract the before-image of every changed key (delete OR upsert);
+    # assert the after-image of the survivors. One union, one shuffle.
+    removed = snapshot.join(latest.select(*keys), on=keys, how="left_semi")
+    added = latest.filter(F.col(op_col) != OP_DELETE)
+    delta = grouped(removed, -1).unionByName(grouped(added, 1))
+    delta = delta.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("dn"),
+        *[F.sum(f"sum_{c}").cast(dec38).alias(f"dsum_{c}") for c in sum_cols],
+    )
+    merged = base_agg.join(delta, on=group_cols, how="full_outer").select(
+        *group_cols,
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("long")
+        .alias("n"),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}").cast(dec38), F.lit(0).cast(dec38))
+                + F.coalesce(F.col(f"dsum_{c}"), F.lit(0).cast(dec38))
+            ).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    return merged.filter(F.col("n") > 0)
+
+
+_CDC_IVM_ORACLE = f"""
+WITH {_CDC_CHANGES_CTE},
+merged AS (
+    SELECT c.c_nationkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_nationkey, c_acctbal FROM latest WHERE op <> 'delete'
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_bal
+FROM merged
+GROUP BY c_nationkey
+"""
+
+
+@query("cdc_incremental_agg", oracle=_CDC_IVM_ORACLE)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate maintenance over the CDC stream (:func:`incremental_agg`):
+    per-nation customer count + balance sum kept current by signed deltas.
+    The oracle recomputes the aggregate from the fully merged table — the
+    gate proves IVM ≡ recompute, including group migration (an update can
+    move a customer to a different nation) and vanished/new groups.
+    """
+    cust = load(spark, sf_dir, "customer")
+    changes = _derived_customer_changes(load(spark, sf_dir, "events"))
+    ivm = incremental_agg(
+        cust,
+        changes,
+        keys=["c_custkey"],
+        group_cols=["c_nationkey"],
+        sum_cols=["c_acctbal"],
+        pos_threshold=_CDC_TABLE_GTID,
+    )
+    return ivm.select(
+        "c_nationkey",
+        F.col("n").alias("n_cust"),
+        F.col("sum_c_acctbal").cast("double").alias("sum_bal"),
+    )
 
 
 @query(

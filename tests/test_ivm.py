@@ -234,3 +234,119 @@ def test_minmax_extreme_delete_dirties_then_repair(spark, tmp_path):
     assert mm.repair(base) == 1
     row = mm.read_table().collect()[0]
     assert (row["min_val"], row["max_val"], row["dirty"]) == (1.0, 5.0, False)
+
+
+# ---------------------------------------------------------------------------
+# Batch twin (operators/cdc.py::incremental_agg): minimal-image IVM — the
+# before-image is looked up from the base table by key instead of carried
+# on the event. Ground truth: aggregate the apply_changes MERGE output.
+# ---------------------------------------------------------------------------
+
+
+def _batch_fixture(spark):
+    from pyspark.sql import Row
+
+    snap = spark.createDataFrame(
+        [
+            Row(id=1, grp="a", val=10.0),
+            Row(id=2, grp="a", val=20.0),
+            Row(id=3, grp="b", val=30.0),
+            Row(id=4, grp="c", val=40.0),
+        ]
+    )
+    changes = spark.createDataFrame(
+        [
+            # pre-threshold event: must be discarded by the handoff rule
+            Row(id=1, grp="a", val=999.0, pos="001", op="update"),
+            # same key twice: latest (pos 005) wins
+            Row(id=2, grp="b", val=7.0, pos="003", op="update"),
+            Row(id=2, grp="b", val=25.0, pos="005", op="update"),  # a→b migration
+            Row(id=3, grp="b", val=30.0, pos="004", op="delete"),
+            Row(id=4, grp="c", val=40.0, pos="006", op="delete"),  # c vanishes
+            Row(id=5, grp="d", val=50.0, pos="007", op="insert"),  # new group
+            # update for a key absent from the base → upsert (insert)
+            Row(id=6, grp="a", val=5.0, pos="008", op="update"),
+        ]
+    )
+    return snap, changes
+
+
+def _expected_agg(snap, changes):
+    from go_cdc_spark.operators.cdc import apply_changes
+
+    merged = apply_changes(snap, changes, keys=["id"], pos_threshold="002")
+    return {
+        r["grp"]: (r["n"], r["s"])
+        for r in merged.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+
+
+def test_batch_ivm_equals_merge_then_aggregate(spark):
+    from go_cdc_spark.operators.cdc import incremental_agg
+
+    snap, changes = _batch_fixture(spark)
+    got = {
+        r["grp"]: (r["n"], float(r["sum_val"]))
+        for r in incremental_agg(
+            snap, changes, keys=["id"], group_cols=["grp"],
+            sum_cols=["val"], pos_threshold="002",
+        ).collect()
+    }
+    assert got == _expected_agg(snap, changes)
+    # explicit shape checks the dict-compare implies: c vanished, d is new
+    assert "c" not in got and got["d"] == (1, 50.0)
+
+
+def test_batch_ivm_with_precomputed_base_agg(spark):
+    """The stored-MV path: base_agg supplied, base table only key-probed."""
+    from go_cdc_spark.operators.cdc import incremental_agg
+    from go_cdc_spark.operators.relational import DEC
+
+    snap, changes = _batch_fixture(spark)
+    base_agg = snap.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("val").cast(DEC)).cast("decimal(38,6)").alias("sum_val"),
+    )
+    got = {
+        r["grp"]: (r["n"], float(r["sum_val"]))
+        for r in incremental_agg(
+            snap, changes, keys=["id"], group_cols=["grp"],
+            sum_cols=["val"], pos_threshold="002", base_agg=base_agg,
+        ).collect()
+    }
+    assert got == _expected_agg(snap, changes)
+
+
+def test_batch_ivm_random_interleavings(spark):
+    """Property check: random op soups over a small key space — IVM must
+    track merge-then-aggregate for every interleaving, including deletes
+    of absent keys and repeated group migrations."""
+    from pyspark.sql import Row
+
+    from go_cdc_spark.operators.cdc import incremental_agg
+
+    rng = random.Random(7)
+    snap_rows = [Row(id=i, grp=rng.choice("abc"), val=float(i)) for i in range(1, 9)]
+    snap = spark.createDataFrame(snap_rows)
+    for trial in range(3):
+        ch = [
+            Row(
+                id=rng.randint(1, 12),
+                grp=rng.choice("abcd"),
+                val=float(rng.randint(0, 99)),
+                pos=str(p).zfill(3),
+                op=rng.choice(["insert", "update", "update", "delete"]),
+            )
+            for p in range(1, 20)
+        ]
+        changes = spark.createDataFrame(ch)
+        got = {
+            r["grp"]: (r["n"], float(r["sum_val"]))
+            for r in incremental_agg(
+                snap, changes, keys=["id"], group_cols=["grp"],
+                sum_cols=["val"], pos_threshold="002",
+            ).collect()
+        }
+        assert got == _expected_agg(snap, changes), f"trial {trial}"
