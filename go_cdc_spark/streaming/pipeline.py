@@ -101,11 +101,16 @@ class StreamingMaterializer:
         data_source_id: str = "ds1",
         table: str | None = None,
         quarantine_path: str | None = None,
+        skew_robust: bool = False,
     ):
         self.spark = spark
         self.keys = keys
         self.state_path = state_path
         self.pos_threshold = pos_threshold
+        # hot-PK change streams (counter rows, queue heads): use the
+        # max_by hash-aggregate collapse so the per-batch latest-wins
+        # gets a map-side combine instead of a single-reducer sort
+        self.skew_robust = skew_robust
         self.schema = snapshot.schema
         self.meta = meta
         self.data_source_id = data_source_id
@@ -354,6 +359,7 @@ class StreamingMaterializer:
             pos_col=POS_COL,
             op_col=OP_COL,
             keep_deletes=True,  # tombstones persist in state
+            skew_robust=self.skew_robust,
         )
         storeio.swap_in(merged, self.state_path)
         self._pending_renames = {}  # the write persisted the new names

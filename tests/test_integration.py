@@ -399,3 +399,49 @@ def test_crash_mid_batch_with_txn_gate_pending_replay(spark, tmp_path):
     assert got == want
     assert gate_r.pending().count() == 0
     assert meta_r.get_pos("ds1", None, "accounts") == want_pos
+
+
+def test_materializer_skew_robust_converges_identically(spark, tmp_path):
+    """skew_robust=True (max_by hash-aggregate collapse) must reach the
+    exact same materialized state as the default window collapse, under
+    a hot key receiving most of the change stream — the scenario the
+    mode exists for (counter rows / queue heads)."""
+    base = spark.read.parquet(f"{SF}/region.parquet")
+    # hot key 2: 30 consecutive updates; cold keys get one event each
+    events = [
+        _event(101 + i, "update", {"r_regionkey": "2", "r_name": f"ASIA-v{i}"})
+        for i in range(30)
+    ]
+    events += [
+        _event(200, "insert", {"r_regionkey": "77", "r_name": "LEMURIA"}),
+        _event(201, "delete", None, {"r_regionkey": "0", "r_name": "AFRICA"}),
+    ]
+    seg_dir = tmp_path / "changelog"
+    seg_dir.mkdir()
+    for i in range(2):  # split across two micro-batch segments
+        p = seg_dir / f"seg{i}.json"
+        with open(p, "w") as f:
+            for e in events[i * 16 : (i + 1) * 16]:
+                f.write(json.dumps(e) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    states = {}
+    for robust in (False, True):
+        mat = StreamingMaterializer(
+            spark,
+            snapshot=base,
+            keys=["r_regionkey"],
+            state_path=str(tmp_path / f"state{robust}"),
+            pos_threshold="100".zfill(12),
+            skew_robust=robust,
+        )
+        stream = read_changelog_stream(spark, str(seg_dir), max_files_per_trigger=1)
+        q = mat.start(stream, str(tmp_path / f"ckpt{robust}"))
+        q.processAllAvailable()
+        q.stop()
+        states[robust] = sorted(
+            (r.r_regionkey, r.r_name) for r in mat.read_table().collect()
+        )
+    assert states[False] == states[True]
+    got = dict(states[True])
+    assert got[2] == "ASIA-v29" and got[77] == "LEMURIA" and 0 not in got
