@@ -90,6 +90,7 @@ HEADLINE = [
     "sim_lsh_multiprobe",
     "ann_recall_at_k",
     "cdc_incremental_agg",
+    "cdc_incremental_minmax",
 ]
 
 

@@ -316,6 +316,85 @@ def incremental_agg(
     return merged.filter(F.col("n") > 0)
 
 
+def incremental_minmax(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    group_cols: list[str],
+    val_col: str,
+    pos_threshold: str | None = None,
+    base_minmax: DataFrame | None = None,
+    pos_col: str = "pos",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance of per-group MIN/MAX — the
+    NON-distributive aggregate, where deltas alone cannot always answer:
+    removing the row that held a group's extreme makes the runner-up
+    unknowable without looking at the data again.
+
+    Dirty-group repair (mirrors ``streaming/ivm.py``'s
+    :class:`IncrementalMinMax`, here in minimal-image batch form):
+
+    - inserts only TIGHTEN extremes: ``least/greatest`` against the
+      maintained value, pure delta arithmetic;
+    - a retraction (the before-image, looked up from the base by key)
+      dirties its group only if it ties the maintained extreme —
+      conservative under duplicate extremes, never wrong;
+    - dirty groups are recomputed from surviving + upserted rows
+      **scoped to those groups** (semi-join; with the base partitioned
+      by group this is a partition-pruned rescan, not a table scan).
+      Clean groups — the overwhelming majority under any realistic
+      change batch — never touch the base beyond the key semi-join.
+
+    Returns ``group_cols + [min_val, max_val]`` for non-empty groups.
+    """
+    if pos_threshold is not None:
+        changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
+    latest = cdc_collapse(changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True)
+    if base_minmax is None:
+        base_minmax = snapshot.groupBy(*group_cols).agg(
+            F.min(val_col).alias("min_val"), F.max(val_col).alias("max_val")
+        )
+    changed_keys = latest.select(*keys)
+    removed = snapshot.join(changed_keys, on=keys, how="left_semi")
+    rem = removed.groupBy(*group_cols).agg(
+        F.min(val_col).alias("r_min"), F.max(val_col).alias("r_max")
+    )
+    added = latest.filter(F.col(op_col) != OP_DELETE)
+    ins = added.groupBy(*group_cols).agg(
+        F.min(val_col).alias("i_min"), F.max(val_col).alias("i_max")
+    )
+    st = base_minmax.join(rem, on=group_cols, how="full_outer").join(
+        ins, on=group_cols, how="full_outer"
+    )
+    dirty = F.col("r_min").isNotNull() & (
+        F.col("min_val").isNull()
+        | (F.col("r_min") <= F.col("min_val"))
+        | (F.col("r_max") >= F.col("max_val"))
+    )
+    clean = st.filter(~F.coalesce(dirty, F.lit(False))).select(
+        *group_cols,
+        F.least("min_val", "i_min").alias("min_val"),
+        F.greatest("max_val", "i_max").alias("max_val"),
+    )
+    # groups that were empty in the base and saw no inserts can't occur
+    # in `clean` (they're in no input); empty-after-changes groups fall
+    # out of the repair groupBy naturally.
+    clean = clean.filter(F.col("min_val").isNotNull() | F.col("max_val").isNotNull())
+    dirty_groups = st.filter(dirty).select(*group_cols)
+    pool = (
+        snapshot.join(changed_keys, on=keys, how="left_anti")
+        .select(*group_cols, val_col)
+        .unionByName(added.select(*group_cols, val_col))
+    )
+    repaired = (
+        pool.join(dirty_groups, on=group_cols, how="left_semi")
+        .groupBy(*group_cols)
+        .agg(F.min(val_col).alias("min_val"), F.max(val_col).alias("max_val"))
+    )
+    return clean.unionByName(repaired)
+
+
 _CDC_IVM_ORACLE = f"""
 WITH {_CDC_CHANGES_CTE},
 merged AS (
@@ -331,6 +410,49 @@ SELECT c_nationkey,
 FROM merged
 GROUP BY c_nationkey
 """
+
+
+_CDC_MINMAX_ORACLE = f"""
+WITH {_CDC_CHANGES_CTE},
+merged AS (
+    SELECT c.c_nationkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_nationkey, c_acctbal FROM latest WHERE op <> 'delete'
+)
+SELECT c_nationkey,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal
+FROM merged
+GROUP BY c_nationkey
+"""
+
+
+@query("cdc_incremental_minmax", oracle=_CDC_MINMAX_ORACLE)
+def cdc_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX maintenance over the CDC stream
+    (:func:`incremental_minmax`): per-nation balance extremes kept
+    current by tighten-on-insert + dirty-group repair on extreme
+    retraction. The oracle recomputes from the fully merged table, so
+    the gate proves the dirty rule loses nothing: every group whose
+    extreme was retracted is repaired, every clean group's maintained
+    value is already exact."""
+    cust = load(spark, sf_dir, "customer")
+    changes = _derived_customer_changes(load(spark, sf_dir, "events"))
+    mm = incremental_minmax(
+        cust,
+        changes,
+        keys=["c_custkey"],
+        group_cols=["c_nationkey"],
+        val_col="c_acctbal",
+        pos_threshold=_CDC_TABLE_GTID,
+    )
+    return mm.select(
+        "c_nationkey",
+        F.col("min_val").alias("min_bal"),
+        F.col("max_val").alias("max_bal"),
+    )
 
 
 @query("cdc_incremental_agg", oracle=_CDC_IVM_ORACLE)

@@ -350,3 +350,106 @@ def test_batch_ivm_random_interleavings(spark):
             ).collect()
         }
         assert got == _expected_agg(snap, changes), f"trial {trial}"
+
+
+def _expected_minmax(snap, changes):
+    from go_cdc_spark.operators.cdc import apply_changes
+
+    merged = apply_changes(snap, changes, keys=["id"], pos_threshold="002")
+    return {
+        r["grp"]: (r["mn"], r["mx"])
+        for r in merged.groupBy("grp")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .collect()
+    }
+
+
+def _got_minmax(spark, snap, changes, **kw):
+    from go_cdc_spark.operators.cdc import incremental_minmax
+
+    return {
+        r["grp"]: (r["min_val"], r["max_val"])
+        for r in incremental_minmax(
+            snap, changes, keys=["id"], group_cols=["grp"],
+            val_col="val", pos_threshold="002", **kw,
+        ).collect()
+    }
+
+
+def test_batch_minmax_extreme_retraction_repairs(spark):
+    """Deleting the row holding a group's max forces the repair path;
+    the runner-up must surface. A duplicated min with one copy deleted
+    dirties conservatively but must still return the same min."""
+    from pyspark.sql import Row
+
+    snap = spark.createDataFrame(
+        [
+            Row(id=1, grp="a", val=5.0),
+            Row(id=2, grp="a", val=9.0),   # unique max
+            Row(id=3, grp="a", val=5.0),   # duplicate min
+            Row(id=4, grp="b", val=1.0),
+        ]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(id=2, grp="a", val=9.0, pos="003", op="delete"),  # retract max
+            Row(id=3, grp="a", val=5.0, pos="004", op="delete"),  # retract dup-min copy
+        ]
+    )
+    got = _got_minmax(spark, snap, changes)
+    assert got == {"a": (5.0, 5.0), "b": (1.0, 1.0)}
+    assert got == _expected_minmax(snap, changes)
+
+
+def test_batch_minmax_insert_only_tightens_without_repair(spark):
+    from pyspark.sql import Row
+
+    snap = spark.createDataFrame(
+        [Row(id=1, grp="a", val=5.0), Row(id=2, grp="a", val=9.0)]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(id=7, grp="a", val=2.0, pos="003", op="insert"),   # new min
+            Row(id=8, grp="c", val=4.0, pos="004", op="insert"),   # new group
+        ]
+    )
+    got = _got_minmax(spark, snap, changes)
+    assert got == {"a": (2.0, 9.0), "c": (4.0, 4.0)}
+    assert got == _expected_minmax(snap, changes)
+
+
+def test_batch_minmax_whole_group_retracted(spark):
+    from pyspark.sql import Row
+
+    snap = spark.createDataFrame(
+        [Row(id=1, grp="a", val=5.0), Row(id=2, grp="b", val=3.0)]
+    )
+    changes = spark.createDataFrame(
+        [Row(id=2, grp="b", val=3.0, pos="003", op="delete")]
+    )
+    got = _got_minmax(spark, snap, changes)
+    assert got == {"a": (5.0, 5.0)}
+    assert got == _expected_minmax(snap, changes)
+
+
+def test_batch_minmax_random_interleavings(spark):
+    from pyspark.sql import Row
+
+    rng = random.Random(23)
+    snap = spark.createDataFrame(
+        [Row(id=i, grp=rng.choice("abc"), val=float(rng.randint(0, 50))) for i in range(1, 9)]
+    )
+    for trial in range(3):
+        changes = spark.createDataFrame(
+            [
+                Row(
+                    id=rng.randint(1, 12),
+                    grp=rng.choice("abcd"),
+                    val=float(rng.randint(0, 99)),
+                    pos=str(p).zfill(3),
+                    op=rng.choice(["insert", "update", "update", "delete"]),
+                )
+                for p in range(1, 20)
+            ]
+        )
+        assert _got_minmax(spark, snap, changes) == _expected_minmax(snap, changes), f"trial {trial}"
