@@ -41,17 +41,21 @@ def cdc_collapse(
 
     Two physical strategies, same result (parity-tested):
 
-    - default (``skew_robust=False``): window ``row_number`` — one sort
-      per shuffle partition, no struct materialization. Measured faster
-      at uniform key distributions (interleaved A/B at 10× sf0.1:
-      0.28s vs 0.33s) and the plan AQE's skew-split understands.
-    - ``skew_robust=True``: ``max_by(struct(row), pos)`` hash aggregate
-      — partial aggregation runs BEFORE the exchange, so a hot key
-      (one PK receiving a large fraction of the change batch, e.g. a
-      counter row or queue head) collapses to ONE row per mapper and
-      never concentrates in a single reducer task. Use when the change
-      stream's key histogram is skewed; the window form makes the hot
-      key's whole event history a single-task sort.
+    - default (``skew_robust=False``): window ``row_number``. Spark's
+      rank-limit pushdown (WindowGroupLimit, 3.5+) plans a PARTIAL
+      top-1-per-key prune below the exchange, so even a hot key ships
+      at most one surviving row per map partition — skew-safe, at the
+      cost of a sort on each side of the shuffle. Measured faster at
+      uniform key distributions (interleaved A/B at 10× sf0.1: 0.28s
+      vs 0.33s).
+    - ``skew_robust=True``: ``max_by(struct(row), pos)`` hash
+      aggregate — the same map-side-combine property without any sort,
+      and without depending on the WindowGroupLimit optimizer rule
+      (which a deployment can disable via
+      ``spark.sql.optimizer.windowGroupLimitThreshold=-1``, reverting
+      the window form to a full single-reducer sort per hot key).
+      Prefer it when pos-sorted batches are large or the optimizer
+      rule's presence can't be assumed.
     """
     if skew_robust:
         others = [c for c in changes.columns if c not in keys]

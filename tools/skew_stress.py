@@ -132,8 +132,13 @@ def skew_plan_evidence(spark, name, sf_dir) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
         "aqe_skew_join": "isSkew=true" in plan or "skewed=true" in plan,
+        # partial HashAggregate OR a rank-limit pushdown: Spark's
+        # WindowGroupLimit (3.5+) prunes top-k-per-key BELOW the
+        # exchange, which is map-side combine for window collapses —
+        # missing it misreported cdc_collapse as skew-unsafe (round 5)
         "partial_agg_before_exchange": "partial_" in plan.lower()
-        or "HashAggregate(keys" in plan,
+        or "HashAggregate(keys" in plan
+        or "WindowGroupLimit" in plan,
     }
 
 
