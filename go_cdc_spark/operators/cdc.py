@@ -281,6 +281,15 @@ def incremental_agg(
     """
     from .relational import DEC
 
+    reserved = {"n", "dn"} | {f"sum_{c}" for c in sum_cols} | {
+        f"dsum_{c}" for c in sum_cols
+    }
+    clash = reserved & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"group_cols {sorted(clash)} collide with incremental_agg's "
+            f"result columns; rename the grouping column(s)"
+        )
     dec38 = "decimal(38,6)"
     if pos_threshold is not None:
         changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
@@ -352,6 +361,14 @@ def incremental_minmax(
 
     Returns ``group_cols + [min_val, max_val]`` for non-empty groups.
     """
+    clash = {"min_val", "max_val", "r_min", "r_max", "i_min", "i_max"} & set(
+        group_cols
+    )
+    if clash:
+        raise ValueError(
+            f"group_cols {sorted(clash)} collide with incremental_minmax's "
+            f"result columns; rename the grouping column(s)"
+        )
     if pos_threshold is not None:
         changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
     latest = cdc_collapse(changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True)

@@ -453,3 +453,23 @@ def test_batch_minmax_random_interleavings(spark):
             ]
         )
         assert _got_minmax(spark, snap, changes) == _expected_minmax(snap, changes), f"trial {trial}"
+
+
+def test_batch_ivm_rejects_colliding_group_cols(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from go_cdc_spark.operators.cdc import incremental_agg, incremental_minmax
+
+    snap = spark.createDataFrame([Row(id=1, n="g", val=1.0)])
+    changes = spark.createDataFrame(
+        [Row(id=1, n="g", val=2.0, pos="003", op="update")]
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        incremental_agg(snap, changes, keys=["id"], group_cols=["n"], sum_cols=["val"])
+    snap2 = spark.createDataFrame([Row(id=1, min_val="g", val=1.0)])
+    changes2 = spark.createDataFrame(
+        [Row(id=1, min_val="g", val=2.0, pos="003", op="update")]
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        incremental_minmax(snap2, changes2, keys=["id"], group_cols=["min_val"], val_col="val")
