@@ -473,3 +473,44 @@ def test_batch_ivm_rejects_colliding_group_cols(spark):
     )
     with _pytest.raises(ValueError, match="collide"):
         incremental_minmax(snap2, changes2, keys=["id"], group_cols=["min_val"], val_col="val")
+
+
+def test_batch_ivm_composite_keys(spark):
+    """Composite primary key (id_a, id_b): the retraction semi-join and
+    latest-wins collapse must treat the key as a tuple, not a column."""
+    from pyspark.sql import Row
+
+    from go_cdc_spark.operators.cdc import apply_changes, incremental_agg
+
+    snap = spark.createDataFrame(
+        [
+            Row(id_a=1, id_b=1, grp="a", val=10.0),
+            Row(id_a=1, id_b=2, grp="a", val=20.0),
+            Row(id_a=2, id_b=1, grp="b", val=30.0),
+        ]
+    )
+    changes = spark.createDataFrame(
+        [
+            # same id_a as an existing row but different id_b → distinct key
+            Row(id_a=2, id_b=2, grp="b", val=5.0, pos="003", op="insert"),
+            Row(id_a=1, id_b=2, grp="c", val=21.0, pos="004", op="update"),
+            Row(id_a=1, id_b=1, grp="a", val=10.0, pos="005", op="delete"),
+        ]
+    )
+    keys = ["id_a", "id_b"]
+    got = {
+        r["grp"]: (r["n"], float(r["sum_val"]))
+        for r in incremental_agg(
+            snap, changes, keys=keys, group_cols=["grp"],
+            sum_cols=["val"], pos_threshold="002",
+        ).collect()
+    }
+    merged = apply_changes(snap, changes, keys=keys, pos_threshold="002")
+    want = {
+        r["grp"]: (r["n"], r["s"])
+        for r in merged.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    # group "a" vanishes: (1,1) deleted, (1,2) migrated to "c"
+    assert got == want == {"b": (2, 35.0), "c": (1, 21.0)}
