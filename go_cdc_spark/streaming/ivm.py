@@ -19,10 +19,15 @@ count in state (hidden from reads) until the matching event lands.
 Only the exact identity (count 0, sum 0) is compacted away.
 
 Delivery contract: deltas are NOT idempotent under redelivery (applying
-an insert twice adds twice). The streaming checkpoint's exactly-once
-batch replay makes ``foreachBatch`` safe on restart for deterministic
-sources like the file-replay changelog; under an at-least-once source
-put ``stream_dedup`` (pipeline.py) in front. Update/delete events must
+an insert twice adds twice), and ``foreachBatch`` REPLAYS a batch after
+a crash between the state write and the checkpoint commit. The state
+swap therefore stamps the applied batch id atomically with the state
+(``_applied_batch.json`` inside the state dir, written before the
+rename); ``process_batch`` skips any batch id at or below the stamp —
+exactly-once per batch for deterministic sources like the file-replay
+changelog. Under an at-least-once source (duplicate EVENTS inside
+fresh batches, which no batch-id stamp can see) put ``stream_dedup``
+(pipeline.py) in front. Update/delete events must
 carry full before-images (MySQL ``binlog_row_image=FULL``, the
 reference's assumption — `internal/cannal/incremental.go` row events).
 
@@ -32,6 +37,7 @@ repo-wide float policy), cast to double only in ``read_table``.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid as uuidlib
@@ -45,6 +51,47 @@ OP_INSERT = "insert"
 OP_UPDATE = "update"
 
 _SUM_T = "decimal(38,6)"
+
+# Replay guard. Deltas are NOT idempotent (folding a batch twice adds
+# twice), and Structured Streaming's contract is exactly this failure
+# mode: a crash BETWEEN the foreachBatch write and the checkpoint
+# commit REPLAYS the batch on restart. The MERGE materializer survives
+# replay because latest-wins is idempotent; the delta fold must instead
+# remember the last applied batch id. The marker travels INSIDE the
+# state directory (underscore-prefixed → invisible to parquet reads)
+# and is written to the tmp dir BEFORE the rename, so state and marker
+# swap atomically: crash before rename → old state + old marker, the
+# replay applies once; crash after rename → new marker, the replay is
+# skipped.
+_MARKER = "_applied_batch.json"
+
+
+def _applied_batch(state_path: str) -> int | None:
+    try:
+        with open(os.path.join(state_path, _MARKER)) as f:
+            return json.load(f)["batch_id"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _swap_state(df: DataFrame, state_path: str, batch_id: int | None) -> None:
+    """Atomically replace ``state_path`` with ``df``, stamping the
+    replay marker. ``batch_id=None`` (repair) carries the existing
+    marker forward — a post-repair replay must still be skipped."""
+    if batch_id is None:
+        batch_id = _applied_batch(state_path)
+    tmp = f"{state_path}.tmp-{uuidlib.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        with open(os.path.join(tmp, _MARKER), "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+    if os.path.exists(state_path):
+        old = f"{state_path}.old-{uuidlib.uuid4().hex[:8]}"
+        os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp, state_path)
 
 
 class IncrementalAggregate:
@@ -104,6 +151,9 @@ class IncrementalAggregate:
         return self.spark.read.parquet(self.state_path)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        applied = _applied_batch(self.state_path)
+        if applied is not None and batch_id <= applied:
+            return  # crash-replay of an already-folded batch
         delta = self._delta(batch)
         state = self._state()
         merged = delta if state is None else state.unionByName(delta)
@@ -120,15 +170,7 @@ class IncrementalAggregate:
             )
             .filter(~((F.col("n_rows") == 0) & (F.col("sum_val") == 0)))
         )
-        tmp = f"{self.state_path}.tmp-{uuidlib.uuid4().hex[:8]}"
-        combined.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.state_path):
-            old = f"{self.state_path}.old-{uuidlib.uuid4().hex[:8]}"
-            os.rename(self.state_path, old)
-            os.rename(tmp, self.state_path)
-            shutil.rmtree(old, ignore_errors=True)
-        else:
-            os.rename(tmp, self.state_path)
+        _swap_state(combined, self.state_path, batch_id)
 
     def read_table(self) -> DataFrame:
         """Current aggregate: group cols, row count, exact sum (as
@@ -202,6 +244,9 @@ class IncrementalMinMax:
         return self.spark.read.parquet(self.state_path)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        applied = _applied_batch(self.state_path)
+        if applied is not None and batch_id <= applied:
+            return  # crash-replay of an already-folded batch
         ins = self._image(
             batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE)), "data"
         ).groupBy(*self.group_cols).agg(
@@ -247,15 +292,7 @@ class IncrementalMinMax:
                 F.coalesce(F.col("dirty"), F.lit(False)) | removal_hits_extreme
             ).alias("dirty"),
         )
-        tmp = f"{self.state_path}.tmp-{uuidlib.uuid4().hex[:8]}"
-        combined.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.state_path):
-            old = f"{self.state_path}.old-{uuidlib.uuid4().hex[:8]}"
-            os.rename(self.state_path, old)
-            os.rename(tmp, self.state_path)
-            shutil.rmtree(old, ignore_errors=True)
-        else:
-            os.rename(tmp, self.state_path)
+        _swap_state(combined, self.state_path, batch_id)
 
     def repair(self, base: DataFrame) -> int:
         """Recompute extremes for dirty groups from the base table
@@ -279,12 +316,7 @@ class IncrementalMinMax:
         )
         clean = state.filter(~F.col("dirty"))
         combined = clean.unionByName(fresh).localCheckpoint(eager=True)
-        tmp = f"{self.state_path}.tmp-{uuidlib.uuid4().hex[:8]}"
-        combined.write.mode("overwrite").parquet(tmp)
-        old = f"{self.state_path}.old-{uuidlib.uuid4().hex[:8]}"
-        os.rename(self.state_path, old)
-        os.rename(tmp, self.state_path)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_state(combined, self.state_path, batch_id=None)
         return n
 
     def read_table(self) -> DataFrame:

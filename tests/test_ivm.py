@@ -514,3 +514,66 @@ def test_batch_ivm_composite_keys(spark):
     }
     # group "a" vanishes: (1,1) deleted, (1,2) migrated to "c"
     assert got == want == {"b": (2, 35.0), "c": (1, 21.0)}
+
+
+def test_sum_replay_of_committed_batch_is_noop(spark, tmp_path):
+    """Crash between state swap and checkpoint commit → Structured
+    Streaming replays the batch. Deltas are non-idempotent, so the
+    state's atomic batch-id stamp must absorb the replay."""
+    from go_cdc_spark.sources.changelog import changelog_df
+    from go_cdc_spark.streaming.ivm import IncrementalAggregate
+
+    def ev(*a, **k):
+        e = _ev(*a, **k)
+        e["ts"] = None  # changelog_df takes typed rows, not JSON strings
+        return e
+
+    ivm = IncrementalAggregate(
+        spark, ["grp"], "val", str(tmp_path / "s"), types={"grp": T.StringType()}
+    )
+    b0 = changelog_df(spark, [ev("insert", 1, 1, "a", 10.0)])
+    b1 = changelog_df(
+        spark,
+        [ev("insert", 2, 2, "a", 5.0), ev("delete", 3, 1, before=("a", 10.0))],
+    )
+    ivm.process_batch(b0, 0)
+    ivm.process_batch(b1, 1)
+    clean = sorted((r.grp, r.n_rows, r.sum_val) for r in ivm.read_table().collect())
+    ivm.process_batch(b1, 1)  # the replay
+    ivm.process_batch(b0, 0)  # stale replay of an even older batch
+    assert sorted((r.grp, r.n_rows, r.sum_val) for r in ivm.read_table().collect()) == clean
+    ivm.process_batch(changelog_df(spark, [ev("insert", 4, 4, "b", 1.0)]), 2)
+    got = sorted((r.grp, r.n_rows, r.sum_val) for r in ivm.read_table().collect())
+    assert got == [("a", 1, 5.0), ("b", 1, 1.0)]
+
+
+def test_minmax_replay_and_repair_keep_stamp(spark, tmp_path):
+    """Same replay guard for min/max — including that a repair() between
+    crash and replay carries the batch stamp forward."""
+    from pyspark.sql import Row
+
+    from go_cdc_spark.sources.changelog import changelog_df
+    from go_cdc_spark.streaming.ivm import IncrementalMinMax
+
+    def ev(*a, **k):
+        e = _ev(*a, **k)
+        e["ts"] = None
+        return e
+
+    mm = IncrementalMinMax(
+        spark, ["grp"], "val", str(tmp_path / "m"),
+        types={"grp": T.StringType(), "val": T.DoubleType()},
+    )
+    b0 = changelog_df(
+        spark, [ev("insert", 1, 1, "a", 5.0), ev("insert", 2, 2, "a", 9.0)]
+    )
+    b1 = changelog_df(spark, [ev("delete", 3, 2, before=("a", 9.0))])  # dirties
+    mm.process_batch(b0, 0)
+    mm.process_batch(b1, 1)
+    base = spark.createDataFrame([Row(id=1, grp="a", val=5.0)], SCHEMA)
+    assert mm.repair(base) == 1
+    clean = sorted(map(tuple, mm.read_table().collect()))
+    mm.process_batch(b1, 1)  # replay after repair: must be skipped
+    assert sorted(map(tuple, mm.read_table().collect())) == clean
+    row = mm.read_table().collect()[0]
+    assert (row["min_val"], row["max_val"], row["dirty"]) == (5.0, 5.0, False)
