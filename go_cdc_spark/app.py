@@ -148,6 +148,7 @@ class Engine:
                     meta=None if holder.config.read_committed else self.meta,
                     data_source_id=holder.name,
                     table=snap.table,
+                    skew_robust=holder.config.skew_robust,
                 )
         return results
 

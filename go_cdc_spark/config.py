@@ -78,6 +78,10 @@ class SourceConfig:
     # buffer row events until their txn's commit event (OnRow/OnXID
     # parity); default off = apply-as-they-arrive like the materializer
     read_committed: bool = False
+    # hot-PK change streams (counter rows, queue heads): collapse each
+    # micro-batch with the max_by hash aggregate instead of the window
+    # sort (see operators.cdc.cdc_collapse skew_robust)
+    skew_robust: bool = False
     # filtering
     rules: dict = field(default_factory=dict)
 

@@ -536,3 +536,22 @@ include_tables = ["region"]
     s2 = {r.r_regionkey: r.r_name for r in engine.read_table(2, "main", "region").collect()}
     assert s1[2] == "NATIVE-V2" and s1[0] == "AFRICA"
     assert s2[0] == "DBZ-V2" and s2[2] == "ASIA"
+
+
+def test_skew_robust_config_reaches_materializer(spark, tmp_path):
+    """[[source]] skew_robust = true must flow through Engine boot into
+    every materializer (and parse as a plain boolean)."""
+    seg_dir = tmp_path / "changelog"
+    seg_dir.mkdir()
+    cfg_path = _write_config(tmp_path, seg_dir)
+    with open(cfg_path) as f:
+        txt = f.read()
+    txt = txt.replace("[[source]]", "[[source]]\nskew_robust = true", 1)
+    with open(cfg_path, "w") as f:
+        f.write(txt)
+    cfg = load_config(cfg_path)
+    assert cfg.sources[0].skew_robust is True
+    engine = Engine(cfg, spark=spark)
+    engine.init_sources()
+    engine.full_sync()
+    assert engine.tables and all(m.skew_robust for m in engine.tables.values())
