@@ -5,23 +5,53 @@ Pattern: write the new contents to a ``.tmp-`` sibling, demote the live
 dir to ``.old-``, promote the tmp, sweep the old. A crash between the
 two renames leaves only the ``.old-`` dir; :func:`recover` promotes it
 back, losing at most the batch in flight — which the streaming
-checkpoint redelivers, and every consumer's merge is idempotent
-(max-pos latest-wins / keyed upsert).
+checkpoint redelivers. Redelivery is safe in one of two ways: the
+consumer's merge is idempotent (max-pos latest-wins / keyed upsert),
+OR the consumer is replay-GUARDED — non-idempotent folds (IVM deltas,
+SCD2 interval derivation) pass ``batch_id`` so the swap stamps the
+applied batch atomically with the state (``_applied_batch.json`` is
+written into the tmp dir BEFORE the rename; parquet readers ignore
+underscore files), and skip any batch at or below the stamp on replay.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid as uuidlib
 
 from pyspark.sql import DataFrame
 
+_MARKER = "_applied_batch.json"
 
-def swap_in(df: DataFrame, path: str) -> None:
-    """Atomically replace the parquet dir at ``path`` with ``df``."""
+
+def applied_batch(path: str) -> int | None:
+    """The replay stamp: id of the last batch folded into ``path``."""
+    try:
+        with open(os.path.join(path, _MARKER)) as f:
+            return json.load(f)["batch_id"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def swap_in(
+    df: DataFrame, path: str, batch_id: int | None = None, keep_stamp: bool = False
+) -> None:
+    """Atomically replace the parquet dir at ``path`` with ``df``.
+
+    ``batch_id`` stamps the swap for replay-guarded consumers;
+    ``keep_stamp`` carries an existing stamp forward for out-of-band
+    rewrites (repair/compaction) that must not reopen the replay
+    window. Crash before the rename → old state + old stamp (replay
+    folds once); crash after → new stamp (replay skipped)."""
+    if batch_id is None and keep_stamp:
+        batch_id = applied_batch(path)
     tmp = f"{path}.tmp-{uuidlib.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        with open(os.path.join(tmp, _MARKER), "w") as f:
+            json.dump({"batch_id": batch_id}, f)
     if os.path.exists(path):
         old = f"{path}.old-{uuidlib.uuid4().hex[:8]}"
         os.rename(path, old)

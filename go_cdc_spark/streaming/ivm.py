@@ -37,14 +37,12 @@ repo-wide float policy), cast to double only in ``read_table``.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
-import uuid as uuidlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import storeio
 from ..sources.changelog import OP_DELETE, decode_image_value
 
 OP_INSERT = "insert"
@@ -56,42 +54,16 @@ _SUM_T = "decimal(38,6)"
 # twice), and Structured Streaming's contract is exactly this failure
 # mode: a crash BETWEEN the foreachBatch write and the checkpoint
 # commit REPLAYS the batch on restart. The MERGE materializer survives
-# replay because latest-wins is idempotent; the delta fold must instead
-# remember the last applied batch id. The marker travels INSIDE the
-# state directory (underscore-prefixed → invisible to parquet reads)
-# and is written to the tmp dir BEFORE the rename, so state and marker
-# swap atomically: crash before rename → old state + old marker, the
-# replay applies once; crash after rename → new marker, the replay is
-# skipped.
-_MARKER = "_applied_batch.json"
-
-
-def _applied_batch(state_path: str) -> int | None:
-    try:
-        with open(os.path.join(state_path, _MARKER)) as f:
-            return json.load(f)["batch_id"]
-    except (OSError, ValueError, KeyError):
-        return None
+# replay because latest-wins is idempotent; the delta fold instead
+# stamps the applied batch id atomically with the state (storeio's
+# replay-guarded swap) and skips replays at or below the stamp.
+_applied_batch = storeio.applied_batch
 
 
 def _swap_state(df: DataFrame, state_path: str, batch_id: int | None) -> None:
-    """Atomically replace ``state_path`` with ``df``, stamping the
-    replay marker. ``batch_id=None`` (repair) carries the existing
-    marker forward — a post-repair replay must still be skipped."""
-    if batch_id is None:
-        batch_id = _applied_batch(state_path)
-    tmp = f"{state_path}.tmp-{uuidlib.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
-    if batch_id is not None:
-        with open(os.path.join(tmp, _MARKER), "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-    if os.path.exists(state_path):
-        old = f"{state_path}.old-{uuidlib.uuid4().hex[:8]}"
-        os.rename(state_path, old)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old, ignore_errors=True)
-    else:
-        os.rename(tmp, state_path)
+    """``batch_id=None`` (repair) carries the existing stamp forward —
+    a post-repair replay must still be skipped."""
+    storeio.swap_in(df, state_path, batch_id=batch_id, keep_stamp=batch_id is None)
 
 
 class IncrementalAggregate:

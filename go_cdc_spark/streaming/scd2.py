@@ -22,13 +22,10 @@ entities + batch size, never to history length.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid as uuidlib
-
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from .. import storeio
 from ..sources.changelog import OP_DELETE
 from .pipeline import OP_COL, POS_COL, StreamingMaterializer
 
@@ -76,15 +73,20 @@ class Scd2Materializer(StreamingMaterializer):
 
     # -- merge -----------------------------------------------------------
 
-    def _swap_state(self, df: DataFrame) -> None:
-        tmp = f"{self.state_path}.tmp-{uuidlib.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{self.state_path}.old-{uuidlib.uuid4().hex[:8]}"
-        os.rename(self.state_path, old)
-        os.rename(tmp, self.state_path)
-        shutil.rmtree(old, ignore_errors=True)
+    def _swap_state(self, df: DataFrame, batch_id: int | None = None) -> None:
+        storeio.swap_in(
+            df, self.state_path, batch_id=batch_id, keep_stamp=batch_id is None
+        )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # Interval derivation is NOT idempotent under foreachBatch's
+        # crash-replay (a replayed event re-derives rows that already
+        # exist as closed intervals, duplicating history) — unlike the
+        # parent's latest-wins merge. Same replay guard as the IVM
+        # folds: skip batches at or below the atomic state stamp.
+        applied = storeio.applied_batch(self.state_path)
+        if applied is not None and batch_id <= applied:
+            return
         changes = batch
         if self.pos_threshold is not None:
             changes = changes.filter(F.col("pos") > F.lit(self.pos_threshold))
@@ -111,7 +113,7 @@ class Scd2Materializer(StreamingMaterializer):
             .filter(F.col(OP_COL) != OP_DELETE)
             .select(*fields, F.col(POS_COL).alias(VF_COL), VT_COL)
         )
-        self._swap_state(closed_rows.unionByName(recomputed))
+        self._swap_state(closed_rows.unionByName(recomputed), batch_id=batch_id)
         if self.meta is not None:
             top = changes.agg(F.max("pos").alias("p")).first().p
             if top is not None:

@@ -69,9 +69,11 @@ def test_scd2_intervals_partition_and_current_matches_replay(
     )
     batches = [events[:split], events[split:]]
     offset = 0
-    for b in batches:
+    # batch ids must increase like the real stream's — the replay guard
+    # deliberately skips a repeated id
+    for bid, b in enumerate(batches):
         if b:
-            mat.process_batch(_typed_batch(spark, b, start=offset), 0)
+            mat.process_batch(_typed_batch(spark, b, start=offset), bid)
         offset += len(b)
     hist = mat.history().collect()
     by_key: dict[int, list] = {}

@@ -69,3 +69,37 @@ def test_scd2_current_equals_flat_materializer(spark, tmp_path):
     a = {tuple(r) for r in scd2.current().select("id", "name", "balance").collect()}
     b = {tuple(r) for r in flat.read_table().select("id", "name", "balance").collect()}
     assert a == b and a  # same current state, non-empty
+
+
+def test_scd2_replay_of_committed_batch_is_noop(spark, tmp_path):
+    """Crash between state swap and checkpoint commit replays the batch;
+    without the batch stamp a replayed event re-derives intervals that
+    already exist as closed rows, duplicating history."""
+    from go_cdc_spark.sources.changelog import changelog_df
+
+    mat = Scd2Materializer(
+        spark, _snapshot(spark, SNAP), ["id"],
+        str(tmp_path / "scd2_state"), pos_threshold=THRESHOLD,
+    )
+
+    def b(events):
+        rows = []
+        for e in events:
+            e = dict(e)
+            e["ts"] = None
+            rows.append(e)
+        return changelog_df(spark, rows)
+
+    b0 = b([_ev("update", 1, 110, name="alice2", balance="11.0")])
+    b1 = b([_ev("update", 1, 120, name="alice3", balance="12.0"),
+            _ev("delete", 2, 130)])
+    mat.process_batch(b0, 0)
+    mat.process_batch(b1, 1)
+    clean = sorted(map(tuple, mat.history().collect()))
+    n_clean = len(clean)
+    mat.process_batch(b1, 1)  # replay
+    mat.process_batch(b0, 0)  # stale replay
+    assert sorted(map(tuple, mat.history().collect())) == clean
+    # next real batch still applies
+    mat.process_batch(b([_ev("insert", 5, 140, name="erin", balance="1.0")]), 2)
+    assert len(mat.history().collect()) == n_clean + 1
