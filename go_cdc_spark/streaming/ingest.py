@@ -12,6 +12,14 @@ fingerprints against a fingerprint-bucketed store; at 100 TB the
 store is written bucketed by fp (operators/bucketed.py shows the
 plumbing) and the join is co-located with zero store-side shuffle.
 Text lands append-only in the corpus sink; nothing ever rewrites.
+
+Crash-replay contract: corpus and store land in DETERMINISTIC
+per-batch partition dirs (``batch=<id>``) written with overwrite, and
+novelty is computed against strictly-earlier batches only — so a
+foreachBatch replay (crash between the two sink writes and the
+checkpoint commit) recomputes the identical survivor set and
+overwrites the same directories instead of double-appending to one
+sink and not the other.
 """
 
 from __future__ import annotations
@@ -47,14 +55,19 @@ class DedupIngest:
         self.corpus_path = corpus_path
         self.fp_path = fp_path
 
-    def _known(self) -> DataFrame:
+    def _known(self, before_batch: int | None = None) -> DataFrame:
         if os.path.exists(self.fp_path):
-            return self.spark.read.parquet(self.fp_path)
+            df = self.spark.read.parquet(self.fp_path)
+            if before_batch is not None:
+                # replay safety: a replayed batch must not see its own
+                # (possibly partially written) prior attempt
+                df = df.filter(F.col("batch") < before_batch)
+            return df
         return self.spark.createDataFrame([], FP_SCHEMA)
 
     def corpus(self) -> DataFrame:
         if os.path.exists(self.corpus_path):
-            return self.spark.read.parquet(self.corpus_path)
+            return self.spark.read.parquet(self.corpus_path).drop("batch")
         return self.spark.createDataFrame([], DOC_SCHEMA)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -63,16 +76,19 @@ class DedupIngest:
         w_min = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         batch_first = fp.join(w_min, ["fp", "doc_id"])  # first occurrences only
         # localCheckpoint pins the survivor set BEFORE writing: the two
-        # appends otherwise each re-run the anti-join, and the second
-        # one would scan fp_path while appending to it (a lazy
+        # overwrites otherwise each re-run the anti-join, and the second
+        # one would scan fp_path while writing to it (a lazy
         # read-during-write of the same directory)
-        novel = batch_first.join(self._known(), "fp", "left_anti").localCheckpoint(
-            eager=True
+        novel = batch_first.join(
+            self._known(before_batch=batch_id), "fp", "left_anti"
+        ).localCheckpoint(eager=True)
+        # deterministic per-batch dirs + overwrite = replay-idempotent
+        novel.select(*[f.name for f in DOC_SCHEMA.fields]).write.mode(
+            "overwrite"
+        ).parquet(f"{self.corpus_path}/batch={batch_id}")
+        novel.select("fp", "doc_id").write.mode("overwrite").parquet(
+            f"{self.fp_path}/batch={batch_id}"
         )
-        novel.select(*[f.name for f in DOC_SCHEMA.fields]).write.mode("append").parquet(
-            self.corpus_path
-        )
-        novel.select("fp", "doc_id").write.mode("append").parquet(self.fp_path)
 
     def start(self, docs_stream: DataFrame, checkpoint_dir: str):
         return (
@@ -173,20 +189,24 @@ class NearDupIngest:
         self.corpus_path = corpus_path
         self.store_path = store_path
 
-    def _store(self) -> DataFrame:
+    def _store(self, before_batch: int | None = None) -> DataFrame:
         if os.path.exists(self.store_path):
-            return self.spark.read.parquet(self.store_path)
+            df = self.spark.read.parquet(self.store_path)
+            if before_batch is not None:
+                # replay safety: ignore this batch's own prior attempt
+                df = df.filter(F.col("batch") < before_batch)
+            return df
         schema = ", ".join(["band string", "doc_id long"] + [f"{c} string" for c in SIG_COLS])
         return self.spark.createDataFrame([], schema)
 
     def corpus(self) -> DataFrame:
         if os.path.exists(self.corpus_path):
-            return self.spark.read.parquet(self.corpus_path)
+            return self.spark.read.parquet(self.corpus_path).drop("batch")
         return self.spark.createDataFrame([], DOC_SCHEMA)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         banded = _banded(_signatures(batch)).localCheckpoint(eager=True)
-        store = self._store()
+        store = self._store(before_batch=batch_id)
         # vs store: any shared band -> compare signatures
         s = store.select(
             "band", F.col("doc_id").alias("o_doc_id"),
@@ -214,13 +234,19 @@ class NearDupIngest:
         survivors = (
             batch.join(dropped, "doc_id", "left_anti").localCheckpoint(eager=True)
         )
+        # deterministic per-batch dirs + overwrite = replay-idempotent
+        # (see module docstring): a replayed batch recomputes the same
+        # survivor set against the pre-batch store and overwrites its
+        # own directories instead of appending beside them
         survivors.select(*[f.name for f in DOC_SCHEMA.fields]).write.mode(
-            "append"
-        ).parquet(self.corpus_path)
+            "overwrite"
+        ).parquet(f"{self.corpus_path}/batch={batch_id}")
         new_entries = banded.join(
             survivors.select("doc_id"), "doc_id", "left_semi"
         ).select("band", "doc_id", *SIG_COLS)
-        new_entries.write.mode("append").parquet(self.store_path)
+        new_entries.write.mode("overwrite").parquet(
+            f"{self.store_path}/batch={batch_id}"
+        )
 
     def start(self, docs_stream: DataFrame, checkpoint_dir: str):
         return (

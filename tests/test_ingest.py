@@ -82,3 +82,52 @@ def test_near_dup_ingest_drops_cross_and_within_batch(spark, tmp_path):
     assert 10 in ids and 12 in ids and 21 in ids
     assert 11 not in ids, "within-batch near-dup must drop"
     assert 20 not in ids, "cross-batch near-dup must drop"
+
+
+def test_ingest_replay_of_committed_batch_is_idempotent(spark, tmp_path):
+    """Crash between the corpus write and the checkpoint commit replays
+    the batch; the per-batch overwrite dirs + strictly-earlier-batch
+    novelty rule must converge to the same corpus, not double-ingest."""
+    from pyspark.sql import Row
+
+    from go_cdc_spark.streaming.ingest import DedupIngest
+
+    ing = DedupIngest(spark, str(tmp_path / "corpus"), str(tmp_path / "fp"))
+
+    def b(rows):
+        return spark.createDataFrame([Row(**r) for r in rows])
+
+    b0 = b([dict(doc_id=1, text="alpha", lang="en", source="s"),
+            dict(doc_id=2, text="beta", lang="en", source="s")])
+    b1 = b([dict(doc_id=3, text="alpha", lang="en", source="s"),   # dup of 1
+            dict(doc_id=4, text="gamma", lang="en", source="s")])
+    ing.process_batch(b0, 0)
+    ing.process_batch(b1, 1)
+    clean = sorted(r.doc_id for r in ing.corpus().collect())
+    assert clean == [1, 2, 4]
+    ing.process_batch(b1, 1)  # replay after crash-before-commit
+    ing.process_batch(b0, 0)  # stale replay
+    assert sorted(r.doc_id for r in ing.corpus().collect()) == clean
+
+
+def test_near_dup_ingest_replay_is_idempotent(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from go_cdc_spark.streaming.ingest import NearDupIngest
+
+    ing = NearDupIngest(spark, str(tmp_path / "corpus"), str(tmp_path / "store"))
+
+    def b(rows):
+        return spark.createDataFrame([Row(**r) for r in rows])
+
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    b0 = b([dict(doc_id=1, text=text, lang="en", source="s")])
+    b1 = b([dict(doc_id=2, text=text + " tail", lang="en", source="s"),  # near-dup
+            dict(doc_id=3, text="completely different content here " * 6,
+                 lang="en", source="s")])
+    ing.process_batch(b0, 0)
+    ing.process_batch(b1, 1)
+    clean = sorted(r.doc_id for r in ing.corpus().collect())
+    assert clean == [1, 3]
+    ing.process_batch(b1, 1)  # replay
+    assert sorted(r.doc_id for r in ing.corpus().collect()) == clean
