@@ -25,6 +25,8 @@ sink and not the other.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid as uuidlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +47,80 @@ DOC_SCHEMA = T.StructType(
         T.StructField("source", T.StringType()),
     ]
 )
+
+
+def _batch_ids(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(path) if d.startswith("batch=")
+    )
+
+
+def recover_compaction(path: str) -> None:
+    """Finish (or discard) a compaction interrupted by a crash. The tmp
+    dir name encodes the target batch id; the sweep deletes the target
+    dir FIRST, so its presence discriminates the two crash sides:
+
+    - target still present → the sweep never started; every merged dir
+      is intact — discard the tmp (no data ever lived only there);
+    - target missing → the sweep had begun; the tmp holds the full
+      merged content — promote it, then delete every remaining dir
+      below the target (their rows are already inside the merge)."""
+    if not os.path.isdir(path):
+        return
+    for d in os.listdir(path):
+        if not d.startswith("_compact-"):
+            continue
+        tid = int(d.split("-")[1])
+        target = os.path.join(path, f"batch={tid}")
+        src = os.path.join(path, d)
+        if os.path.exists(target):
+            shutil.rmtree(src, ignore_errors=True)
+        else:
+            os.rename(src, target)
+            for i in _batch_ids(path):
+                if i < tid:
+                    shutil.rmtree(
+                        os.path.join(path, f"batch={i}"), ignore_errors=True
+                    )
+
+
+def compact_batches(spark: SparkSession, path: str, keep_last: int = 1) -> int:
+    """OFFLINE maintenance for the per-batch ingest stores: merge all
+    but the last ``keep_last`` batch directories into one, bounding the
+    directory (and file) count that otherwise grows one-per-micro-batch
+    — the small-files problem at 100 TB scale.
+
+    Run between streaming runs (stop the query first). Correctness of
+    the replay contract is preserved because only the LAST committed
+    batch can ever replay, and the merged directory keeps the largest
+    merged id — still strictly below any live or future batch id. A
+    crash mid-compaction is repaired by :func:`recover_compaction`
+    (the tmp dir is underscore-prefixed, so parquet readers never see
+    a half-merged state). Returns the number of directories merged."""
+    recover_compaction(path)
+    ids = _batch_ids(path)
+    if len(ids) <= max(keep_last, 1):
+        return 0
+    merge = ids[: len(ids) - keep_last] if keep_last else ids
+    if len(merge) < 2:
+        return 0
+    target = merge[-1]
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("batch") <= target)
+        .drop("batch")
+        .coalesce(max(1, len(merge) // 8))
+    )
+    tmp = os.path.join(path, f"_compact-{target}-{uuidlib.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(tmp)
+    # target FIRST: once it is gone, recovery knows the tmp is the only
+    # complete copy and promotes it (see recover_compaction)
+    for i in sorted(merge, reverse=True):
+        shutil.rmtree(os.path.join(path, f"batch={i}"), ignore_errors=True)
+    os.rename(tmp, os.path.join(path, f"batch={target}"))
+    return len(merge)
 
 
 class DedupIngest:
