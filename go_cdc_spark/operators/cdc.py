@@ -359,6 +359,12 @@ def incremental_minmax(
       Clean groups — the overwhelming majority under any realistic
       change batch — never touch the base beyond the key semi-join.
 
+    Group existence follows SQL GROUP BY: row counts are maintained
+    alongside the extremes, so all-NULL-valued groups survive (with
+    NULL extremes) and NULL-valued retractions decrement counts
+    without dirtying. A supplied ``base_minmax`` (stored MV) must
+    carry ``group_cols + [min_val, max_val, n]``.
+
     Returns ``group_cols + [min_val, max_val]`` for non-empty groups.
     """
     clash = {"min_val", "max_val", "r_min", "r_max", "i_min", "i_max"} & set(
@@ -374,16 +380,22 @@ def incremental_minmax(
     latest = cdc_collapse(changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True)
     if base_minmax is None:
         base_minmax = snapshot.groupBy(*group_cols).agg(
-            F.min(val_col).alias("min_val"), F.max(val_col).alias("max_val")
+            F.min(val_col).alias("min_val"),
+            F.max(val_col).alias("max_val"),
+            F.count(F.lit(1)).alias("n"),
         )
     changed_keys = latest.select(*keys)
     removed = snapshot.join(changed_keys, on=keys, how="left_semi")
     rem = removed.groupBy(*group_cols).agg(
-        F.min(val_col).alias("r_min"), F.max(val_col).alias("r_max")
+        F.min(val_col).alias("r_min"),
+        F.max(val_col).alias("r_max"),
+        F.count(F.lit(1)).alias("r_n"),
     )
     added = latest.filter(F.col(op_col) != OP_DELETE)
     ins = added.groupBy(*group_cols).agg(
-        F.min(val_col).alias("i_min"), F.max(val_col).alias("i_max")
+        F.min(val_col).alias("i_min"),
+        F.max(val_col).alias("i_max"),
+        F.count(F.lit(1)).alias("i_n"),
     )
     st = base_minmax.join(rem, on=group_cols, how="full_outer").join(
         ins, on=group_cols, how="full_outer"
@@ -393,15 +405,24 @@ def incremental_minmax(
         | (F.col("r_min") <= F.col("min_val"))
         | (F.col("r_max") >= F.col("max_val"))
     )
-    clean = st.filter(~F.coalesce(dirty, F.lit(False))).select(
-        *group_cols,
-        F.least("min_val", "i_min").alias("min_val"),
-        F.greatest("max_val", "i_max").alias("max_val"),
+    # group existence tracks ROW COUNT, not non-null extremes: a group
+    # whose every value is NULL still exists (SQL GROUP BY semantics,
+    # extremes NULL), and NULL-valued retractions never dirty a group
+    # (they can't hold an extreme) but do decrement its row count.
+    n_new = (
+        F.coalesce(F.col("n"), F.lit(0))
+        - F.coalesce(F.col("r_n"), F.lit(0))
+        + F.coalesce(F.col("i_n"), F.lit(0))
     )
-    # groups that were empty in the base and saw no inserts can't occur
-    # in `clean` (they're in no input); empty-after-changes groups fall
-    # out of the repair groupBy naturally.
-    clean = clean.filter(F.col("min_val").isNotNull() | F.col("max_val").isNotNull())
+    clean = (
+        st.filter(~F.coalesce(dirty, F.lit(False)))
+        .filter(n_new > 0)
+        .select(
+            *group_cols,
+            F.least("min_val", "i_min").alias("min_val"),
+            F.greatest("max_val", "i_max").alias("max_val"),
+        )
+    )
     dirty_groups = st.filter(dirty).select(*group_cols)
     pool = (
         snapshot.join(changed_keys, on=keys, how="left_anti")

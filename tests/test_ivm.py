@@ -577,3 +577,46 @@ def test_minmax_replay_and_repair_keep_stamp(spark, tmp_path):
     assert sorted(map(tuple, mm.read_table().collect())) == clean
     row = mm.read_table().collect()[0]
     assert (row["min_val"], row["max_val"], row["dirty"]) == (5.0, 5.0, False)
+
+
+def test_batch_minmax_null_values_follow_group_by_semantics(spark):
+    """All-NULL groups survive with NULL extremes; NULL-valued
+    retractions decrement existence without dirtying; a group emptied
+    by NULL-row deletes vanishes."""
+    from pyspark.sql import Row
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("val", T.DoubleType()),
+    ])
+    snap = spark.createDataFrame(
+        [Row(id=1, grp="a", val=None), Row(id=2, grp="a", val=None),
+         Row(id=3, grp="b", val=7.0)], schema
+    )
+    ch_schema = T.StructType([*schema.fields,
+                              T.StructField("pos", T.StringType()),
+                              T.StructField("op", T.StringType())])
+    changes = spark.createDataFrame(
+        [Row(id=1, grp="a", val=None, pos="003", op="delete"),
+         Row(id=4, grp="c", val=None, pos="004", op="insert")], ch_schema
+    )
+    got = {r["grp"]: (r["min_val"], r["max_val"]) for r in _got_minmax_raw(spark, snap, changes)}
+    # a: one NULL row left (exists, NULL extremes); b untouched;
+    # c: new all-NULL group
+    assert got == {"a": (None, None), "b": (7.0, 7.0), "c": (None, None)}
+    changes2 = spark.createDataFrame(
+        [Row(id=1, grp="a", val=None, pos="003", op="delete"),
+         Row(id=2, grp="a", val=None, pos="004", op="delete")], ch_schema
+    )
+    got2 = {r["grp"]: (r["min_val"], r["max_val"]) for r in _got_minmax_raw(spark, snap, changes2)}
+    assert got2 == {"b": (7.0, 7.0)}  # a fully emptied by NULL-row deletes
+
+
+def _got_minmax_raw(spark, snap, changes):
+    from go_cdc_spark.operators.cdc import incremental_minmax
+
+    return incremental_minmax(
+        snap, changes, keys=["id"], group_cols=["grp"],
+        val_col="val", pos_threshold="002",
+    ).collect()
