@@ -39,9 +39,14 @@ N_EVENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 N_KEYS = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
 
 
+_LIVE: dict[int, dict] = {}  # key -> last full image (for before-images)
+
+
 def _event(pos: int) -> dict:
     key = (pos * 2654435761) % N_KEYS  # Fibonacci-hash key spread
     op = ("insert", "update", "update", "delete")[pos % 4]
+    if op in ("update", "delete") and key not in _LIVE:
+        op = "insert"  # can't mutate a key that never existed
     e = {
         "data_source": "ds1",
         "schema": "bank",
@@ -51,10 +56,17 @@ def _event(pos: int) -> dict:
         "pos": format_pos(pos),
         "txn_id": None,
     }
+    image = {"id": str(key), "v": f"v{pos}",
+             "grp": str(key % 16), "val": str(float(pos % 1000))}
+    # full before-images (binlog_row_image=FULL) so the same event
+    # stream also drives the IVM delta fold
+    if op in ("update", "delete"):
+        e["before"] = _LIVE[key]
     if op == "delete":
-        e["before"] = {"id": str(key)}
+        del _LIVE[key]
     else:
-        e["data"] = {"id": str(key), "v": f"v{pos}"}
+        e["data"] = image
+        _LIVE[key] = image
     return e
 
 
@@ -70,6 +82,30 @@ def _write_segments(root: str, n_segments: int) -> str:
                 f.write(json.dumps(_event(i + 1)) + "\n")
         os.utime(p, (t0 + s, t0 + s))
     return seg
+
+
+def _drain_ivm(spark, seg: str, root: str, tag: str, files_per_trigger: int) -> float:
+    """Aggregate-maintenance path: same event stream, folded into a
+    16-group SUM/COUNT by IncrementalAggregate (per-batch cost is
+    O(batch + groups) — the figure that shows maintenance beats
+    recompute at any base-table size)."""
+    from pyspark.sql import types as T
+
+    from go_cdc_spark.streaming.ivm import IncrementalAggregate
+
+    ivm = IncrementalAggregate(
+        spark, ["grp"], "val", os.path.join(root, f"ivm_{tag}"),
+        types={"grp": T.StringType()},
+    )
+    stream = read_changelog_stream(
+        spark, seg, max_files_per_trigger=files_per_trigger
+    )
+    t0 = time.monotonic()
+    q = ivm.start(stream, os.path.join(root, f"ivm_ckpt_{tag}"))
+    q.awaitTermination(600)
+    dt = time.monotonic() - t0
+    assert 0 < ivm.read_table().count() <= 16
+    return dt
 
 
 def _drain(spark, seg: str, root: str, tag: str, files_per_trigger: int) -> float:
@@ -100,6 +136,8 @@ def main() -> None:
         _drain(spark, seg10, root, "warm", files_per_trigger=10)
         t_big = _drain(spark, seg10, root, "big", files_per_trigger=10)
         t_micro = _drain(spark, seg10, root, "micro", files_per_trigger=1)
+        t_ivm_big = _drain_ivm(spark, seg10, root, "big", files_per_trigger=10)
+        t_ivm_micro = _drain_ivm(spark, seg10, root, "micro", files_per_trigger=1)
         print(
             json.dumps(
                 {
@@ -110,6 +148,8 @@ def main() -> None:
                     "one_batch_sec": round(t_big, 2),
                     "ten_batches_eps": round(N_EVENTS / t_micro),
                     "ten_batches_sec": round(t_micro, 2),
+                    "ivm_one_batch_eps": round(N_EVENTS / t_ivm_big),
+                    "ivm_ten_batches_eps": round(N_EVENTS / t_ivm_micro),
                 }
             )
         )
