@@ -91,6 +91,8 @@ HEADLINE = [
     "ann_recall_at_k",
     "cdc_incremental_agg",
     "cdc_incremental_minmax",
+    "cdc_incremental_join",
+    "cdc_incremental_distinct",
 ]
 
 

@@ -437,6 +437,196 @@ def incremental_minmax(
     return clean.unionByName(repaired)
 
 
+def incremental_join(
+    fact: DataFrame,
+    fact_changes: DataFrame,
+    fact_keys: list[str],
+    dim: DataFrame,
+    dim_changes: DataFrame,
+    dim_keys: list[str],
+    fk: list[str] | None = None,
+    pos_threshold: str | None = None,
+    base_view: DataFrame | None = None,
+    pos_col: str = "pos",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance of the FK join view ``fact ⋈ dim ON
+    fact[fk] = dim[dim_keys]`` under latest-wins change streams on BOTH
+    sides — the textbook bilinear delta rule ``Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪
+    ΔA⋈ΔB``, specialized to keyed MERGE streams so retractions are
+    key-scoped anti-joins instead of multiset subtraction.
+
+    The view is split into three disjoint parts (fact rows are keyed by
+    ``fact_keys``, so each output row belongs to exactly one):
+
+    - **survivors** — fact key untouched AND dim key untouched: with a
+      stored ``base_view`` (must carry ``fact_keys + fk``) these come
+      from two broadcast anti-joins on the MV, never touching base
+      tables; without one they are recomputed from the bases.
+    - **dim fan-out** — untouched facts whose dim row changed, re-joined
+      against the post-change dim images (a dim DELETE drops its facts,
+      inner-join semantics). A dim-side change inherently touches every
+      fact referencing it — that fan-out is the irreducible cost of join
+      IVM, but it is reached through a semi-join on the changed dim keys
+      (partition-prunable when the fact table is laid out by FK).
+    - **fact-changed** — after-images of changed facts joined against
+      the fully merged dim (dims are the small side; the merge is a
+      broadcast-scale anti-join + union).
+
+    Returns ``fact.columns + dim non-key columns``.
+    """
+    fk = fk or dim_keys
+    if pos_threshold is not None:
+        fact_changes = fact_changes.filter(F.col(pos_col) > F.lit(pos_threshold))
+        dim_changes = dim_changes.filter(F.col(pos_col) > F.lit(pos_threshold))
+    d_fact = cdc_collapse(fact_changes, fact_keys, pos_col=pos_col, op_col=op_col, keep_deletes=True)
+    d_dim = cdc_collapse(dim_changes, dim_keys, pos_col=pos_col, op_col=op_col, keep_deletes=True)
+
+    # Rename the dim-side join columns to the fact's FK names once, so
+    # every join below is a same-name equi-join (single key column out).
+    def _as_fk(df: DataFrame) -> DataFrame:
+        renamed = df
+        for d, f_ in zip(dim_keys, fk):
+            if d != f_:
+                renamed = renamed.withColumnRenamed(d, f_)
+        return renamed
+    dim_nonkey = [c for c in dim.columns if c not in dim_keys]
+    out_cols = fact.columns + dim_nonkey
+
+    changed_f = d_fact.select(*fact_keys)
+    changed_d = _as_fk(d_dim.select(*dim_keys))
+    fact_after = d_fact.filter(F.col(op_col) != OP_DELETE).select(*fact.columns)
+    dim_touched_new = _as_fk(d_dim.filter(F.col(op_col) != OP_DELETE).select(*dim.columns))
+    dim_r = _as_fk(dim)
+
+    fact_keep = fact.join(changed_f, on=fact_keys, how="left_anti")
+    if base_view is None:
+        survivors = (
+            fact_keep.join(changed_d, on=fk, how="left_anti")
+            .join(dim_r.join(changed_d, on=fk, how="left_anti"), on=fk)
+            .select(*out_cols)
+        )
+    else:
+        survivors = (
+            base_view.join(changed_f, on=fact_keys, how="left_anti")
+            .join(changed_d, on=fk, how="left_anti")
+            .select(*out_cols)
+        )
+    dim_fanout = (
+        fact_keep.join(changed_d, on=fk, how="left_semi")
+        .join(dim_touched_new, on=fk)
+        .select(*out_cols)
+    )
+    dim_merged = dim_r.join(changed_d, on=fk, how="left_anti").unionByName(dim_touched_new)
+    fact_changed = fact_after.join(dim_merged, on=fk).select(*out_cols)
+    return survivors.unionByName(dim_fanout).unionByName(fact_changed)
+
+
+def incremental_distinct(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    group_cols: list[str],
+    val_col: str,
+    pos_threshold: str | None = None,
+    base_distinct: DataFrame | None = None,
+    pos_col: str = "pos",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance of ``SELECT group_cols, COUNT(DISTINCT
+    val_col), COUNT(*) FROM merged GROUP BY group_cols`` — the
+    duplicate-SENSITIVE aggregate, where signed row deltas are not
+    enough: removing one of three equal values must not decrement the
+    distinct count, removing the last one must.
+
+    The classical fix is a **support count** per ``(group, value)``
+    pair. In this minimal-image batch form the support of every TOUCHED
+    pair is looked up from the base with a semi-join (scoped — the
+    overwhelming majority of pairs are never consulted), then the
+    distinct delta per pair is the sign change ``(support' > 0) −
+    (support > 0)``. NULL values follow SQL semantics: invisible to
+    COUNT(DISTINCT), counted by COUNT(*) (which also tracks group
+    existence, as in :func:`incremental_agg`).
+
+    Per-batch cost: O(|changes| + |touched keys| + base rows sharing a
+    touched (group, value) pair + |groups|). A supplied ``base_distinct``
+    (stored MV, schema ``group_cols + [n_distinct, n]``) replaces the
+    base aggregation scan.
+
+    Returns ``group_cols + [n_distinct (long), n (long)]``.
+    """
+    clash = {"n_distinct", "n", "dn", "dd", "r_n", "i_n", "s_n"} & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"group_cols {sorted(clash)} collide with incremental_distinct's "
+            f"result columns; rename the grouping column(s)"
+        )
+    if pos_threshold is not None:
+        changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
+    latest = cdc_collapse(changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True)
+    changed_keys = latest.select(*keys)
+    removed = snapshot.join(changed_keys, on=keys, how="left_semi")
+    added = latest.filter(F.col(op_col) != OP_DELETE)
+    pair = group_cols + [val_col]
+
+    # Row-count deltas (NULL values included: existence is row-based).
+    rcnt = removed.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("r_rows"))
+    icnt = added.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("i_rows"))
+    dn = rcnt.join(icnt, on=group_cols, how="full_outer").select(
+        *group_cols,
+        (
+            F.coalesce(F.col("i_rows"), F.lit(0)) - F.coalesce(F.col("r_rows"), F.lit(0))
+        ).alias("dn"),
+    )
+
+    # Support arithmetic over the touched non-NULL (group, value) pairs.
+    nn = F.col(val_col).isNotNull()
+    r = removed.filter(nn).groupBy(*pair).agg(F.count(F.lit(1)).alias("r_n"))
+    i = added.filter(nn).groupBy(*pair).agg(F.count(F.lit(1)).alias("i_n"))
+    touched = r.join(i, on=pair, how="full_outer")
+    s = (
+        snapshot.filter(nn)
+        .join(touched.select(*pair), on=pair, how="left_semi")
+        .groupBy(*pair)
+        .agg(F.count(F.lit(1)).alias("s_n"))
+    )
+    support = touched.join(s, on=pair, how="left_outer").select(
+        *group_cols,
+        F.coalesce(F.col("s_n"), F.lit(0)).alias("s_n"),
+        (
+            F.coalesce(F.col("s_n"), F.lit(0))
+            - F.coalesce(F.col("r_n"), F.lit(0))
+            + F.coalesce(F.col("i_n"), F.lit(0))
+        ).alias("new_n"),
+    )
+    ddist = support.groupBy(*group_cols).agg(
+        F.sum(
+            (F.col("new_n") > 0).cast("long") - (F.col("s_n") > 0).cast("long")
+        ).alias("dd")
+    )
+
+    if base_distinct is None:
+        base_distinct = snapshot.groupBy(*group_cols).agg(
+            F.count_distinct(F.col(val_col)).alias("n_distinct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    merged = (
+        base_distinct.join(ddist, on=group_cols, how="full_outer")
+        .join(dn, on=group_cols, how="full_outer")
+        .select(
+            *group_cols,
+            (
+                F.coalesce(F.col("n_distinct"), F.lit(0))
+                + F.coalesce(F.col("dd"), F.lit(0))
+            ).cast("long").alias("n_distinct"),
+            (
+                F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
+            ).cast("long").alias("n"),
+        )
+    )
+    return merged.filter(F.col("n") > 0)
+
+
 _CDC_IVM_ORACLE = f"""
 WITH {_CDC_CHANGES_CTE},
 merged AS (
@@ -519,6 +709,144 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.col("n").alias("n_cust"),
         F.col("sum_c_acctbal").cast("double").alias("sum_bal"),
+    )
+
+
+# Dim-side change stream for the join-view IVM fixture: a thin slice of
+# events becomes nation updates/deletes (a nation delete drops every
+# customer of that nation from the view — inner-join semantics).
+_CDC_NATION_CTE = """
+nchanges AS (
+    SELECT CAST(user_id % 25 AS INT) AS n_nationkey,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+           'NATION_' || CAST(user_id % 25 AS VARCHAR) AS n_name,
+           CAST(user_id % 5 AS INT) AS n_regionkey,
+           lpad(CAST(event_id AS VARCHAR), 12, '0') AS pos
+    FROM events WHERE event_id % 101 = 0
+), nfiltered AS (
+    SELECT * FROM nchanges WHERE pos > lpad('100', 12, '0')
+), nlatest AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY n_nationkey ORDER BY pos DESC) AS rn
+        FROM nfiltered
+    ) WHERE rn = 1
+)
+"""
+
+
+def _derived_nation_changes(ev: DataFrame) -> DataFrame:
+    """Spark twin of ``_CDC_NATION_CTE``'s ``nchanges`` step."""
+    return ev.filter(F.col("event_id") % 101 == 0).select(
+        (F.col("user_id") % 25).cast("int").alias("n_nationkey"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(F.lit("NATION_"), (F.col("user_id") % 25).cast("string")).alias(
+            "n_name"
+        ),
+        (F.col("user_id") % 5).cast("int").alias("n_regionkey"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("pos"),
+    )
+
+
+_CDC_JOIN_ORACLE = f"""
+WITH {_CDC_CHANGES_CTE},
+{_CDC_NATION_CTE},
+merged_c AS (
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM latest WHERE op <> 'delete'
+),
+merged_n AS (
+    SELECT n.n_nationkey, n.n_name, n.n_regionkey
+    FROM nation n
+    WHERE n.n_nationkey NOT IN (SELECT n_nationkey FROM nlatest)
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nlatest WHERE op <> 'delete'
+)
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name, n.n_regionkey
+FROM merged_c c JOIN merged_n n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+@query("cdc_incremental_join", oracle=_CDC_JOIN_ORACLE)
+def cdc_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view maintenance (:func:`incremental_join`): customer ⋈
+    nation kept current under change streams on BOTH sides, through the
+    stored-MV path (``base_view`` = the pre-change join). The oracle
+    recomputes the join from the two fully merged tables — the gate
+    proves the three-way delta split (survivors / dim fan-out /
+    fact-changed) loses and duplicates nothing, including nation
+    deletes dropping their customers and customers upserted into a
+    renamed nation."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nat = load(spark, sf_dir, "nation")
+    ev = load(spark, sf_dir, "events")
+    cchanges = _derived_customer_changes(ev).drop("c_mktsegment")
+    nchanges = _derived_nation_changes(ev)
+    base_view = cust.join(
+        nat.withColumnRenamed("n_nationkey", "c_nationkey"), on="c_nationkey"
+    )
+    view = incremental_join(
+        cust,
+        cchanges,
+        fact_keys=["c_custkey"],
+        dim=nat,
+        dim_changes=nchanges,
+        dim_keys=["n_nationkey"],
+        fk=["c_nationkey"],
+        pos_threshold=_CDC_TABLE_GTID,
+        base_view=base_view,
+    )
+    return view.select("c_custkey", "c_name", "c_acctbal", "n_name", "n_regionkey")
+
+
+_CDC_DISTINCT_ORACLE = f"""
+WITH {_CDC_CHANGES_CTE},
+merged AS (
+    SELECT c.c_nationkey, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_nationkey, c_mktsegment FROM latest WHERE op <> 'delete'
+)
+SELECT c_nationkey,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_seg,
+       CAST(COUNT(*) AS BIGINT) AS n_cust
+FROM merged
+GROUP BY c_nationkey
+"""
+
+
+@query("cdc_incremental_distinct", oracle=_CDC_DISTINCT_ORACLE)
+def cdc_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) maintenance (:func:`incremental_distinct`):
+    distinct market segments per nation under the customer change
+    stream — which INTRODUCES new segment values (upper-cased event
+    types), so both sign directions of the support rule fire: last
+    holder of a segment deleted (−1) and first holder of a new segment
+    upserted (+1). Oracle recomputes from the merged table."""
+    cust = load(spark, sf_dir, "customer")
+    changes = _derived_customer_changes(load(spark, sf_dir, "events"))
+    d = incremental_distinct(
+        cust,
+        changes,
+        keys=["c_custkey"],
+        group_cols=["c_nationkey"],
+        val_col="c_mktsegment",
+        pos_threshold=_CDC_TABLE_GTID,
+    )
+    return d.select(
+        "c_nationkey",
+        F.col("n_distinct").alias("n_seg"),
+        F.col("n").alias("n_cust"),
     )
 
 

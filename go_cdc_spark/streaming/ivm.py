@@ -307,3 +307,121 @@ class IncrementalMinMax:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class IncrementalDistinct:
+    """COUNT(DISTINCT value) + COUNT(*) per group from the change
+    stream — the duplicate-SENSITIVE aggregate, maintained exactly with
+    the classical **support count** state: one row per ``(group, value)``
+    pair holding how many live base rows carry that pair. The distinct
+    count is then derivable (pairs with positive support), and a
+    retraction decrements support instead of guessing whether the value
+    still exists elsewhere.
+
+    The fold is the same signed-delta algebra as
+    :class:`IncrementalAggregate` (+data image, −before image), so it
+    keeps its commutativity-across-batches property: a delete arriving
+    before its insert parks the pair at negative support (hidden from
+    reads) until the insert lands; only exact zeros are compacted.
+    NULL values follow SQL semantics — invisible to COUNT(DISTINCT),
+    counted by COUNT(*) — by keeping NULL-valued pairs in the support
+    table but excluding them from the distinct derivation.
+
+    State size is O(distinct (group, value) pairs), NOT O(base rows) —
+    the irreducible cost of exact distinct maintenance (the approximate
+    alternative is an HLL sketch, which cannot retract). Per-batch cost
+    is O(batch + touched pairs). Crash-replay safe via the same
+    ``storeio`` batch-id stamp as the other folds (deltas are not
+    idempotent). Batch twin: ``operators/cdc.py::incremental_distinct``
+    (minimal-image form, support looked up from the base by semi-join).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        group_cols: list[str],
+        value_col: str,
+        state_path: str,
+        types: dict | None = None,
+    ):
+        self.spark = spark
+        self.group_cols = group_cols
+        self.value_col = value_col
+        self.state_path = state_path
+        self.types = types or {}
+
+    def _image(self, batch: DataFrame, image_col: str, sign: int) -> DataFrame:
+        from pyspark.sql import types as T
+
+        cols = [
+            decode_image_value(
+                F.col(image_col).getItem(c), self.types.get(c, T.StringType())
+            ).alias(c)
+            for c in self.group_cols
+        ]
+        val = decode_image_value(
+            F.col(image_col).getItem(self.value_col),
+            self.types.get(self.value_col, T.StringType()),
+        )
+        return batch.select(*cols, val.alias("__v"), F.lit(sign).alias("__sign"))
+
+    def _delta(self, batch: DataFrame) -> DataFrame:
+        plus = self._image(
+            batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE)), "data", 1
+        )
+        minus = self._image(
+            batch.filter(F.col("op").isin(OP_DELETE, OP_UPDATE)), "before", -1
+        )
+        return (
+            plus.unionByName(minus)
+            .groupBy(*self.group_cols, "__v")
+            .agg(F.sum("__sign").cast("long").alias("n_sup"))
+        )
+
+    def _state(self) -> DataFrame | None:
+        if not os.path.exists(self.state_path):
+            return None
+        return self.spark.read.parquet(self.state_path)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        applied = _applied_batch(self.state_path)
+        if applied is not None and batch_id <= applied:
+            return  # crash-replay of an already-folded batch
+        delta = self._delta(batch)
+        state = self._state()
+        merged = delta if state is None else state.unionByName(delta)
+        # NULL-safe pair grouping: groupBy treats NULL as its own key,
+        # which is exactly the bucket COUNT(*) needs and COUNT(DISTINCT)
+        # ignores. Keep negative supports (cross-batch commutation);
+        # compact exact zeros only.
+        combined = (
+            merged.groupBy(*self.group_cols, "__v")
+            .agg(F.sum("n_sup").cast("long").alias("n_sup"))
+            .filter(F.col("n_sup") != 0)
+        )
+        _swap_state(combined, self.state_path, batch_id)
+
+    def read_table(self) -> DataFrame:
+        """Current per-group distinct + row counts; groups whose running
+        row count is not yet positive (in-flight reordering) are hidden."""
+        state = self._state()
+        if state is None:
+            raise FileNotFoundError(f"no IVM state at {self.state_path}")
+        derived = state.groupBy(*self.group_cols).agg(
+            F.sum(
+                ((F.col("n_sup") > 0) & F.col("__v").isNotNull()).cast("long")
+            ).alias("n_distinct"),
+            F.sum("n_sup").cast("long").alias("n_rows"),
+        )
+        return derived.filter(F.col("n_rows") > 0)
+
+    def start(
+        self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "ivm_distinct"
+    ):
+        return (
+            changes_stream.writeStream.queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -620,3 +620,398 @@ def _got_minmax_raw(spark, snap, changes):
         snap, changes, keys=["id"], group_cols=["grp"],
         val_col="val", pos_threshold="002",
     ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Batch join-view IVM (incremental_join)
+# ---------------------------------------------------------------------------
+
+
+def _join_fixture(spark):
+    fact = spark.createDataFrame(
+        [
+            Row(id=1, fk=10, amt=1.0),
+            Row(id=2, fk=10, amt=2.0),
+            Row(id=3, fk=20, amt=3.0),
+            Row(id=4, fk=30, amt=4.0),
+        ]
+    )
+    dim = spark.createDataFrame(
+        [
+            Row(dk=10, name="ten"),
+            Row(dk=20, name="twenty"),
+            Row(dk=30, name="thirty"),
+        ]
+    )
+    fchanges = spark.createDataFrame(
+        [
+            Row(id=1, fk=20, amt=99.0, pos="001", op="update"),  # pre-threshold
+            Row(id=2, fk=20, amt=2.5, pos="003", op="update"),   # fk migration
+            Row(id=3, fk=20, amt=3.0, pos="004", op="delete"),
+            Row(id=5, fk=30, amt=5.0, pos="005", op="insert"),   # new fact
+            Row(id=6, fk=40, amt=6.0, pos="006", op="insert"),   # dangling fk
+        ]
+    )
+    dchanges = spark.createDataFrame(
+        [
+            Row(dk=10, name="TEN!", pos="007", op="update"),     # rename → fan-out
+            Row(dk=30, name="thirty", pos="008", op="delete"),   # drops facts 4,5
+            Row(dk=40, name="forty", pos="009", op="update"),    # new dim row
+        ]
+    )
+    return fact, dim, fchanges, dchanges
+
+
+def _expected_join(fact, dim, fchanges, dchanges):
+    from go_cdc_spark.operators.cdc import apply_changes
+
+    f_new = apply_changes(fact, fchanges, keys=["id"], pos_threshold="002")
+    d_new = apply_changes(dim, dchanges, keys=["dk"], pos_threshold="002")
+    joined = f_new.join(d_new.withColumnRenamed("dk", "fk"), on="fk").select(
+        "id", "fk", "amt", "name"
+    )
+    return sorted(map(tuple, joined.collect()))
+
+
+def _got_join(fact, dim, fchanges, dchanges, base_view=None):
+    from go_cdc_spark.operators.cdc import incremental_join
+
+    view = incremental_join(
+        fact, fchanges, fact_keys=["id"],
+        dim=dim, dim_changes=dchanges, dim_keys=["dk"], fk=["fk"],
+        pos_threshold="002", base_view=base_view,
+    )
+    return sorted(map(tuple, view.select("id", "fk", "amt", "name").collect()))
+
+
+def test_batch_join_ivm_equals_merge_then_join(spark):
+    fact, dim, fchanges, dchanges = _join_fixture(spark)
+    got = _got_join(fact, dim, fchanges, dchanges)
+    exp = _expected_join(fact, dim, fchanges, dchanges)
+    assert got == exp
+    ids = {t[0] for t in got}
+    # dim delete dropped facts 4 and 5; fact delete dropped 3; the
+    # dangling-fk insert 6 was caught by the new dim row 40
+    assert 3 not in ids and 4 not in ids and 5 not in ids and 6 in ids
+    # the fan-out re-labeled fact 2's renamed dim? no — 2 migrated to 20;
+    # fact 1 kept fk=10 (pre-threshold change discarded) and sees TEN!
+    assert (1, 10, 1.0, "TEN!") in got
+
+
+def test_batch_join_ivm_stored_mv_path_matches(spark):
+    """base_view supplied (the deployed form): survivors come from the
+    MV via anti-joins; result identical to the recompute-from-base path."""
+    fact, dim, fchanges, dchanges = _join_fixture(spark)
+    base_view = fact.join(dim.withColumnRenamed("dk", "fk"), on="fk").select(
+        "id", "fk", "amt", "name"
+    )
+    got = _got_join(fact, dim, fchanges, dchanges, base_view=base_view)
+    assert got == _expected_join(fact, dim, fchanges, dchanges)
+
+
+def test_batch_join_ivm_fact_only_and_dim_only_streams(spark):
+    fact, dim, fchanges, dchanges = _join_fixture(spark)
+    empty_f = fchanges.limit(0)
+    empty_d = dchanges.limit(0)
+    assert _got_join(fact, dim, fchanges, empty_d) == _expected_join(
+        fact, dim, fchanges, empty_d
+    )
+    assert _got_join(fact, dim, empty_f, dchanges) == _expected_join(
+        fact, dim, empty_f, dchanges
+    )
+
+
+def test_batch_join_ivm_random_interleavings(spark):
+    rng = random.Random(11)
+    fact = spark.createDataFrame(
+        [Row(id=i, fk=10 * rng.randint(1, 4), amt=float(i)) for i in range(1, 9)]
+    )
+    dim = spark.createDataFrame(
+        [Row(dk=10 * k, name=f"d{k}") for k in range(1, 5)]
+    )
+    for trial in range(3):
+        fch = spark.createDataFrame(
+            [
+                Row(
+                    id=rng.randint(1, 12),
+                    fk=10 * rng.randint(1, 5),
+                    amt=float(rng.randint(0, 99)),
+                    pos=str(p).zfill(3),
+                    op=rng.choice(["insert", "update", "update", "delete"]),
+                )
+                for p in range(1, 16)
+            ]
+        )
+        dch = spark.createDataFrame(
+            [
+                Row(
+                    dk=10 * rng.randint(1, 5),
+                    name=f"r{rng.randint(0, 99)}",
+                    pos=str(p).zfill(3),
+                    op=rng.choice(["update", "update", "delete"]),
+                )
+                for p in range(16, 24)
+            ]
+        )
+        assert _got_join(fact, dim, fch, dch) == _expected_join(
+            fact, dim, fch, dch
+        ), f"trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# Batch COUNT(DISTINCT) IVM (incremental_distinct)
+# ---------------------------------------------------------------------------
+
+
+def _got_distinct(spark, snap, changes, base_distinct=None):
+    from go_cdc_spark.operators.cdc import incremental_distinct
+
+    return {
+        r["grp"]: (r["n_distinct"], r["n"])
+        for r in incremental_distinct(
+            snap, changes, keys=["id"], group_cols=["grp"], val_col="val",
+            pos_threshold="002", base_distinct=base_distinct,
+        ).collect()
+    }
+
+
+def _expected_distinct(snap, changes):
+    from go_cdc_spark.operators.cdc import apply_changes
+
+    merged = apply_changes(snap, changes, keys=["id"], pos_threshold="002")
+    return {
+        r["grp"]: (r["nd"], r["n"])
+        for r in merged.groupBy("grp")
+        .agg(
+            F.count_distinct("val").alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+
+
+def test_batch_distinct_support_counts_both_directions(spark):
+    """Remove one of two equal values → distinct count unchanged;
+    remove the last holder → decrement; first holder of a fresh value
+    → increment."""
+    snap = spark.createDataFrame(
+        [
+            Row(id=1, grp="a", val="x"),
+            Row(id=2, grp="a", val="x"),   # duplicate support for (a, x)
+            Row(id=3, grp="a", val="y"),
+            Row(id=4, grp="b", val="z"),
+        ]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(id=1, grp="a", val="x", pos="003", op="delete"),  # support 2→1
+            Row(id=3, grp="a", val="y", pos="004", op="delete"),  # last y gone
+            Row(id=5, grp="a", val="w", pos="005", op="insert"),  # fresh value
+        ]
+    )
+    got = _got_distinct(spark, snap, changes)
+    assert got == _expected_distinct(snap, changes)
+    assert got["a"] == (2, 2)  # {x, w}
+
+
+def test_batch_distinct_update_moves_value_and_group(spark):
+    snap = spark.createDataFrame(
+        [
+            Row(id=1, grp="a", val="x"),
+            Row(id=2, grp="b", val="x"),
+        ]
+    )
+    changes = spark.createDataFrame(
+        [
+            # value change within a group AND group migration in one update
+            Row(id=1, grp="b", val="q", pos="003", op="update"),
+        ]
+    )
+    got = _got_distinct(spark, snap, changes)
+    assert got == _expected_distinct(snap, changes)
+    assert got == {"b": (2, 2)}  # a vanished; b = {x, q}
+
+
+def test_batch_distinct_nulls_invisible_to_distinct_counted_by_n(spark):
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("val", T.StringType()),
+    ])
+    ch_schema = T.StructType([*schema.fields,
+                              T.StructField("pos", T.StringType()),
+                              T.StructField("op", T.StringType())])
+    snap = spark.createDataFrame(
+        [Row(id=1, grp="a", val=None), Row(id=2, grp="a", val="x")], schema
+    )
+    changes = spark.createDataFrame(
+        [Row(id=3, grp="a", val=None, pos="003", op="insert"),
+         Row(id=2, grp="a", val=None, pos="004", op="update")], ch_schema
+    )
+    got = _got_distinct(spark, snap, changes)
+    assert got == _expected_distinct(snap, changes)
+    assert got == {"a": (0, 3)}  # all values NULL now; group persists
+
+
+def test_batch_distinct_stored_mv_path(spark):
+    snap = spark.createDataFrame(
+        [Row(id=1, grp="a", val="x"), Row(id=2, grp="b", val="y")]
+    )
+    changes = spark.createDataFrame(
+        [Row(id=2, grp="b", val="y2", pos="003", op="update")]
+    )
+    base = snap.groupBy("grp").agg(
+        F.count_distinct("val").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    got = _got_distinct(spark, snap, changes, base_distinct=base)
+    assert got == _expected_distinct(snap, changes)
+
+
+def test_batch_distinct_random_interleavings(spark):
+    rng = random.Random(13)
+    snap = spark.createDataFrame(
+        [Row(id=i, grp=rng.choice("ab"), val=rng.choice("xyz"))
+         for i in range(1, 9)]
+    )
+    for trial in range(3):
+        ch = spark.createDataFrame(
+            [
+                Row(
+                    id=rng.randint(1, 12),
+                    grp=rng.choice("abc"),
+                    val=rng.choice("wxyz"),
+                    pos=str(p).zfill(3),
+                    op=rng.choice(["insert", "update", "update", "delete"]),
+                )
+                for p in range(1, 20)
+            ]
+        )
+        assert _got_distinct(spark, snap, ch) == _expected_distinct(
+            snap, ch
+        ), f"trial {trial}"
+
+
+def test_batch_distinct_rejects_colliding_group_cols(spark):
+    import pytest as _pytest
+
+    from go_cdc_spark.operators.cdc import incremental_distinct
+
+    snap = spark.createDataFrame([Row(id=1, n="a", val="x")])
+    ch = spark.createDataFrame([Row(id=1, n="a", val="x", pos="003", op="update")])
+    with _pytest.raises(ValueError, match="collide"):
+        incremental_distinct(snap, ch, keys=["id"], group_cols=["n"], val_col="val")
+
+
+# ---------------------------------------------------------------------------
+# Streaming COUNT(DISTINCT) IVM (IncrementalDistinct): support counts in
+# state, derived distinct counts, commutation + replay guarantees.
+# ---------------------------------------------------------------------------
+
+
+def _run_distinct(spark, tmp_path, segments):
+    from go_cdc_spark.streaming.ivm import IncrementalDistinct
+
+    seg = tmp_path / "dseg"
+    _write_segments(seg, segments)
+    dv = IncrementalDistinct(
+        spark, ["grp"], "val", str(tmp_path / "dist_state"),
+        types={"grp": T.StringType(), "val": T.DoubleType()},
+    )
+    dv.start(
+        read_changelog_stream(spark, str(seg)), str(tmp_path / "ckpt_d")
+    ).awaitTermination(120)
+    return dv
+
+
+def test_distinct_support_counts_across_batches(spark, tmp_path):
+    """Two holders of the same value in different batches: deleting one
+    keeps the distinct count, deleting the last drops it."""
+    dv = _run_distinct(spark, tmp_path, [
+        [_ev("insert", 1, 1, "a", 5.0), _ev("insert", 2, 2, "a", 5.0),
+         _ev("insert", 3, 3, "a", 9.0)],
+        [_ev("delete", 4, 1, before=("a", 5.0))],   # support 2→1: no change
+        [_ev("delete", 5, 3, before=("a", 9.0))],   # last 9.0 gone: −1
+    ])
+    got = {r["grp"]: (r["n_distinct"], r["n_rows"]) for r in dv.read_table().collect()}
+    assert got == {"a": (1, 1)}
+
+
+def test_distinct_value_change_and_group_move(spark, tmp_path):
+    dv = _run_distinct(spark, tmp_path, [
+        [_ev("insert", 1, 1, "a", 5.0), _ev("insert", 2, 2, "b", 5.0)],
+        # value change within a AND a→b migration in one update stream
+        [_ev("update", 3, 1, "b", 7.0, before=("a", 5.0))],
+    ])
+    got = {r["grp"]: (r["n_distinct"], r["n_rows"]) for r in dv.read_table().collect()}
+    assert got == {"b": (2, 2)}  # a vanished; b = {5.0, 7.0}
+
+
+def test_distinct_out_of_order_batches_commute(spark, tmp_path):
+    """Delete-before-insert parks the pair at negative support (hidden
+    from reads) until the insert lands — same commutation contract as
+    the SUM/COUNT fold."""
+    from go_cdc_spark.sources.changelog import changelog_df
+    from go_cdc_spark.streaming.ivm import IncrementalDistinct
+
+    def ev_no_ts(*a, **k):
+        e = _ev(*a, **k)
+        e["ts"] = None
+        return e
+
+    segments = [
+        [ev_no_ts("insert", 110, 1, "a", 5.0), ev_no_ts("insert", 120, 2, "a", 9.0)],
+        [ev_no_ts("update", 130, 1, "a", 6.0, before=("a", 5.0))],
+        [ev_no_ts("delete", 140, 2, before=("a", 9.0))],
+    ]
+
+    def run(order, path):
+        dv = IncrementalDistinct(
+            spark, ["grp"], "val", str(path),
+            types={"grp": T.StringType(), "val": T.DoubleType()},
+        )
+        for i, events in enumerate(order):
+            dv.process_batch(changelog_df(spark, events), i)
+        return sorted(
+            (r.grp, r.n_distinct, r.n_rows) for r in dv.read_table().collect()
+        )
+
+    fwd = run(segments, tmp_path / "dfwd")
+    rev = run(list(reversed(segments)), tmp_path / "drev")
+    assert fwd == rev == [("a", 1, 1)]
+
+
+def test_distinct_replay_of_committed_batch_is_noop(spark, tmp_path):
+    """Crash between state write and checkpoint commit → foreachBatch
+    replays the batch; the stamp must make the re-fold a no-op (support
+    deltas are not idempotent)."""
+    from go_cdc_spark.sources.changelog import changelog_df
+    from go_cdc_spark.streaming.ivm import IncrementalDistinct
+
+    def ev_no_ts(*a, **k):
+        e = _ev(*a, **k)
+        e["ts"] = None
+        return e
+
+    dv = IncrementalDistinct(
+        spark, ["grp"], "val", str(tmp_path / "drep"),
+        types={"grp": T.StringType(), "val": T.DoubleType()},
+    )
+    b0 = changelog_df(spark, [ev_no_ts("insert", 1, 1, "a", 5.0)])
+    b1 = changelog_df(spark, [ev_no_ts("insert", 2, 2, "a", 5.0),
+                              ev_no_ts("insert", 3, 3, "a", 9.0)])
+    dv.process_batch(b0, 0)
+    dv.process_batch(b1, 1)
+    clean = sorted(map(tuple, dv.read_table().collect()))
+    dv.process_batch(b1, 1)  # replay: must be skipped
+    assert sorted(map(tuple, dv.read_table().collect())) == clean
+    assert clean == [("a", 2, 3)]
+
+
+def test_distinct_null_values_counted_by_rows_only(spark, tmp_path):
+    dv = _run_distinct(spark, tmp_path, [
+        [{**_ev("insert", 1, 1, "a", 0.0), "data": {"id": "1", "grp": "a", "val": None}},
+         _ev("insert", 2, 2, "a", 5.0)],
+    ])
+    got = {r["grp"]: (r["n_distinct"], r["n_rows"]) for r in dv.read_table().collect()}
+    assert got == {"a": (1, 2)}  # NULL invisible to distinct, counted by n
