@@ -93,6 +93,7 @@ HEADLINE = [
     "cdc_incremental_minmax",
     "cdc_incremental_join",
     "cdc_incremental_distinct",
+    "dedup_semdedup",
 ]
 
 

@@ -775,6 +775,184 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic deduplication (Abbas et al. 2023,
+# arXiv:2303.09540 — public method). Cluster the corpus with k-means,
+# then search for near-duplicate pairs ONLY within each cluster; among
+# a near-dup pair, keep the member FARTHER from its centroid (the
+# paper's choice — it preserves the cluster's outskirts, i.e. diversity)
+# and drop the closer one.
+# ---------------------------------------------------------------------------
+
+# Pair-cosine threshold (literal on both sides — never computed).
+# Fixture-calibrated: the synthetic 64-d embeddings are near-orthogonal
+# (intra-cluster max cosine ≈ 0.51/0.60 at sf0.01/0.1), so the paper's
+# 0.9+ would fire on nothing; 0.4 yields a meaningful dup set (26/330
+# qualifying pairs) while most of the corpus survives. Production
+# corpora with real near-dup mass run τ at the paper's 0.9+.
+SEM_TAU = 0.4
+SEM_CLUSTER_CAP = 256  # mega-cluster guard: beyond this, hub-link (see below)
+
+
+def _sem_clusters(emb: DataFrame) -> DataFrame:
+    """Membership + centroid distance: the same deterministic pipeline
+    as :func:`kmeans_centroids` (seed = vec_id < K, {KMEANS_ITERS} Lloyd
+    rounds, cosine argmax), plus one final assignment against the
+    trained centroids and each member's cosine to its own centroid."""
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent")
+    )
+    for _ in range(KMEANS_ITERS):
+        cent = _centroid_arrays(_update(_assign(emb, cent)))
+    members = _assign(emb, cent)
+    return (
+        members.join(F.broadcast(cent), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "embedding",
+            cosine_col("embedding", "cent").alias("cent_cos"),
+            norm_col("embedding").alias("norm"),
+        )
+    )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (SELECT vec_id AS centroid_id, embedding AS cent FROM e WHERE vec_id < {N_CENTROIDS}),
+{_sql_kmeans_round("c0", "r1")},
+{_sql_kmeans_round("r1", "r2")},
+m AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, p.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_cosine("e.embedding", "p.cent")} DESC,
+                                       p.centroid_id) AS rn
+    FROM e CROSS JOIN r2 p
+  ) WHERE rn = 1
+),
+cstat AS (SELECT centroid_id, MIN(vec_id) AS hub, COUNT(*) AS n FROM m GROUP BY centroid_id),
+mc AS (
+  SELECT m.vec_id, m.centroid_id, m.embedding,
+         {_sql_cosine("m.embedding", "p.cent")} AS cent_cos
+  FROM m JOIN r2 p USING (centroid_id)
+),
+pair AS (
+  SELECT a.vec_id AS a_id, a.cent_cos AS a_cc, a.embedding AS a_emb,
+         b.vec_id AS b_id, b.cent_cos AS b_cc, b.embedding AS b_emb
+  FROM mc a
+  JOIN mc b ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+  JOIN cstat s ON s.centroid_id = a.centroid_id
+  WHERE s.n <= {SEM_CLUSTER_CAP}
+  UNION ALL
+  SELECT x.vec_id, x.cent_cos, x.embedding, h.vec_id, h.cent_cos, h.embedding
+  FROM mc x
+  JOIN cstat s ON s.centroid_id = x.centroid_id
+  JOIN mc h ON h.vec_id = s.hub AND h.centroid_id = s.centroid_id
+  WHERE s.n > {SEM_CLUSTER_CAP} AND x.vec_id <> s.hub
+  UNION ALL
+  SELECT h.vec_id, h.cent_cos, h.embedding, x.vec_id, x.cent_cos, x.embedding
+  FROM mc x
+  JOIN cstat s ON s.centroid_id = x.centroid_id
+  JOIN mc h ON h.vec_id = s.hub AND h.centroid_id = s.centroid_id
+  WHERE s.n > {SEM_CLUSTER_CAP} AND x.vec_id <> s.hub
+),
+removed AS (
+  SELECT DISTINCT a_id FROM pair
+  WHERE {_sql_cosine("a_emb", "b_emb")} >= {SEM_TAU}
+    AND (b_cc < a_cc OR (b_cc = a_cc AND b_id < a_id))
+)
+SELECT mc.vec_id, CAST(mc.centroid_id AS INTEGER) AS centroid_id, mc.cent_cos,
+       (r.a_id IS NULL) AS keep
+FROM mc LEFT JOIN removed r ON r.a_id = mc.vec_id
+"""
+
+
+@query("dedup_semdedup", oracle=_SEMDEDUP_ORACLE)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cluster the corpus, find cosine-≥-{SEM_TAU}
+    pairs WITHIN clusters only, and among each pair keep the member
+    farther from its centroid (lower cent_cos; ties by vec_id) — a
+    member is dropped iff some same-cluster partner at pair-cosine ≥
+    τ strictly dominates it in (cent_cos, vec_id) order.
+
+    Scale shape — the whole point of the method: pair search is scoped
+    to clusters, so the quadratic is Σ m_c², not N², and the paper's
+    operating regime scales k WITH the corpus (k≈50k for LAION-scale)
+    to hold m_c bounded — cluster count is the knob, not a rescan.
+    Training + assignment are the kmeans_centroids plan (broadcast-K
+    map-side argmax, K×dim-group shuffle). The pair self-join shuffles
+    on centroid_id; clusters beyond {SEM_CLUSTER_CAP} members degrade
+    deterministically to hub-linked comparison (every member vs the
+    cluster's min-id hub) — the same mega-cluster valve as
+    dedup_embedding_cosine's BUCKET_PAIR_CAP, mirrored in the oracle —
+    bounding any single cluster's pair volume to O(m) at the cost of
+    reduced intra-cluster recall (a properly sized k never hits it).
+    """
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mc = _sem_clusters(emb)
+    cstat = mc.groupBy("centroid_id").agg(
+        F.min("vec_id").alias("hub"), F.count(F.lit(1)).alias("n")
+    )
+    mcs = mc.join(F.broadcast(cstat), "centroid_id")
+    a_cols = [
+        F.col("vec_id").alias("a_id"),
+        F.col("cent_cos").alias("a_cc"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    ]
+    b_cols = [
+        F.col("vec_id").alias("b_id"),
+        F.col("cent_cos").alias("b_cc"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    ]
+    small = mcs.filter(F.col("n") <= SEM_CLUSTER_CAP)
+    pairs_small = (
+        small.select("centroid_id", *a_cols)
+        .join(small.select("centroid_id", *b_cols), "centroid_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+    )
+    big = mcs.filter(F.col("n") > SEM_CLUSTER_CAP)
+    big_nonhub = big.filter(F.col("vec_id") != F.col("hub"))
+    big_hub = big.filter(F.col("vec_id") == F.col("hub"))
+    pairs_hub = (
+        big_nonhub.select("centroid_id", *a_cols)
+        .join(big_hub.select("centroid_id", *b_cols), "centroid_id")
+        .unionByName(
+            big_hub.select("centroid_id", *a_cols).join(
+                big_nonhub.select("centroid_id", *b_cols), "centroid_id"
+            )
+        )
+    )
+    pairs = pairs_small.unionByName(pairs_hub)
+    removed = (
+        pairs.withColumn(
+            "pcos", cosine_from(dot_col("a_emb", "b_emb"), "a_norm", "b_norm")
+        )
+        .filter(
+            (F.col("pcos") >= F.lit(SEM_TAU))
+            & (
+                (F.col("b_cc") < F.col("a_cc"))
+                | ((F.col("b_cc") == F.col("a_cc")) & (F.col("b_id") < F.col("a_id")))
+            )
+        )
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__rm", F.lit(True))
+    )
+    return (
+        mc.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            "cent_cos",
+            F.col("__rm").isNull().alias("keep"),
+        )
+    )
+
+
+
+# ---------------------------------------------------------------------------
 # Int8 scalar quantization of the embedding column — the storage/serve
 # form every large vector corpus ships (4x smaller, SIMD-friendly).
 # Output is per-vector affine params + a checksum/sum of the quantized

@@ -10,6 +10,7 @@ from ..operators import (  # noqa: F401  (registers on import)
     curation,
     dedup,
     graph,
+    layout,
     multimodal,
     quality,
     relational,

@@ -53,3 +53,46 @@ def test_kmeans_matches_numpy(spark, sf_dir):
             want,
         )
         assert r["n_members"] == n_members[r["centroid_id"]]
+
+
+def test_semdedup_matches_numpy_reference(spark, sf_dir):
+    """dedup_semdedup vs an independent numpy implementation of the
+    whole pipeline (Lloyd → final assignment → within-cluster pair
+    scan → keep-farther-from-centroid rule). The oracle proves
+    Spark ≡ DuckDB; this proves both implement SemDeDup's semantics."""
+    from go_cdc_spark.operators.similarity import SEM_TAU, dedup_semdedup
+
+    cent, _ = _numpy_lloyd(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    vecs = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"]])
+    ids = t["vec_id"].to_numpy()
+    cos = (vecs @ cent.T) / (
+        np.linalg.norm(vecs, axis=1, keepdims=True) * np.linalg.norm(cent, axis=1)
+    )
+    assign = cos.argmax(axis=1)
+    cent_cos = cos[np.arange(len(ids)), assign]
+    removed = set()
+    for c in set(assign):
+        m = np.where(assign == c)[0]
+        sub = vecs[m]
+        pc = (sub @ sub.T) / (
+            np.linalg.norm(sub, axis=1, keepdims=True) * np.linalg.norm(sub, axis=1)
+        )
+        for i_pos, i in enumerate(m):
+            for j_pos, j in enumerate(m):
+                if i == j or pc[i_pos, j_pos] < SEM_TAU:
+                    continue
+                # partner j dominates i → i removed
+                if cent_cos[j] < cent_cos[i] or (
+                    cent_cos[j] == cent_cos[i] and ids[j] < ids[i]
+                ):
+                    removed.add(int(ids[i]))
+    got = {r["vec_id"]: r["keep"] for r in dedup_semdedup(spark, sf_dir).collect()}
+    assert len(got) == len(ids)
+    want = {int(v): (int(v) not in removed) for v in ids}
+    # float tolerance: cosine expressions differ between numpy (BLAS
+    # reductions) and the engines' left-fold — compare the DECISION,
+    # allowing disagreement only for pairs within 1e-9 of the τ or
+    # domination boundary (none exist in the fixture; assert exact)
+    assert got == want
