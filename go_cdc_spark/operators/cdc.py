@@ -460,9 +460,11 @@ def incremental_join(
     ``fact_keys``, so each output row belongs to exactly one):
 
     - **survivors** — fact key untouched AND dim key untouched: with a
-      stored ``base_view`` (must carry ``fact_keys + fk``) these come
-      from two broadcast anti-joins on the MV, never touching base
-      tables; without one they are recomputed from the bases.
+      stored ``base_view`` (must carry the function's own output schema
+      — all ``fact`` columns plus the dim's non-key columns, as
+      ``cdc_incremental_join`` stores it) these come from two broadcast
+      anti-joins on the MV, never touching base tables; without one
+      they are recomputed from the bases.
     - **dim fan-out** — untouched facts whose dim row changed, re-joined
       against the post-change dim images (a dim DELETE drops its facts,
       inner-join semantics). A dim-side change inherently touches every

@@ -26,32 +26,65 @@ from pyspark.sql import DataFrame
 _MARKER = "_applied_batch.json"
 
 
-def applied_batch(path: str) -> int | None:
-    """The replay stamp: id of the last batch folded into ``path``."""
+def _read_stamp(path: str) -> dict | None:
     try:
         with open(os.path.join(path, _MARKER)) as f:
-            return json.load(f)["batch_id"]
-    except (OSError, ValueError, KeyError):
+            stamp = json.load(f)
+        if "batch_id" not in stamp:
+            return None
+        return stamp
+    except (OSError, ValueError):
         return None
 
 
+def applied_batch(path: str, run_id: str | None = None) -> int | None:
+    """The replay stamp: id of the last batch folded into ``path``.
+
+    Batch ids are only monotone WITHIN one streaming checkpoint; a
+    state dir re-pointed at a fresh/reset checkpoint (ids restart at 0)
+    must not let the old stamp silently skip every new batch. Callers
+    that know their checkpoint identity pass it as ``run_id``: a stamp
+    carrying a DIFFERENT run_id is ignored (returns None, so the new
+    run folds from its first batch). Stamps without a run_id (legacy,
+    or direct process_batch calls in tests) stay valid for any caller.
+    """
+    stamp = _read_stamp(path)
+    if stamp is None:
+        return None
+    if run_id is not None and stamp.get("run_id") not in (None, run_id):
+        return None
+    return stamp["batch_id"]
+
+
 def swap_in(
-    df: DataFrame, path: str, batch_id: int | None = None, keep_stamp: bool = False
+    df: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+    keep_stamp: bool = False,
+    run_id: str | None = None,
 ) -> None:
     """Atomically replace the parquet dir at ``path`` with ``df``.
 
-    ``batch_id`` stamps the swap for replay-guarded consumers;
-    ``keep_stamp`` carries an existing stamp forward for out-of-band
-    rewrites (repair/compaction) that must not reopen the replay
-    window. Crash before the rename → old state + old stamp (replay
-    folds once); crash after → new stamp (replay skipped)."""
-    if batch_id is None and keep_stamp:
-        batch_id = applied_batch(path)
+    ``batch_id`` stamps the swap for replay-guarded consumers
+    (``run_id`` — normally the checkpoint dir — rides along so a later
+    run under a different checkpoint ignores the stamp, see
+    :func:`applied_batch`); ``keep_stamp`` carries an existing stamp
+    forward for out-of-band rewrites (repair/compaction) that must not
+    reopen the replay window. Crash before the rename → old state + old
+    stamp (replay folds once); crash after → new stamp (replay
+    skipped)."""
+    stamp: dict | None = None
+    if batch_id is not None:
+        stamp = {"batch_id": batch_id}
+        if run_id is not None:
+            stamp["run_id"] = run_id
+    elif keep_stamp:
+        stamp = _read_stamp(path)
     tmp = f"{path}.tmp-{uuidlib.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
-    if batch_id is not None:
+    if stamp is not None:
         with open(os.path.join(tmp, _MARKER), "w") as f:
-            json.dump({"batch_id": batch_id}, f)
+            json.dump(stamp, f)
     if os.path.exists(path):
         old = f"{path}.old-{uuidlib.uuid4().hex[:8]}"
         os.rename(path, old)

@@ -57,6 +57,32 @@ def _batch_ids(path: str) -> list[int]:
     )
 
 
+def migrate_legacy_flat(path: str) -> int:
+    """Stores written by the pre-partitioned (flat append) layout hold
+    parquet files at the directory root instead of ``batch=<id>`` dirs.
+    Mixing the two layouts in one directory breaks Spark's partition
+    discovery, and the replay filter needs a ``batch`` value — so on
+    first contact the flat files are MOVED (pure rename, no rewrite)
+    into a ``batch=-1`` dir: strictly below any streaming batch id,
+    i.e. committed history that every replay filter keeps. Returns the
+    number of files migrated."""
+    if not os.path.isdir(path):
+        return 0
+    flat = [
+        n
+        for n in os.listdir(path)
+        if not n.startswith(("batch=", "_", "."))
+        and os.path.isfile(os.path.join(path, n))
+    ]
+    if not flat:
+        return 0
+    legacy = os.path.join(path, "batch=-1")
+    os.makedirs(legacy, exist_ok=True)
+    for n in flat:
+        os.rename(os.path.join(path, n), os.path.join(legacy, n))
+    return len(flat)
+
+
 def recover_compaction(path: str) -> None:
     """Finish (or discard) a compaction interrupted by a crash. The tmp
     dir name encodes the target batch id; the sweep deletes the target
@@ -99,11 +125,16 @@ def compact_batches(spark: SparkSession, path: str, keep_last: int = 1) -> int:
     crash mid-compaction is repaired by :func:`recover_compaction`
     (the tmp dir is underscore-prefixed, so parquet readers never see
     a half-merged state). Returns the number of directories merged."""
+    # keep_last is clamped to >= 1: merging the NEWEST batch dir would
+    # break the replay contract above — if the query stopped with that
+    # batch uncommitted, its restart replay overwrites batch=<last_id>,
+    # which after a keep_last=0 merge would hold the entire history.
+    keep_last = max(keep_last, 1)
     recover_compaction(path)
     ids = _batch_ids(path)
-    if len(ids) <= max(keep_last, 1):
+    if len(ids) <= keep_last:
         return 0
-    merge = ids[: len(ids) - keep_last] if keep_last else ids
+    merge = ids[: len(ids) - keep_last]
     if len(merge) < 2:
         return 0
     target = merge[-1]
@@ -134,7 +165,10 @@ class DedupIngest:
     def _known(self, before_batch: int | None = None) -> DataFrame:
         if os.path.exists(self.fp_path):
             df = self.spark.read.parquet(self.fp_path)
-            if before_batch is not None:
+            # a store from the pre-partitioned (flat append) layout has
+            # no `batch` column; its rows all predate any replayable
+            # batch, so treating them as batch < any id is exact
+            if before_batch is not None and "batch" in df.columns:
                 # replay safety: a replayed batch must not see its own
                 # (possibly partially written) prior attempt
                 df = df.filter(F.col("batch") < before_batch)
@@ -147,6 +181,8 @@ class DedupIngest:
         return self.spark.createDataFrame([], DOC_SCHEMA)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        migrate_legacy_flat(self.corpus_path)
+        migrate_legacy_flat(self.fp_path)
         fp = batch.withColumn("fp", F.md5("text"))
         # within-batch survivor: min doc_id per fingerprint (deterministic)
         w_min = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
@@ -268,7 +304,9 @@ class NearDupIngest:
     def _store(self, before_batch: int | None = None) -> DataFrame:
         if os.path.exists(self.store_path):
             df = self.spark.read.parquet(self.store_path)
-            if before_batch is not None:
+            # legacy flat-layout stores carry no `batch` column; all
+            # their rows are strictly earlier than any replayable batch
+            if before_batch is not None and "batch" in df.columns:
                 # replay safety: ignore this batch's own prior attempt
                 df = df.filter(F.col("batch") < before_batch)
             return df
@@ -281,6 +319,8 @@ class NearDupIngest:
         return self.spark.createDataFrame([], DOC_SCHEMA)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        migrate_legacy_flat(self.corpus_path)
+        migrate_legacy_flat(self.store_path)
         banded = _banded(_signatures(batch)).localCheckpoint(eager=True)
         store = self._store(before_batch=batch_id)
         # vs store: any shared band -> compare signatures

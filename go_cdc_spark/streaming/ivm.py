@@ -60,10 +60,17 @@ _SUM_T = "decimal(38,6)"
 _applied_batch = storeio.applied_batch
 
 
-def _swap_state(df: DataFrame, state_path: str, batch_id: int | None) -> None:
+def _swap_state(
+    df: DataFrame, state_path: str, batch_id: int | None, run_id: str | None = None
+) -> None:
     """``batch_id=None`` (repair) carries the existing stamp forward —
-    a post-repair replay must still be skipped."""
-    storeio.swap_in(df, state_path, batch_id=batch_id, keep_stamp=batch_id is None)
+    a post-repair replay must still be skipped. ``run_id`` (the
+    checkpoint dir, set by start()) rides along so a state dir
+    re-pointed at a FRESH checkpoint (ids restart at 0) ignores the
+    old stamp instead of silently skipping real batches."""
+    storeio.swap_in(
+        df, state_path, batch_id=batch_id, keep_stamp=batch_id is None, run_id=run_id
+    )
 
 
 class IncrementalAggregate:
@@ -87,6 +94,7 @@ class IncrementalAggregate:
         self.value_col = value_col
         self.state_path = state_path
         self.types = types or {}
+        self._run_id: str | None = None  # set by start(); see storeio.applied_batch
 
     # -- envelope → signed contributions --------------------------------
 
@@ -123,7 +131,7 @@ class IncrementalAggregate:
         return self.spark.read.parquet(self.state_path)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        applied = _applied_batch(self.state_path)
+        applied = _applied_batch(self.state_path, run_id=self._run_id)
         if applied is not None and batch_id <= applied:
             return  # crash-replay of an already-folded batch
         delta = self._delta(batch)
@@ -142,7 +150,7 @@ class IncrementalAggregate:
             )
             .filter(~((F.col("n_rows") == 0) & (F.col("sum_val") == 0)))
         )
-        _swap_state(combined, self.state_path, batch_id)
+        _swap_state(combined, self.state_path, batch_id, run_id=self._run_id)
 
     def read_table(self) -> DataFrame:
         """Current aggregate: group cols, row count, exact sum (as
@@ -161,6 +169,7 @@ class IncrementalAggregate:
     def start(
         self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "ivm"
     ):
+        self._run_id = checkpoint_dir
         return (
             changes_stream.writeStream.queryName(query_name)
             .option("checkpointLocation", checkpoint_dir)
@@ -198,6 +207,7 @@ class IncrementalMinMax:
         self.value_col = value_col
         self.state_path = state_path
         self.types = types or {}
+        self._run_id: str | None = None  # set by start(); see storeio.applied_batch
 
     def _image(self, batch: DataFrame, image_col: str) -> DataFrame:
         from pyspark.sql import types as T
@@ -216,7 +226,7 @@ class IncrementalMinMax:
         return self.spark.read.parquet(self.state_path)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        applied = _applied_batch(self.state_path)
+        applied = _applied_batch(self.state_path, run_id=self._run_id)
         if applied is not None and batch_id <= applied:
             return  # crash-replay of an already-folded batch
         ins = self._image(
@@ -264,7 +274,7 @@ class IncrementalMinMax:
                 F.coalesce(F.col("dirty"), F.lit(False)) | removal_hits_extreme
             ).alias("dirty"),
         )
-        _swap_state(combined, self.state_path, batch_id)
+        _swap_state(combined, self.state_path, batch_id, run_id=self._run_id)
 
     def repair(self, base: DataFrame) -> int:
         """Recompute extremes for dirty groups from the base table
@@ -288,7 +298,7 @@ class IncrementalMinMax:
         )
         clean = state.filter(~F.col("dirty"))
         combined = clean.unionByName(fresh).localCheckpoint(eager=True)
-        _swap_state(combined, self.state_path, batch_id=None)
+        _swap_state(combined, self.state_path, batch_id=None, run_id=self._run_id)
         return n
 
     def read_table(self) -> DataFrame:
@@ -300,6 +310,7 @@ class IncrementalMinMax:
     def start(
         self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "ivm_minmax"
     ):
+        self._run_id = checkpoint_dir
         return (
             changes_stream.writeStream.queryName(query_name)
             .option("checkpointLocation", checkpoint_dir)
@@ -349,6 +360,7 @@ class IncrementalDistinct:
         self.value_col = value_col
         self.state_path = state_path
         self.types = types or {}
+        self._run_id: str | None = None  # set by start(); see storeio.applied_batch
 
     def _image(self, batch: DataFrame, image_col: str, sign: int) -> DataFrame:
         from pyspark.sql import types as T
@@ -384,7 +396,7 @@ class IncrementalDistinct:
         return self.spark.read.parquet(self.state_path)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        applied = _applied_batch(self.state_path)
+        applied = _applied_batch(self.state_path, run_id=self._run_id)
         if applied is not None and batch_id <= applied:
             return  # crash-replay of an already-folded batch
         delta = self._delta(batch)
@@ -399,7 +411,7 @@ class IncrementalDistinct:
             .agg(F.sum("n_sup").cast("long").alias("n_sup"))
             .filter(F.col("n_sup") != 0)
         )
-        _swap_state(combined, self.state_path, batch_id)
+        _swap_state(combined, self.state_path, batch_id, run_id=self._run_id)
 
     def read_table(self) -> DataFrame:
         """Current per-group distinct + row counts; groups whose running
@@ -418,6 +430,7 @@ class IncrementalDistinct:
     def start(
         self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "ivm_distinct"
     ):
+        self._run_id = checkpoint_dir
         return (
             changes_stream.writeStream.queryName(query_name)
             .option("checkpointLocation", checkpoint_dir)

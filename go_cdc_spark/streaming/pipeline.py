@@ -116,6 +116,7 @@ class StreamingMaterializer:
         self.data_source_id = data_source_id
         self.table = table
         self.quarantine_path = quarantine_path
+        self._run_id: str | None = None  # set by start(); see applied_batch
         self._pending_renames: dict[str, tuple[str, object]] = {}
         # ADD COLUMN ... DEFAULT backfill: pending = this batch's state
         # rewrite, persisted defaults = decode fallback for late events
@@ -364,10 +365,18 @@ class StreamingMaterializer:
         storeio.swap_in(merged, self.state_path)
         self._pending_renames = {}  # the write persisted the new names
         self._pending_defaults = {}  # backfill is one-time, now in state
-        if self.meta is not None:
-            # A21: advance the per-table watermark to the batch max pos
-            top = changes.agg(F.max("pos").alias("p")).first().p
-            if top is not None:
+        self._advance_meta(changes)
+
+    def _advance_meta(self, changes: DataFrame) -> None:
+        """A21: advance the per-table watermark to the batch max pos —
+        monotone, so a stale replay can never REGRESS the watermark
+        (upsert itself is last-write-wins)."""
+        if self.meta is None:
+            return
+        top = changes.agg(F.max("pos").alias("p")).first().p
+        if top is not None:
+            cur = self.meta.get_pos(self.data_source_id, sc=None, tb=self.table)
+            if cur is None or top > cur:
                 self.meta.upsert(
                     self.data_source_id,
                     top,
@@ -377,6 +386,10 @@ class StreamingMaterializer:
                 )
 
     def start(self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "materialize"):
+        # replay-guarded subclasses stamp state with this run identity so
+        # a state dir re-pointed at a fresh checkpoint (batch ids restart
+        # at 0) does not silently skip batches below the old stamp
+        self._run_id = checkpoint_dir
         return (
             changes_stream.writeStream.queryName(query_name)
             .option("checkpointLocation", checkpoint_dir)

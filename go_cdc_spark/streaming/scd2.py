@@ -53,6 +53,16 @@ class Scd2Materializer(StreamingMaterializer):
                 .withColumn(VT_COL, F.lit(None).cast("string"))
             )
             self._swap_state(init)
+        else:
+            # restart over interval-layout state: the parent took the
+            # stored columns as the schema authority, which here include
+            # the interval bookkeeping — the target schema is the data
+            # fields only
+            from pyspark.sql import types as T
+
+            self.schema = T.StructType(
+                [f for f in self.schema.fields if f.name not in (VF_COL, VT_COL)]
+            )
 
     # -- views -----------------------------------------------------------
 
@@ -75,7 +85,11 @@ class Scd2Materializer(StreamingMaterializer):
 
     def _swap_state(self, df: DataFrame, batch_id: int | None = None) -> None:
         storeio.swap_in(
-            df, self.state_path, batch_id=batch_id, keep_stamp=batch_id is None
+            df,
+            self.state_path,
+            batch_id=batch_id,
+            keep_stamp=batch_id is None,
+            run_id=getattr(self, "_run_id", None),
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -84,12 +98,21 @@ class Scd2Materializer(StreamingMaterializer):
         # exist as closed intervals, duplicating history) — unlike the
         # parent's latest-wins merge. Same replay guard as the IVM
         # folds: skip batches at or below the atomic state stamp.
-        applied = storeio.applied_batch(self.state_path)
-        if applied is not None and batch_id <= applied:
-            return
         changes = batch
         if self.pos_threshold is not None:
             changes = changes.filter(F.col("pos") > F.lit(self.pos_threshold))
+        applied = storeio.applied_batch(
+            self.state_path, run_id=getattr(self, "_run_id", None)
+        )
+        if applied is not None and batch_id <= applied:
+            # A crash BETWEEN _swap_state (stamp written) and the meta
+            # advance below leaves meta one batch behind the state; if
+            # the replayed fold were skipped without catching meta up, a
+            # later run deriving pos_threshold from meta would re-admit
+            # those events and duplicate interval history. upsert is
+            # idempotent (keyed, max-pos), so advancing it here is safe.
+            self._advance_meta(changes)
+            return
         typed = self._typed_changes(
             self._quarantine_split(
                 changes.filter(F.col("op").isin("insert", "update", "delete"))
@@ -114,13 +137,4 @@ class Scd2Materializer(StreamingMaterializer):
             .select(*fields, F.col(POS_COL).alias(VF_COL), VT_COL)
         )
         self._swap_state(closed_rows.unionByName(recomputed), batch_id=batch_id)
-        if self.meta is not None:
-            top = changes.agg(F.max("pos").alias("p")).first().p
-            if top is not None:
-                self.meta.upsert(
-                    self.data_source_id,
-                    top,
-                    sc=None,
-                    tb=self.table,
-                    sync_type="incremental",
-                )
+        self._advance_meta(changes)

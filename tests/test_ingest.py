@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from go_cdc_spark.streaming.ingest import DedupIngest, read_docs_stream
 
 
@@ -207,3 +209,98 @@ def test_compact_crash_recovery_both_sides(spark, tmp_path):
 
     # compact_batches itself runs recovery up front (idempotent entry)
     assert compact_batches(spark, path) == 0 or True
+
+
+def test_compact_batches_never_merges_newest(spark, tmp_path):
+    """keep_last=0 is clamped to 1: merging the NEWEST batch dir would
+    let an uncommitted-batch replay overwrite the dir holding the whole
+    merged history (silent data loss)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from go_cdc_spark.streaming.ingest import DedupIngest, compact_batches
+
+    ing = DedupIngest(spark, str(tmp_path / "corpus"), str(tmp_path / "fp"))
+
+    def b(rows):
+        return spark.createDataFrame([Row(**r) for r in rows])
+
+    ing.process_batch(b([dict(doc_id=1, text="alpha", lang="en", source="s")]), 0)
+    ing.process_batch(b([dict(doc_id=2, text="beta", lang="en", source="s")]), 1)
+    ing.process_batch(b([dict(doc_id=3, text="gamma", lang="en", source="s")]), 2)
+    assert compact_batches(spark, ing.corpus_path, keep_last=0) == 2
+    dirs = sorted(
+        d for d in os.listdir(ing.corpus_path) if d.startswith("batch=")
+    )
+    assert dirs == ["batch=1", "batch=2"], "newest dir must survive compaction"
+    # replay of the last (possibly uncommitted) batch still lands in its
+    # own dir — the merged history is untouched
+    ing.process_batch(b([dict(doc_id=3, text="gamma", lang="en", source="s")]), 2)
+    assert sorted(r.doc_id for r in ing.corpus().collect()) == [1, 2, 3]
+
+
+def test_legacy_flat_store_migrates_and_dedups(spark, tmp_path):
+    """A store written by the old flat-append layout (no batch=<id>
+    dirs) must keep working after the layout change: flat files migrate
+    into batch=-1 (pure rename) and their rows count as committed
+    history for both novelty and replay filters."""
+    from pyspark.sql import Row
+
+    from go_cdc_spark.streaming.ingest import DedupIngest
+
+    corpus_path, fp_path = str(tmp_path / "corpus"), str(tmp_path / "fp")
+    legacy_docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha", lang="en", source="s")]
+    )
+    legacy_docs.coalesce(1).write.parquet(corpus_path)
+    legacy_docs.select(
+        F.md5("text").alias("fp"), "doc_id"
+    ).coalesce(1).write.parquet(fp_path)
+
+    ing = DedupIngest(spark, corpus_path, fp_path)
+    batch = spark.createDataFrame(
+        [Row(doc_id=2, text="alpha", lang="en", source="s"),   # dup of legacy 1
+         Row(doc_id=3, text="beta", lang="en", source="s")]
+    )
+    ing.process_batch(batch, 0)
+    assert sorted(r.doc_id for r in ing.corpus().collect()) == [1, 3]
+    # replay of batch 0 still converges (legacy rows stay visible to it)
+    ing.process_batch(batch, 0)
+    assert sorted(r.doc_id for r in ing.corpus().collect()) == [1, 3]
+
+
+def test_legacy_flat_neardup_store_migrates(spark, tmp_path):
+    """Same migration contract for the NearDupIngest signature store."""
+    from pyspark.sql import Row
+
+    from go_cdc_spark.streaming.ingest import NearDupIngest
+
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    corpus_path, store_path = str(tmp_path / "corpus"), str(tmp_path / "store")
+    ing0 = NearDupIngest(spark, corpus_path, store_path)
+    ing0.process_batch(
+        spark.createDataFrame([Row(doc_id=1, text=text, lang="en", source="s")]), 0
+    )
+    # flatten both stores into the legacy layout (what an old deployment
+    # left on disk), then run a new batch against them
+    import glob
+    import os
+    import shutil
+
+    for path in (corpus_path, store_path):
+        flat = tmp_path / ("flat_" + os.path.basename(path))
+        spark.read.parquet(path).drop("batch").coalesce(1).write.parquet(str(flat))
+        shutil.rmtree(path)
+        os.makedirs(path)
+        for f_ in glob.glob(str(flat / "*")):
+            shutil.move(f_, os.path.join(path, os.path.basename(f_)))
+
+    ing = NearDupIngest(spark, corpus_path, store_path)
+    batch = spark.createDataFrame(
+        [Row(doc_id=2, text=text + " tail", lang="en", source="s"),  # near-dup of 1
+         Row(doc_id=3, text="completely different content here " * 6,
+             lang="en", source="s")]
+    )
+    ing.process_batch(batch, 0)
+    assert sorted(r.doc_id for r in ing.corpus().collect()) == [1, 3]

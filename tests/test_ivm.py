@@ -1015,3 +1015,26 @@ def test_distinct_null_values_counted_by_rows_only(spark, tmp_path):
     ])
     got = {r["grp"]: (r["n_distinct"], r["n_rows"]) for r in dv.read_table().collect()}
     assert got == {"a": (1, 2)}  # NULL invisible to distinct, counted by n
+
+
+def test_storeio_stamp_run_id_scoping(spark, tmp_path):
+    """applied_batch honors run identity: a stamp from checkpoint A is
+    invisible to a run under checkpoint B (fresh checkpoints restart
+    batch ids at 0 — honoring A's stamp would skip real batches), while
+    legacy stamps without a run_id stay valid for everyone. keep_stamp
+    repairs carry the run_id forward."""
+    from go_cdc_spark import storeio
+
+    path = str(tmp_path / "state")
+    df = spark.range(3)
+    storeio.swap_in(df, path, batch_id=5, run_id="ckptA")
+    assert storeio.applied_batch(path) == 5                    # unscoped read
+    assert storeio.applied_batch(path, run_id="ckptA") == 5    # same lineage
+    assert storeio.applied_batch(path, run_id="ckptB") is None  # new lineage
+    # out-of-band repair keeps both batch id and run identity
+    storeio.swap_in(spark.range(2), path, keep_stamp=True)
+    assert storeio.applied_batch(path, run_id="ckptA") == 5
+    assert storeio.applied_batch(path, run_id="ckptB") is None
+    # legacy stamp (no run_id) is valid under any lineage
+    storeio.swap_in(spark.range(1), path, batch_id=7)
+    assert storeio.applied_batch(path, run_id="ckptB") == 7

@@ -103,3 +103,85 @@ def test_scd2_replay_of_committed_batch_is_noop(spark, tmp_path):
     # next real batch still applies
     mat.process_batch(b([_ev("insert", 5, 140, name="erin", balance="1.0")]), 2)
     assert len(mat.history().collect()) == n_clean + 1
+
+
+def test_scd2_skip_path_catches_meta_up(spark, tmp_path):
+    """Crash between the state swap (stamp written) and the meta advance
+    leaves meta one batch behind the state. The replayed batch is
+    skipped by the stamp guard, but meta must STILL catch up — or a
+    later run deriving pos_threshold from meta re-admits those events
+    and duplicates interval history."""
+    from go_cdc_spark.sources.changelog import changelog_df, format_pos
+    from go_cdc_spark.sources.meta import CheckpointStore
+
+    def b(events):
+        rows = []
+        for e in events:
+            e = dict(e)
+            e["ts"] = None
+            rows.append(e)
+        return changelog_df(spark, rows)
+
+    b0 = b([_ev("update", 1, 110, name="alice2", balance="11.0")])
+    # crash run: state swap lands (stamp batch 0), meta never advances
+    mat = Scd2Materializer(
+        spark, _snapshot(spark, SNAP), ["id"],
+        str(tmp_path / "scd2_state"), pos_threshold=THRESHOLD, meta=None,
+    )
+    mat.process_batch(b0, 0)
+    # restart with meta attached: the replay is a state no-op but must
+    # advance meta to the batch max pos
+    meta = CheckpointStore(spark, str(tmp_path / "meta"))
+    mat2 = Scd2Materializer(
+        spark, _snapshot(spark, SNAP), ["id"],
+        str(tmp_path / "scd2_state"), pos_threshold=THRESHOLD,
+        meta=meta, data_source_id="ds1", table="t",
+    )
+    before = sorted(map(tuple, mat2.history().collect()))
+    mat2.process_batch(b0, 0)  # replay → skip path
+    assert sorted(map(tuple, mat2.history().collect())) == before
+    assert meta.get_pos("ds1", sc=None, tb="t") == format_pos(110)
+    # a later batch advances it further; a stale replay cannot regress it
+    mat2.process_batch(
+        b([_ev("insert", 5, 140, name="erin", balance="1.0")]), 1
+    )
+    assert meta.get_pos("ds1", sc=None, tb="t") == format_pos(140)
+    mat2.process_batch(b0, 0)  # stale replay
+    assert meta.get_pos("ds1", sc=None, tb="t") == format_pos(140)
+
+
+def test_scd2_fresh_checkpoint_ignores_stale_stamp(spark, tmp_path):
+    """Pointing existing stamped state at a NEW checkpoint (batch ids
+    restart at 0) must not silently skip the new run's early batches:
+    the stamp records the run identity and is ignored on mismatch."""
+    from go_cdc_spark.sources.changelog import changelog_df
+
+    def b(events):
+        rows = []
+        for e in events:
+            e = dict(e)
+            e["ts"] = None
+            rows.append(e)
+        return changelog_df(spark, rows)
+
+    mat = Scd2Materializer(
+        spark, _snapshot(spark, SNAP), ["id"],
+        str(tmp_path / "scd2_state"), pos_threshold=THRESHOLD,
+    )
+    mat._run_id = str(tmp_path / "ckpt_A")
+    mat.process_batch(b([_ev("update", 1, 110, name="alice2", balance="11.0")]), 0)
+    n_after_a = len(mat.history().collect())
+    # same state, fresh checkpoint lineage: batch id 0 again, NEW events
+    mat2 = Scd2Materializer(
+        spark, _snapshot(spark, SNAP), ["id"],
+        str(tmp_path / "scd2_state"), pos_threshold=THRESHOLD,
+    )
+    mat2._run_id = str(tmp_path / "ckpt_B")
+    mat2.process_batch(b([_ev("insert", 7, 150, name="gina", balance="2.0")]), 0)
+    assert len(mat2.history().collect()) == n_after_a + 1, (
+        "fresh-checkpoint batch 0 must fold, not be skipped by the old stamp"
+    )
+    # and within the new lineage the stamp works again
+    before = sorted(map(tuple, mat2.history().collect()))
+    mat2.process_batch(b([_ev("insert", 7, 150, name="gina", balance="2.0")]), 0)
+    assert sorted(map(tuple, mat2.history().collect())) == before
