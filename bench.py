@@ -98,8 +98,12 @@ HEADLINE = [
 
 
 def run_one(spark, name: str, sf_dir: str) -> float:
-    df = QUERIES[name](spark, sf_dir)
+    # the BUILD is inside the timer: query functions may do eager work
+    # (localCheckpoint pins, artifact training) and that cost must not
+    # escape measurement — only steady-state reuse (warm memo, same as
+    # a warm JIT) may make the timed runs cheaper than the first
     t0 = time.perf_counter()
+    df = QUERIES[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
