@@ -1407,10 +1407,15 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _pq_fit(
+    spark: SparkSession, sf_dir: str, k: int = _PQ_K
+) -> tuple[DataFrame, DataFrame]:
     """PQ training shared by sim_pq_codes and the ADC search in
     ann_recall_at_k: returns (subvectors, trained codebook) after one
-    Lloyd round — the Spark twin of the _PQ_CTES oracle body."""
+    Lloyd round — the Spark twin of the _PQ_CTES oracle body. ``k`` is
+    the per-subspace codebook size (the recall knob — the registered
+    queries pin the oracle's {_PQ_K}; tools/pq_recall_curve.py sweeps
+    it and COVERAGE.md records the measured recall-vs-k curve)."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     subs = emb.select(
         "vec_id",
@@ -1431,7 +1436,7 @@ def _pq_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         "vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub")
     ).withColumn("__snorm", norm_col("sub"))
 
-    seeds = subs.filter(F.col("vec_id") < _PQ_K).select(
+    seeds = subs.filter(F.col("vec_id") < k).select(
         "s",
         F.col("vec_id").alias("code_id"),
         F.col("sub").alias("cent"),
@@ -1465,7 +1470,9 @@ def _pq_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return subs, cent1
 
 
-def _pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_adc_topk(
+    spark: SparkSession, sf_dir: str, k: int = _PQ_K, n_queries: int = N_QUERIES
+) -> DataFrame:
     """PQ search: candidates are represented ONLY by their codes —
     each is reconstructed as the concatenation of its per-subspace
     codewords, and ranked by cosine(query, reconstruction) (equivalent
@@ -1473,7 +1480,7 @@ def _pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace codeword dots). Same shape as sim_topk with the
     reconstruction join in front: codes ⋈ broadcast codebook, then
     broadcast queries × map-side cosine → per-query top-k window."""
-    subs, cent1 = _pq_fit(spark, sf_dir)
+    subs, cent1 = _pq_fit(spark, sf_dir, k=k)
     aw = Window.partitionBy("vec_id", "s").orderBy(
         F.desc(cosine_from(dot_col("sub", "cent"), "__snorm", "__bnorm")),
         F.asc("code_id"),
@@ -1498,14 +1505,14 @@ def _pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = (
         load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < N_QUERIES)
+        .filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             norm_col("embedding").alias("q_norm"),
         )
     )
-    cands = recon.filter(F.col("vec_id") >= N_QUERIES).select(
+    cands = recon.filter(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("cand_id"),
         F.col("recon").alias("c_emb"),
         norm_col("recon").alias("c_norm"),
