@@ -438,3 +438,174 @@ class IncrementalDistinct:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class IncrementalJoin:
+    """The FK join view ``fact ⋈ dim`` maintained from a changelog
+    stream carrying BOTH tables' events — the streaming twin of
+    ``operators/cdc.py::incremental_join`` (the textbook bilinear rule
+    ``Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB`` specialized to keyed MERGE
+    streams), folded per micro-batch against three persistent
+    relations: the two sides' latest-wins states (typed columns + pos +
+    op, delete tombstones kept — the flat materializer's layout, so
+    late events lose latest-wins) and the maintained view itself.
+
+    Per-batch cost: O(batch + touched keys + dim fan-out), never a
+    re-join of the bases — survivors come from the stored view via two
+    anti-joins. The three relations swap in ONE rename
+    (``storeio.swap_in_many``) with the batch-id stamp, so a crash can
+    neither tear the state set nor double-fold a replay (the delta fold
+    is not idempotent for the view's fan-out paths); replays at or
+    below the stamp are skipped.
+
+    Events route by the envelope's ``table`` field; update/delete
+    events must carry full before-images (the reference's
+    ``binlog_row_image=FULL`` assumption, like every IVM consumer
+    here).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        fact_table: str,
+        fact_fields: dict,
+        fact_keys: list[str],
+        dim_table: str,
+        dim_fields: dict,
+        dim_keys: list[str],
+        fk: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.state_path = state_path
+        self.fact_table = fact_table
+        self.fact_fields = dict(fact_fields)
+        self.fact_keys = fact_keys
+        self.dim_table = dim_table
+        self.dim_fields = dict(dim_fields)
+        self.dim_keys = dim_keys
+        self.fk = fk or dim_keys
+        self._run_id: str | None = None
+        storeio.recover(state_path)
+
+    # -- state ----------------------------------------------------------
+
+    def _side_schema(self, fields: dict):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [T.StructField(n, t) for n, t in fields.items()]
+            + [T.StructField("pos", T.StringType()), T.StructField("op", T.StringType())]
+        )
+
+    def _side(self, name: str, fields: dict) -> DataFrame:
+        p = os.path.join(self.state_path, name)
+        if os.path.exists(p):
+            return self.spark.read.parquet(p)
+        return self.spark.createDataFrame([], self._side_schema(fields))
+
+    def _view_cols(self) -> list[str]:
+        return list(self.fact_fields) + [
+            c for c in self.dim_fields if c not in self.dim_keys
+        ]
+
+    def _view(self) -> DataFrame | None:
+        p = os.path.join(self.state_path, "view")
+        if os.path.exists(p):
+            return self.spark.read.parquet(p)
+        return None
+
+    def read_table(self) -> DataFrame:
+        """The maintained join view."""
+        v = self._view()
+        if v is None:
+            raise FileNotFoundError(f"no join-view state at {self.state_path}")
+        return v
+
+    # -- merge -----------------------------------------------------------
+
+    def _decode(self, batch: DataFrame, fields: dict, keys: list[str]) -> DataFrame:
+        cols = []
+        for name, typ in fields.items():
+            col = F.col("data").getItem(name)
+            if name in keys:
+                # delete events carry the key in the before-image only
+                col = F.coalesce(col, F.col("before").getItem(name))
+            cols.append(decode_image_value(col, typ).alias(name))
+        return batch.select(*cols, F.col("pos").alias("pos"), F.col("op").alias("op"))
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..operators.cdc import cdc_collapse, incremental_join
+
+        applied = storeio.applied_batch(self.state_path, run_id=self._run_id)
+        if applied is not None and batch_id <= applied:
+            return  # crash-replay of an already-folded batch
+        rows = batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE, OP_DELETE))
+        f_ev = self._decode(
+            rows.filter(F.col("table") == self.fact_table),
+            self.fact_fields,
+            self.fact_keys,
+        )
+        d_ev = self._decode(
+            rows.filter(F.col("table") == self.dim_table),
+            self.dim_fields,
+            self.dim_keys,
+        )
+        f_state = self._side("fact", self.fact_fields)
+        d_state = self._side("dim", self.dim_fields)
+
+        def effective(state, ev, keys):
+            """Per touched key: the latest-wins winner among the prior
+            state row and this batch's events — so a LATE event (pos
+            below the stored row's) folds as a no-op change instead of
+            regressing the view."""
+            touched = ev.select(*keys).distinct()
+            prior = state.join(touched, on=keys, how="left_semi")
+            eff = cdc_collapse(
+                prior.unionByName(ev), keys, keep_deletes=True
+            )
+            new_state = state.join(touched, on=keys, how="left_anti").unionByName(eff)
+            return eff, new_state
+
+        eff_f, new_f_state = effective(f_state, f_ev, self.fact_keys)
+        eff_d, new_d_state = effective(d_state, d_ev, self.dim_keys)
+
+        fact_live = f_state.filter(F.col("op") != OP_DELETE).select(
+            *self.fact_fields
+        )
+        dim_live = d_state.filter(F.col("op") != OP_DELETE).select(*self.dim_fields)
+        view = self._view()
+        if view is None:
+            dim_r = dim_live
+            for d, f_ in zip(self.dim_keys, self.fk):
+                if d != f_:
+                    dim_r = dim_r.withColumnRenamed(d, f_)
+            view = fact_live.join(dim_r, on=self.fk).select(*self._view_cols())
+        new_view = incremental_join(
+            fact_live,
+            eff_f,
+            self.fact_keys,
+            dim_live,
+            eff_d,
+            self.dim_keys,
+            fk=self.fk,
+            base_view=view,
+        )
+        storeio.swap_in_many(
+            {"fact": new_f_state, "dim": new_d_state, "view": new_view},
+            self.state_path,
+            batch_id=batch_id,
+            run_id=self._run_id,
+        )
+
+    def start(
+        self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "ivm_join"
+    ):
+        self._run_id = checkpoint_dir
+        return (
+            changes_stream.writeStream.queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
