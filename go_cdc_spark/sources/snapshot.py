@@ -297,16 +297,18 @@ class JdbcSnapshotSource:
         if self.num_partitions <= 1:
             # correctness mode: one connection ≈ one consistent read (A7)
             return self.spark.read.jdbc(self.url, fq, properties=self.properties)
+        # positional access: engines disagree on alias case folding
+        # (MySQL preserves `lo`, Derby upper-cases to `LO`)
         bounds = self._query(
             f"SELECT MIN({pks[0]}) AS lo, MAX({pks[0]}) AS hi FROM {fq}"
         ).first()
-        if bounds and isinstance(bounds["lo"], int):
+        if bounds and isinstance(bounds[0], int):
             return self.spark.read.jdbc(
                 self.url,
                 fq,
                 column=pks[0],
-                lowerBound=bounds["lo"],
-                upperBound=bounds["hi"] + 1,
+                lowerBound=bounds[0],
+                upperBound=bounds[1] + 1,
                 numPartitions=self.num_partitions,
                 properties=self.properties,
             )

@@ -345,3 +345,117 @@ def test_chunk_predicates_null_boundary_partition_property(spark):
                 f"SELECT COUNT(*) FROM kv WHERE ({p}) AND ({q})"
             ).fetchone()[0]
             assert both == 0, (p, q)
+
+
+# ---------------------------------------------------------------------------
+# REAL spark.read.jdbc round trips — embedded Derby (the JDBC driver
+# Spark itself ships for its Hive metastore, org.apache.derby jars on
+# the driver classpath), so the actual Spark JDBC scan path executes
+# in-sandbox: schema resolution, partitioned reads, and the
+# chunk_predicates partition SQL running inside a real database —
+# closing the "chunk SQL is only DuckDB-cross-checked" gap.
+# ---------------------------------------------------------------------------
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _derby(spark, tmp_path):
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    jvm = spark.sparkContext._jvm
+    jvm.java.lang.Class.forName(DERBY_DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    return url, conn
+
+
+def test_spark_read_jdbc_plain_and_numeric_partitions(spark, tmp_path):
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.ITEMS (K1 INT NOT NULL PRIMARY KEY, VAL DOUBLE)"
+    )
+    ps = conn.prepareStatement("INSERT INTO APP.ITEMS VALUES (?, ?)")
+    want = {(i, float(i) * 1.5) for i in range(1, 101)}
+    for k, v in sorted(want):
+        ps.setInt(1, k)
+        ps.setDouble(2, v)
+        ps.executeUpdate()
+    props = {"driver": DERBY_DRIVER}
+
+    plain = spark.read.jdbc(url, "APP.ITEMS", properties=props)
+    assert {(r.K1, r.VAL) for r in plain.collect()} == want
+
+    part = spark.read.jdbc(
+        url, "APP.ITEMS", column="K1", lowerBound=1, upperBound=101,
+        numPartitions=4, properties=props,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert {(r.K1, r.VAL) for r in part.collect()} == want
+    conn.close()
+
+
+def test_jdbc_snapshot_source_numeric_pk_round_trip(spark, tmp_path):
+    """JdbcSnapshotSource.read_table's numeric-PK branch against a real
+    database (discovery stays MySQL-flavored, so PK lookup is injected;
+    the read path — bounds query via _query's derived-table wrap +
+    partitioned spark.read.jdbc — runs for real)."""
+    from go_cdc_spark.sources.snapshot import JdbcSnapshotSource
+
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.NUMS (K1 INT NOT NULL PRIMARY KEY, VAL VARCHAR(10))"
+    )
+    ps = conn.prepareStatement("INSERT INTO APP.NUMS VALUES (?, ?)")
+    want = {(i, f"v{i}") for i in range(1, 61)}
+    for k, v in sorted(want):
+        ps.setInt(1, k)
+        ps.setString(2, v)
+        ps.executeUpdate()
+    src = JdbcSnapshotSource(
+        spark, url, {"driver": DERBY_DRIVER}, num_partitions=4
+    )
+    src.get_table_primary_keys = lambda schema, table: ["K1"]
+    df = src.read_table("APP", "NUMS")
+    assert df.rdd.getNumPartitions() == 4
+    assert {(r.K1, r.VAL) for r in df.collect()} == want
+    conn.close()
+
+
+def test_jdbc_snapshot_source_composite_pk_chunks_round_trip(spark, tmp_path):
+    """The composite/non-numeric branch end-to-end: boundary sampling,
+    chunk_predicates tuple SQL, and the predicates= partitioned
+    spark.read.jdbc — all executing inside Derby, with NULLs in the
+    second key column (unique-index chunking key, not a true PK) to
+    exercise the null-safe two-valued leaves in a real engine."""
+    from go_cdc_spark.sources.snapshot import JdbcSnapshotSource
+
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.SITEMS (K1 VARCHAR(5) NOT NULL, K2 INT, VAL DOUBLE)"
+    )
+    ps = conn.prepareStatement("INSERT INTO APP.SITEMS VALUES (?, ?, ?)")
+    jvm = spark.sparkContext._jvm
+    want = set()
+    i = 0
+    for k1 in ["a", "b", "c", "d", "e", "f"]:
+        for k2 in [None, 1, 2, 3, 4, 5, 6, 7]:
+            i += 1
+            ps.setString(1, k1)
+            if k2 is None:
+                ps.setNull(2, jvm.java.sql.Types.INTEGER)
+            else:
+                ps.setInt(2, k2)
+            ps.setDouble(3, float(i))
+            ps.executeUpdate()
+            want.add((k1, k2, float(i)))
+    src = JdbcSnapshotSource(
+        spark, url, {"driver": DERBY_DRIVER}, num_partitions=4
+    )
+    src.get_table_primary_keys = lambda schema, table: ["K1", "K2"]
+    df = src.read_table("APP", "SITEMS")
+    got = [(r.K1, r.K2, r.VAL) for r in df.collect()]
+    assert len(got) == len(want), "chunks must not overlap or drop rows"
+    assert set(got) == want
+    assert df.rdd.getNumPartitions() > 1  # genuinely chunked
+    conn.close()
