@@ -852,6 +852,131 @@ def cdc_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _topk_rows(
+    df: DataFrame,
+    group_cols: list[str],
+    keys: list[str],
+    val_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group top-k rows by (val DESC, keys ASC) — deterministic
+    tie-break, NULLS LAST pinned explicitly (Spark's desc default; must
+    be stated in the oracle, where DuckDB agrees only by its own
+    default)."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc_nulls_last(val_col), *[F.asc(c) for c in keys]
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, *keys, val_col, F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def incremental_topk(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    group_cols: list[str],
+    val_col: str,
+    k: int,
+    pos_threshold: str | None = None,
+    base_topk: DataFrame | None = None,
+    pos_col: str = "pos",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance of the per-group top-k rows (rank by
+    ``val_col`` DESC, ties by ``keys``) under a latest-wins keyed change
+    stream — the rank-k generalization of :func:`incremental_minmax`:
+    a retraction anywhere in a group's current top-k needs the
+    (k+1)-th row, which no maintained state below O(group) can supply,
+    so touched groups take a SCOPED rescan while untouched groups come
+    straight from the stored MV. This is the eager-batch form of
+    min/max's dirty-flag-and-repair — the repair is folded into the
+    batch because the batch operator has the base at hand.
+
+    - **survivors** — groups no change touched (neither a changed key's
+      old group nor an after-image's new group): anti-join on the MV
+      (``base_topk``, schema ``group_cols + keys + [val_col, rank]``),
+      base untouched.
+    - **touched groups** — rescan scoped by a semi-join: pool = (base
+      rows minus changed keys) ∪ after-images, restricted to touched
+      groups, re-ranked. Cost O(rows of touched groups), the
+      irreducible price of exact deletable rank-k.
+
+    Returns ``group_cols + keys + [val_col, rank]``.
+    """
+    if pos_threshold is not None:
+        changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
+    latest = cdc_collapse(
+        changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
+    )
+    changed_keys = latest.select(*keys)
+    after = latest.filter(F.col(op_col) != OP_DELETE)
+    touched = (
+        snapshot.join(changed_keys, on=keys, how="left_semi")
+        .select(*group_cols)
+        .unionByName(after.select(*group_cols))
+        .distinct()
+    )
+    row_cols = group_cols + keys + [val_col]
+    if base_topk is None:
+        base_topk = _topk_rows(snapshot, group_cols, keys, val_col, k)
+    survivors = base_topk.join(touched, on=group_cols, how="left_anti")
+    pool = (
+        snapshot.join(changed_keys, on=keys, how="left_anti")
+        .select(*row_cols)
+        .unionByName(after.select(*row_cols))
+        .join(F.broadcast(touched), on=group_cols, how="left_semi")
+    )
+    repaired = _topk_rows(pool, group_cols, keys, val_col, k)
+    return survivors.unionByName(repaired)
+
+
+_CDC_TOPK_K = 3
+
+_CDC_TOPK_ORACLE = f"""
+WITH {_CDC_CHANGES_CTE},
+merged AS (
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_custkey, c_nationkey, c_acctbal FROM latest WHERE op <> 'delete'
+)
+SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY c_nationkey
+        ORDER BY c_acctbal DESC NULLS LAST, c_custkey) AS rn
+    FROM merged
+) WHERE rn <= {_CDC_TOPK_K}
+"""
+
+
+@query("cdc_incremental_topk", oracle=_CDC_TOPK_ORACLE)
+def cdc_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k maintenance (:func:`incremental_topk`): each nation's top-3
+    customers by balance kept current under the change stream, through
+    the stored-MV path. The oracle recomputes rank ≤ 3 from the fully
+    merged table — the gate proves the touched-group rescan loses
+    nothing: a changed key's OLD group re-ranks (its row may have been
+    in the top-3), the NEW group re-ranks (the row may enter), and
+    every untouched group's stored rows are already exact."""
+    cust = load(spark, sf_dir, "customer")
+    changes = _derived_customer_changes(load(spark, sf_dir, "events"))
+    base = _topk_rows(cust, ["c_nationkey"], ["c_custkey"], "c_acctbal", _CDC_TOPK_K)
+    return incremental_topk(
+        cust,
+        changes,
+        keys=["c_custkey"],
+        group_cols=["c_nationkey"],
+        val_col="c_acctbal",
+        k=_CDC_TOPK_K,
+        pos_threshold=_CDC_TABLE_GTID,
+        base_topk=base,
+    )
+
+
 @query(
     "filter_rules",
     oracle="""

@@ -912,10 +912,13 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mc = _sem_clusters(spark, emb, sf_dir)
     if _SEM_EAGER_CKPT:
         # mc feeds three subtrees (cstat, the pair join's two sides via
-        # mcs, and the final keep-flag join); pinning it keeps the
-        # final assignment cross-join from re-evaluating per consumer
-        # (A/B-measured — see COVERAGE.md)
-        mc = mc.localCheckpoint(eager=True)
+        # mcs, and the final keep-flag join); the LAZY checkpoint pins
+        # it at first materialization so the assignment cross-join
+        # evaluates once per action, not per consumer (A/B-measured —
+        # see COVERAGE.md). Lazy, not eager: bench times the sink
+        # action only, and an eager pin would move the query's real
+        # work outside the timed window.
+        mc = mc.localCheckpoint(eager=False)
     cstat = mc.groupBy("centroid_id").agg(
         F.min("vec_id").alias("hub"), F.count(F.lit(1)).alias("n")
     )

@@ -609,3 +609,196 @@ class IncrementalJoin:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class IncrementalTopK:
+    """Per-group top-k rows (rank by value DESC, ties by key) from the
+    change stream — the streaming twin of
+    ``operators/cdc.py::incremental_topk``, with min/max's honest
+    treatment of retraction generalized to rank k: state holds exactly
+    the current top-k rows per group, inserts of NEW keys fold (union +
+    re-rank + trim is exact for insertions), but any change touching a
+    key PRESENT in a group's stored top-k — or a delete/update-before
+    whose group is unknown to state — marks the group ``dirty``: the
+    (k+1)-th row is unknowable from top-k state alone. :meth:`repair`
+    rescans dirty groups from the base, scoped by semi-join.
+
+    A change below the stored k-th value for a full group provably
+    cannot enter the top-k; such inserts fold as no-ops. Crash-replay
+    safe via the same storeio batch-id + run-id stamp as the other
+    folds (the fold is not idempotent)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        group_cols: list[str],
+        key_cols: list[str],
+        value_col: str,
+        k: int,
+        state_path: str,
+        types: dict | None = None,
+    ):
+        self.spark = spark
+        self.group_cols = group_cols
+        self.key_cols = key_cols
+        self.value_col = value_col
+        self.k = k
+        self.state_path = state_path
+        self.types = types or {}
+        self._run_id: str | None = None
+
+    def _image(self, batch: DataFrame, image_col: str) -> DataFrame:
+        from pyspark.sql import types as T
+
+        cols = [
+            decode_image_value(
+                F.col(image_col).getItem(c), self.types.get(c, T.StringType())
+            ).alias(c)
+            for c in [*self.group_cols, *self.key_cols, self.value_col]
+        ]
+        return batch.select(*cols).withColumnRenamed(self.value_col, "__v")
+
+    def _rank(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.desc_nulls_last("__v"), *[F.asc(c) for c in self.key_cols]
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.k)
+            .drop("__rn")
+        )
+
+    def _state(self) -> DataFrame | None:
+        if not os.path.exists(self.state_path):
+            return None
+        return self.spark.read.parquet(self.state_path)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        applied = _applied_batch(self.state_path, run_id=self._run_id)
+        if applied is not None and batch_id <= applied:
+            return  # crash-replay of an already-folded batch
+        ins = self._image(
+            batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE)), "data"
+        )
+        rem = self._image(
+            batch.filter(F.col("op").isin(OP_DELETE, OP_UPDATE)), "before"
+        )
+        state = self._state()
+        if state is None:
+            state = (
+                ins.limit(0)
+                .select(*self.group_cols, *self.key_cols, "__v")
+                .withColumn("dirty", F.lit(False))
+            )
+        # a removal (or update-before) dirties its OLD group whenever
+        # its key sits in that group's stored top-k — and conservatively
+        # when the group is unknown to state (reordered events)
+        skeys = state.select(*self.group_cols, *self.key_cols).withColumn(
+            "__in_top", F.lit(True)
+        )
+        sgroups = state.select(*self.group_cols).distinct().withColumn(
+            "__known", F.lit(True)
+        )
+        rem_flags = (
+            rem.join(skeys, on=[*self.group_cols, *self.key_cols], how="left")
+            .join(sgroups, on=self.group_cols, how="left")
+            .withColumn(
+                "__dirty",
+                F.coalesce(F.col("__in_top"), F.lit(False))
+                | F.col("__known").isNull(),
+            )
+        )
+        dirty_groups = (
+            rem_flags.filter(F.col("__dirty")).select(*self.group_cols).distinct()
+        )
+        # an INSERT of a key already stored replaces its row only via
+        # the dirty path (its old value leaves the top-k) — mark those
+        # groups dirty too, then fold the remaining pure inserts
+        ins_flags = ins.join(
+            skeys, on=[*self.group_cols, *self.key_cols], how="left"
+        )
+        dirty_groups = dirty_groups.unionByName(
+            ins_flags.filter(F.col("__in_top").isNotNull()).select(*self.group_cols)
+        ).distinct()
+        fresh_ins = ins_flags.filter(F.col("__in_top").isNull()).select(
+            *self.group_cols, *self.key_cols, "__v"
+        )
+        folded = self._rank(
+            state.drop("dirty")
+            .unionByName(fresh_ins)
+        )
+        combined = folded.join(
+            dirty_groups.withColumn("__d", F.lit(True)), on=self.group_cols, how="left"
+        ).select(
+            *self.group_cols,
+            *self.key_cols,
+            "__v",
+            (
+                F.col("__d").isNotNull()
+            ).alias("dirty"),
+        )
+        # carry forward previously-dirty flags (their groups stay dirty
+        # until repaired)
+        prev_dirty = state.filter(F.col("dirty")).select(*self.group_cols).distinct()
+        combined = combined.join(
+            prev_dirty.withColumn("__pd", F.lit(True)), on=self.group_cols, how="left"
+        ).select(
+            *self.group_cols,
+            *self.key_cols,
+            "__v",
+            (F.col("dirty") | F.col("__pd").isNotNull()).alias("dirty"),
+        )
+        _swap_state(combined, self.state_path, batch_id, run_id=self._run_id)
+
+    def repair(self, base: DataFrame) -> int:
+        """Recompute top-k for dirty groups from the base table (scoped
+        semi-join) and clear their flags. Returns repaired groups."""
+        state = self._state()
+        if state is None:
+            return 0
+        dirty = state.filter(F.col("dirty")).select(*self.group_cols).distinct()
+        n = dirty.count()
+        if n == 0:
+            return 0
+        fresh = self._rank(
+            base.join(F.broadcast(dirty), on=self.group_cols, how="left_semi")
+            .select(*self.group_cols, *self.key_cols,
+                    F.col(self.value_col).alias("__v"))
+        ).withColumn("dirty", F.lit(False))
+        clean = state.join(dirty, on=self.group_cols, how="left_anti")
+        combined = clean.unionByName(fresh).localCheckpoint(eager=True)
+        _swap_state(combined, self.state_path, batch_id=None, run_id=self._run_id)
+        return n
+
+    def read_table(self) -> DataFrame:
+        """Current per-group top-k (re-ranked); ``dirty`` surfaces
+        staleness instead of hiding it."""
+        state = self._state()
+        if state is None:
+            raise FileNotFoundError(f"no IVM state at {self.state_path}")
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.desc_nulls_last("__v"), *[F.asc(c) for c in self.key_cols]
+        )
+        return state.withColumn("rank", F.row_number().over(w)).select(
+            *self.group_cols,
+            *self.key_cols,
+            F.col("__v").alias(self.value_col),
+            F.col("rank").cast("int").alias("rank"),
+            "dirty",
+        )
+
+    def start(
+        self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "ivm_topk"
+    ):
+        self._run_id = checkpoint_dir
+        return (
+            changes_stream.writeStream.queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
