@@ -97,6 +97,7 @@ HEADLINE = [
     # round-6 surface
     "layout_zorder",
     "cdc_incremental_topk",
+    "dedup_minhash_quality",
 ]
 
 

@@ -78,8 +78,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_ORACLE = f"""
-WITH sig AS (
+_MINHASH_CAND_CTES = f"""sig AS (
     SELECT doc_id,
            list_distinct(__SH) AS shset,
            {", ".join(_sql_lane(i) + f" AS h{i}" for i in range(MINHASH_K))}
@@ -111,7 +110,10 @@ WITH sig AS (
         FROM banded x JOIN bstat s ON s.band = x.band
         WHERE s.n > {BUCKET_PAIR_CAP} AND x.doc_id != s.hub
     )
-)
+)""".replace("__SHINGLES", _SQL_SHINGLES)
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CAND_CTES}
 SELECT doc_a, doc_b,
        CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
            / (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset))) AS jaccard
@@ -120,34 +122,15 @@ JOIN sig sa ON sa.doc_id = cand.doc_a
 JOIN sig sb ON sb.doc_id = cand.doc_b
 WHERE CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
           / (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset))) >= 0.5
-""".replace("__SHINGLES", _SQL_SHINGLES)
+"""
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=8) + LSH(4 bands × 2 rows) near-dup pairs, jaccard-verified
-    on distinct 3-shingle sets (threshold 0.5).
-
-    Plan shape: map-side signatures → explode to (band, doc) → self-join
-    on band (the only quadratic-risk step, bounded by bucket size) →
-    distinct candidate pairs → verify against the shingle sets.
-
-    Signature computation is EXPLODE → codegen md5 → groupBy(doc) MIN
-    aggregates, not array-lambda folds: higher-order functions run
-    interpreted (no whole-stage codegen), and each interpreted pass
-    over the shingle array costs more than the hashing itself —
-    measured 7× slower than this shape at 10× sf0.1, with the gap
-    growing in data size. The explode multiplies rows ~|shingles|×,
-    but partial aggregation collapses them back to one row per doc
-    map-side (exploded rows are partition-local), so the groupBy
-    shuffle carries only finished signatures. Per-doc shingle sets are
-    re-derived map-side ONLY for the verify step, against the
-    broadcast candidate pairs — near-dup candidates are sparse by
-    construction, so the corpus never shuffles for verification."""
-    docs = fan_out(load(spark, sf_dir, "documents"))
-    # raw shingles on the hot path: MIN is duplicate-insensitive, and
-    # array_distinct is another interpreted collection pass per doc —
-    # the distinct SET is only built for docs that reach verification
+def _minhash_candidates(docs: DataFrame) -> DataFrame:
+    """Banded-MinHash candidate pairs (doc_a < doc_b) with the
+    BUCKET_PAIR_CAP hub guard — the shared front half of
+    dedup_minhash_lsh and its measured-quality twin. Lazily
+    localCheckpointed: the candidate list is consumed by more than one
+    subtree in every caller."""
     ex = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
     hashed = ex.select(
         "doc_id",
@@ -178,11 +161,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     )
-    # Bucket-occupancy stats gate the pair strategy: all-pairs within
-    # small buckets, hub (star) linking past BUCKET_PAIR_CAP — the
-    # mega-cluster skew guard (see the constant's note). The stats join
-    # filters BOTH self-join sides, so an oversized bucket never enters
-    # the quadratic path at all.
     bstat = banded.groupBy("band").agg(
         F.min("doc_id").alias("hub"), F.count(F.lit(1)).alias("n")
     )
@@ -199,15 +177,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bb.filter((F.col("n") > BUCKET_PAIR_CAP) & (F.col("doc_id") != F.col("hub")))
         .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    # localCheckpoint: the candidate list (tiny) is consumed TWICE —
-    # the in_pairs doc filter and the final pair join — and each
-    # broadcast exchange would otherwise re-run the whole band
-    # self-join subplan
-    cand = (
-        all_pairs.unionByName(hub_pairs)
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    return all_pairs.unionByName(hub_pairs).distinct().localCheckpoint(eager=False)
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + LSH(4 bands × 2 rows) near-dup pairs, jaccard-verified
+    on distinct 3-shingle sets (threshold 0.5).
+
+    Plan shape: map-side signatures → explode to (band, doc) → self-join
+    on band (the only quadratic-risk step, bounded by bucket size) →
+    distinct candidate pairs → verify against the shingle sets.
+
+    Signature computation is EXPLODE → codegen md5 → groupBy(doc) MIN
+    aggregates, not array-lambda folds: higher-order functions run
+    interpreted (no whole-stage codegen), and each interpreted pass
+    over the shingle array costs more than the hashing itself —
+    measured 7× slower than this shape at 10× sf0.1, with the gap
+    growing in data size. The explode multiplies rows ~|shingles|×,
+    but partial aggregation collapses them back to one row per doc
+    map-side (exploded rows are partition-local), so the groupBy
+    shuffle carries only finished signatures. Per-doc shingle sets are
+    re-derived map-side ONLY for the verify step, against the
+    broadcast candidate pairs — near-dup candidates are sparse by
+    construction, so the corpus never shuffles for verification."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    # raw shingles on the hot path: MIN is duplicate-insensitive, and
+    # array_distinct is another interpreted collection pass per doc —
+    # the distinct SET is only built for docs that reach verification
+    # (bucket-occupancy stats gate the pair strategy inside
+    # _minhash_candidates: all-pairs in small buckets, hub links past
+    # BUCKET_PAIR_CAP — the mega-cluster skew guard)
+    cand = _minhash_candidates(docs)
     in_pairs = (
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
     )
@@ -231,6 +232,90 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# Bound on the measurement sample: the ground truth is all-pairs
+# (quadratic by definition), so quality is measured over a FIXED-size
+# doc prefix — every doc at sf0.01, the first 800 at any larger scale.
+# Capping keeps the measurement runnable at any sf while the candidate
+# pipeline under test stays the real operator's.
+QUALITY_SAMPLE_DOCS = 800
+
+_MINHASH_QUALITY_ORACLE = f"""
+WITH qdocs AS (SELECT * FROM documents WHERE doc_id < {QUALITY_SAMPLE_DOCS}),
+{_MINHASH_CAND_CTES.replace("FROM documents", "FROM qdocs")},
+truth AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+          / (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) >= 0.5
+),
+j AS (
+    SELECT (t.doc_a IS NOT NULL) AS in_truth, (c.doc_a IS NOT NULL) AS in_cand
+    FROM truth t FULL OUTER JOIN cand c
+      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS expected,
+       CAST(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT) AS found,
+       CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS DOUBLE)
+           / SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS recall,
+       CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS DOUBLE)
+           / SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS cand_precision
+FROM j
+"""
+
+
+@query("dedup_minhash_quality", oracle=_MINHASH_QUALITY_ORACLE)
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED quality of the banded-MinHash blocking: recall and
+    candidate precision of the LSH candidate pairs against the exact
+    all-pairs Jaccard-≥-0.5 ground truth — the dedup sibling of
+    `ann_recall_at_k`, converting "banding works" into a number per
+    corpus (4 bands × 2 rows of k={MINHASH_K} at τ=0.5).
+
+    The ground truth is deliberately quadratic (all doc pairs): this is
+    a MEASUREMENT query, run on a bounded sample — at 100 TB the
+    production dedup path stays the linear banded pipeline and quality
+    is estimated on exactly this kind of sampled slice. The candidate
+    side reuses the identical `_minhash_candidates` pipeline the real
+    operator runs, so the measured recall is the operator's, not a
+    simulation's."""
+    docs = fan_out(
+        load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < QUALITY_SAMPLE_DOCS
+        )
+    )
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles_col()).alias("shset")
+    ).localCheckpoint(eager=False)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size("sha") + F.size("shb") - inter
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((inter.cast("double") / union) >= 0.5)
+        .select("doc_a", "doc_b")
+        .withColumn("__t", F.lit(1))
+    )
+    cand = _minhash_candidates(docs).withColumn("__c", F.lit(1))
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    hit = (F.col("__t").isNotNull() & F.col("__c").isNotNull()).cast("long")
+    return j.agg(
+        F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("expected"),
+        F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("n_candidates"),
+        F.sum(hit).cast("long").alias("found"),
+        (
+            F.sum(hit).cast("double")
+            / F.sum(F.coalesce(F.col("__t"), F.lit(0)))
+        ).alias("recall"),
+        (
+            F.sum(hit).cast("double")
+            / F.sum(F.coalesce(F.col("__c"), F.lit(0)))
+        ).alias("cand_precision"),
     )
 
 
