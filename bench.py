@@ -98,6 +98,7 @@ HEADLINE = [
     "layout_zorder",
     "cdc_incremental_topk",
     "dedup_minhash_quality",
+    "cdc_incremental_histogram",
 ]
 
 

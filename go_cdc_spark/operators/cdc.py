@@ -18,7 +18,7 @@ idempotency. Both operators are pure DataFrame plans:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -931,6 +931,170 @@ def incremental_topk(
     )
     repaired = _topk_rows(pool, group_cols, keys, val_col, k)
     return survivors.unionByName(repaired)
+
+
+def _bin_expr(col: Column | str, lo: float, hi: float, nbins: int) -> Column:
+    """Static value-range bin in [0, nbins): floor((v − lo) · nbins /
+    (hi − lo)), clamped. The SAME double expression (operand order and
+    all) as the SQL twin, so the floor is bit-identical cross-engine;
+    bin edges are change-independent constants — the property that
+    makes the histogram a pure signed-delta fold."""
+    if isinstance(col, str):
+        col = F.col(col)
+    raw = F.floor(
+        (col.cast("double") - F.lit(float(lo)))
+        * F.lit(float(nbins))
+        / F.lit(float(hi - lo))
+    ).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+
+
+def incremental_histogram(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    group_cols: list[str],
+    val_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    pos_threshold: str | None = None,
+    base_hist: DataFrame | None = None,
+    pos_col: str = "pos",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance of a fixed-bin value histogram per group
+    — the fully-foldable member of the IVM family: because bin edges
+    are static constants, a row's bin never depends on other rows, so
+    retractions are exact signed deltas (no dirty flags, no rescans —
+    contrast min/max and top-k, whose state depends on the order
+    statistics of the whole group). The maintained histogram then
+    answers quantile reads (:func:`histogram_percentiles`) with
+    bin-resolution accuracy — the classical approximate-percentile
+    trade, kept exactly reproducible cross-engine by integer cumulative
+    arithmetic.
+
+    Per-batch cost: O(changes + touched (group, bin) cells). Returns
+    ``group_cols + [bin, n]`` with ``n > 0``.
+    """
+    if pos_threshold is not None:
+        changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
+    latest = cdc_collapse(
+        changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
+    )
+    changed_keys = latest.select(*keys)
+    bcol = _bin_expr(val_col, lo, hi, nbins)
+    removed = (
+        snapshot.join(changed_keys, on=keys, how="left_semi")
+        .filter(F.col(val_col).isNotNull())
+        .select(*group_cols, bcol.alias("bin"), F.lit(-1).alias("__sign"))
+    )
+    added = (
+        latest.filter(F.col(op_col) != OP_DELETE)
+        .filter(F.col(val_col).isNotNull())
+        .select(*group_cols, bcol.alias("bin"), F.lit(1).alias("__sign"))
+    )
+    delta = (
+        removed.unionByName(added)
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("__sign").cast("long").alias("dn"))
+    )
+    if base_hist is None:
+        base_hist = (
+            snapshot.filter(F.col(val_col).isNotNull())
+            .groupBy(*group_cols, bcol.alias("bin"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+    merged = base_hist.join(delta, on=[*group_cols, "bin"], how="full_outer").select(
+        *group_cols,
+        "bin",
+        (
+            F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
+        ).cast("long").alias("n"),
+    )
+    return merged.filter(F.col("n") > 0)
+
+
+def histogram_percentiles(
+    hist: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Quantile read over a maintained histogram: per group, the
+    smallest bin whose cumulative count reaches p of the total, for
+    p ∈ {0.5, 0.9, 0.99} — INTEGER comparisons only (2·cum ≥ total
+    etc.), so Spark and any SQL engine agree bit-for-bit."""
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    wg = Window.partitionBy(*group_cols)
+    c = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wg)
+    )
+    def pick(num: int, den: int):
+        return F.min(
+            F.when(F.col("cum") * den >= F.col("total") * num, F.col("bin"))
+        ).cast("int")
+    return c.groupBy(*group_cols).agg(
+        F.max("total").cast("long").alias("n_vals"),
+        pick(1, 2).alias("p50_bin"),
+        pick(9, 10).alias("p90_bin"),
+        pick(99, 100).alias("p99_bin"),
+    )
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = -1000.0, 10000.0, 55
+
+_CDC_HIST_ORACLE = f"""
+WITH {_CDC_CHANGES_CTE},
+merged AS (
+    SELECT c.c_nationkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_nationkey, c_acctbal FROM latest WHERE op <> 'delete'
+),
+h AS (
+    SELECT c_nationkey,
+           LEAST(GREATEST(CAST(floor((CAST(c_acctbal AS DOUBLE) - ({_HIST_LO})) * {float(_HIST_BINS)} / {float(_HIST_HI - _HIST_LO)}) AS BIGINT), 0), {_HIST_BINS - 1}) AS bin,
+           COUNT(*) AS n
+    FROM merged WHERE c_acctbal IS NOT NULL
+    GROUP BY 1, 2
+),
+c AS (
+    SELECT c_nationkey, bin, n,
+           SUM(n) OVER (PARTITION BY c_nationkey ORDER BY bin) AS cum,
+           SUM(n) OVER (PARTITION BY c_nationkey) AS total
+    FROM h
+)
+SELECT c_nationkey,
+       CAST(MAX(total) AS BIGINT) AS n_vals,
+       CAST(MIN(CASE WHEN cum * 2 >= total * 1 THEN bin END) AS INT) AS p50_bin,
+       CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN bin END) AS INT) AS p90_bin,
+       CAST(MIN(CASE WHEN cum * 100 >= total * 99 THEN bin END) AS INT) AS p99_bin
+FROM c
+GROUP BY c_nationkey
+"""
+
+
+@query("cdc_incremental_histogram", oracle=_CDC_HIST_ORACLE)
+def cdc_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram/quantile maintenance (:func:`incremental_histogram`):
+    per-nation balance distribution in {_HIST_BINS} static bins kept
+    current by pure signed deltas (the fully-foldable IVM case — static
+    bin edges make retraction exact, no dirty state), read out as
+    bin-resolution p50/p90/p99. The oracle recomputes the histogram and
+    the integer cumulative walk from the fully merged table."""
+    cust = load(spark, sf_dir, "customer")
+    changes = _derived_customer_changes(load(spark, sf_dir, "events"))
+    hist = incremental_histogram(
+        cust,
+        changes,
+        keys=["c_custkey"],
+        group_cols=["c_nationkey"],
+        val_col="c_acctbal",
+        lo=_HIST_LO,
+        hi=_HIST_HI,
+        nbins=_HIST_BINS,
+        pos_threshold=_CDC_TABLE_GTID,
+    )
+    return histogram_percentiles(hist, ["c_nationkey"])
 
 
 _CDC_TOPK_K = 3

@@ -802,3 +802,114 @@ class IncrementalTopK:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class IncrementalHistogram:
+    """Fixed-bin value histogram per group from the change stream —
+    the fully-foldable IVM case (static bin edges make retraction an
+    exact signed delta; contrast MinMax/TopK, which need dirty-repair).
+    Same fold algebra, replay guard, and cross-batch commutation as
+    :class:`IncrementalAggregate`, keyed by (group, bin); negative
+    in-flight cells park in state and are hidden from reads.
+    ``read_table`` answers bin-resolution p50/p90/p99 via the integer
+    cumulative walk shared with the batch twin
+    (``operators/cdc.py::histogram_percentiles``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        group_cols: list[str],
+        value_col: str,
+        lo: float,
+        hi: float,
+        nbins: int,
+        state_path: str,
+        types: dict | None = None,
+    ):
+        self.spark = spark
+        self.group_cols = group_cols
+        self.value_col = value_col
+        self.lo, self.hi, self.nbins = lo, hi, nbins
+        self.state_path = state_path
+        self.types = types or {}
+        self._run_id: str | None = None
+
+    def _image(self, batch: DataFrame, image_col: str, sign: int) -> DataFrame:
+        from pyspark.sql import types as T
+
+        from ..operators.cdc import _bin_expr
+
+        cols = [
+            decode_image_value(
+                F.col(image_col).getItem(c), self.types.get(c, T.StringType())
+            ).alias(c)
+            for c in self.group_cols
+        ]
+        val = decode_image_value(
+            F.col(image_col).getItem(self.value_col),
+            self.types.get(self.value_col, T.DoubleType()),
+        )
+        return (
+            batch.select(*cols, val.alias("__val"))
+            .filter(F.col("__val").isNotNull())
+            .select(
+                *self.group_cols,
+                _bin_expr("__val", self.lo, self.hi, self.nbins).alias("bin"),
+                F.lit(sign).alias("__sign"),
+            )
+        )
+
+    def _delta(self, batch: DataFrame) -> DataFrame:
+        plus = self._image(
+            batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE)), "data", 1
+        )
+        minus = self._image(
+            batch.filter(F.col("op").isin(OP_DELETE, OP_UPDATE)), "before", -1
+        )
+        return (
+            plus.unionByName(minus)
+            .groupBy(*self.group_cols, "bin")
+            .agg(F.sum("__sign").cast("long").alias("n"))
+        )
+
+    def _state(self) -> DataFrame | None:
+        if not os.path.exists(self.state_path):
+            return None
+        return self.spark.read.parquet(self.state_path)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        applied = _applied_batch(self.state_path, run_id=self._run_id)
+        if applied is not None and batch_id <= applied:
+            return  # crash-replay of an already-folded batch
+        delta = self._delta(batch)
+        state = self._state()
+        merged = delta if state is None else state.unionByName(delta)
+        combined = (
+            merged.groupBy(*self.group_cols, "bin")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .filter(F.col("n") != 0)  # keep negatives (cross-batch commute)
+        )
+        _swap_state(combined, self.state_path, batch_id, run_id=self._run_id)
+
+    def histogram(self) -> DataFrame:
+        state = self._state()
+        if state is None:
+            raise FileNotFoundError(f"no IVM state at {self.state_path}")
+        return state.filter(F.col("n") > 0)
+
+    def read_table(self) -> DataFrame:
+        from ..operators.cdc import histogram_percentiles
+
+        return histogram_percentiles(self.histogram(), self.group_cols)
+
+    def start(
+        self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "ivm_hist"
+    ):
+        self._run_id = checkpoint_dir
+        return (
+            changes_stream.writeStream.queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
