@@ -10,6 +10,7 @@ query surface — not just the driver's 50-query sample — matches the
 DuckDB oracle (VERDICT r03 prescription #2).
 """
 import json
+import os
 import sys
 import time
 
@@ -20,7 +21,18 @@ out_path = None
 if "--out" in sys.argv:
     out_path = sys.argv[sys.argv.index("--out") + 1]
 
-spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+# SPARK_GRAFT_MASTER / SPARK_GRAFT_SHUFFLE override the execution shape
+# for the determinism audit: every query must hash-match DuckDB under
+# ANY parallelism (deterministic tie-breaks, order-insensitive aggs) —
+# run e.g. SPARK_GRAFT_MASTER=local[3] SPARK_GRAFT_SHUFFLE=5.
+_builder = SparkSession.builder.master(
+    os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
+).appName("driver-sim")
+if os.environ.get("SPARK_GRAFT_SHUFFLE"):
+    _builder = _builder.config(
+        "spark.sql.shuffle.partitions", os.environ["SPARK_GRAFT_SHUFFLE"]
+    )
+spark = _builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as e
