@@ -31,6 +31,7 @@ from .config import EngineConfig, SourceConfig, load_config
 from .functions.rules import FilterRules
 from .sources.meta import CheckpointStore
 from .sources.snapshot import (
+    JdbcMetadataSource,
     JdbcSnapshotSource,
     ParquetSnapshotSource,
     TableSnapshot,
@@ -86,6 +87,15 @@ class Engine:
             )
         if cfg.type == "jdbc":
             return JdbcSnapshotSource(
+                self.spark,
+                cfg.dsn(),
+                cfg.jdbc_properties(),
+                num_partitions=cfg.num_partitions,
+            )
+        if cfg.type == "jdbc_metadata":
+            # portable discovery via java.sql.DatabaseMetaData — any
+            # JDBC engine, not just MySQL (tested against embedded Derby)
+            return JdbcMetadataSource(
                 self.spark,
                 cfg.dsn(),
                 cfg.jdbc_properties(),

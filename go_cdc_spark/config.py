@@ -16,7 +16,7 @@ File layout (TOML; `.json` with the same shape also accepted):
     [[source]]
     id          = 1                 # replication server-id analog
     name        = "dev"
-    type        = "parquet"         # parquet | jdbc
+    type        = "parquet"         # parquet | jdbc | jdbc_metadata
     path        = "/data/seed"      # parquet root (type=parquet)
     schema_name = "main"
     changelog   = "/data/changelog" # incremental segment dir (optional)
@@ -46,7 +46,7 @@ class SourceConfig:
 
     id: int
     name: str
-    type: str = "parquet"  # parquet | jdbc
+    type: str = "parquet"  # parquet | jdbc | jdbc_metadata (portable discovery)
     # parquet
     path: str | None = None
     schema_name: str = "main"

@@ -555,3 +555,60 @@ def test_skew_robust_config_reaches_materializer(spark, tmp_path):
     engine.init_sources()
     engine.full_sync()
     assert engine.tables and all(m.skew_robust for m in engine.tables.values())
+
+
+def test_engine_boot_over_derby_jdbc_metadata(spark, tmp_path):
+    """Config-driven boot against a REAL SQL database: type =
+    "jdbc_metadata" (portable DatabaseMetaData discovery) pointed at
+    embedded Derby — init_sources probes and registers, full_sync
+    discovers APP.WIDGETS via JDBC metadata, snapshots it through the
+    partitioned read path, and the materialized state serves reads."""
+    from .test_jdbc_source import DERBY_DRIVER, _derby
+
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.WIDGETS (WID INT NOT NULL PRIMARY KEY,"
+        " NAME VARCHAR(20), PRICE DOUBLE)"
+    )
+    ps = conn.prepareStatement("INSERT INTO APP.WIDGETS VALUES (?, ?, ?)")
+    for i in range(1, 21):
+        ps.setInt(1, i)
+        ps.setString(2, f"w{i}")
+        ps.setDouble(3, i * 1.25)
+        ps.executeUpdate()
+
+    cfg = tmp_path / "derby.toml"
+    cfg.write_text(
+        f'''
+[engine]
+meta_path = "{tmp_path}/meta"
+state_dir = "{tmp_path}/state"
+checkpoint_dir = "{tmp_path}/ckpt"
+
+[[source]]
+id = 7
+name = "derbysrc"
+type = "jdbc_metadata"
+url = "{url.replace(';create=true', '')}"
+num_partitions = 3
+
+[source.properties]
+driver = "{DERBY_DRIVER}"
+'''
+    )
+    engine = Engine(load_config(str(cfg)), spark=spark)
+    engine.init_sources()
+    assert 7 in engine.registry
+    snaps = engine.full_sync()
+    by_table = {s.table: s for s in snaps[7]}
+    assert by_table["WIDGETS"].error is None
+    state = {r.WID: (r.NAME, r.PRICE) for r in
+             engine.read_table(7, "APP", "WIDGETS").collect()}
+    assert state == {i: (f"w{i}", i * 1.25) for i in range(1, 21)}
+    # checkpoint rows: source-level + per-table full
+    meta = CheckpointStore(spark, f"{tmp_path}/meta")
+    rows = meta.all()
+    assert ("derbysrc", None, None) in rows
+    assert rows[("derbysrc", "APP", "WIDGETS")].sync_type == "full"
+    conn.close()

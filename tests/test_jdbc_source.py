@@ -459,3 +459,61 @@ def test_jdbc_snapshot_source_composite_pk_chunks_round_trip(spark, tmp_path):
     assert set(got) == want
     assert df.rdd.getNumPartitions() > 1  # genuinely chunked
     conn.close()
+
+
+def test_full_snapshot_pipeline_against_derby(spark, tmp_path):
+    """The WHOLE reference loop — discover schemas → tables → DDL → PKs
+    → chunked read → envelope (+ no-PK rejection as a rollback event) —
+    against a real SQL database, via standard DatabaseMetaData
+    discovery (JdbcMetadataSource). Closes A1-A7's 'discovery only
+    tested against the parquet stand-in' gap."""
+    from go_cdc_spark.sources.snapshot import (
+        JdbcMetadataSource,
+        snapshot_all,
+    )
+
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    # composite PK declared (K2, K1) to prove KEY_SEQ ordering is honored
+    st.executeUpdate(
+        "CREATE TABLE APP.ACCOUNTS (K1 INT NOT NULL, K2 VARCHAR(5) NOT NULL,"
+        " BAL DOUBLE, PRIMARY KEY (K2, K1))"
+    )
+    st.executeUpdate("CREATE TABLE APP.NOTES (BODY VARCHAR(20))")  # no PK
+    ps = conn.prepareStatement("INSERT INTO APP.ACCOUNTS VALUES (?, ?, ?)")
+    want = set()
+    for k1 in range(1, 31):
+        k2 = f"s{k1 % 3}"
+        ps.setInt(1, k1)
+        ps.setString(2, k2)
+        ps.setDouble(3, float(k1) * 2.5)
+        ps.executeUpdate()
+        want.add((str(k1), k2, str(float(k1) * 2.5)))
+    st.executeUpdate("INSERT INTO APP.NOTES VALUES ('unkeyed')")
+
+    src = JdbcMetadataSource(spark, url, {"driver": DERBY_DRIVER}, num_partitions=3)
+    schemas = src.list_schemas()
+    assert "APP" in schemas and not any(s.startswith("SYS") for s in schemas)
+    tables = src.list_tables(["APP"])
+    assert sorted(tables["APP"]) == ["ACCOUNTS", "NOTES"]
+    assert src.get_table_primary_keys("APP", "ACCOUNTS") == ["K2", "K1"]
+    ddl = src.get_table_ddl("APP", "ACCOUNTS")
+    assert "K1 INTEGER NOT NULL" in ddl and "VARCHAR(5)" in ddl and "BAL DOUBLE" in ddl
+
+    snaps = {s.table: s for s in snapshot_all(src, "derby1")}
+    acc = snaps["ACCOUNTS"]
+    assert acc.error is None
+    rows = acc.events.collect()
+    ops = [r.op for r in rows]
+    assert ops[0] == "create_table" and ops[-1] == "end"
+    images = {
+        (r.data["K1"], r.data["K2"], r.data["BAL"])
+        for r in rows
+        if r.op == "insert"
+    }
+    assert images == want
+    # the no-PK table is rejected into a rollback event, not an exception
+    notes = snaps["NOTES"]
+    assert notes.error and "no primary key" in notes.error
+    assert [r.op for r in notes.events.collect()] == ["rollback"]
+    conn.close()
