@@ -99,6 +99,7 @@ HEADLINE = [
     "cdc_incremental_topk",
     "dedup_minhash_quality",
     "cdc_incremental_histogram",
+    "dedup_embedding_quality",
 ]
 
 

@@ -259,10 +259,12 @@ j AS (
 SELECT CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS expected,
        CAST(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
        CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT) AS found,
-       CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS DOUBLE)
-           / SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS recall,
-       CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS DOUBLE)
-           / SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS cand_precision
+       CASE WHEN SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) > 0 THEN
+            CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS DOUBLE)
+            / SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) END AS recall,
+       CASE WHEN SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) > 0 THEN
+            CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS DOUBLE)
+            / SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) END AS cand_precision
 FROM j
 """
 
@@ -308,13 +310,15 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("expected"),
         F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("n_candidates"),
         F.sum(hit).cast("long").alias("found"),
-        (
+        F.when(
+            F.sum(F.coalesce(F.col("__t"), F.lit(0))) > 0,
             F.sum(hit).cast("double")
-            / F.sum(F.coalesce(F.col("__t"), F.lit(0)))
+            / F.sum(F.coalesce(F.col("__t"), F.lit(0))),
         ).alias("recall"),
-        (
+        F.when(
+            F.sum(F.coalesce(F.col("__c"), F.lit(0))) > 0,
             F.sum(hit).cast("double")
-            / F.sum(F.coalesce(F.col("__c"), F.lit(0)))
+            / F.sum(F.coalesce(F.col("__c"), F.lit(0))),
         ).alias("cand_precision"),
     )
 

@@ -586,8 +586,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate sets broadcast, dup-heavy ones shuffle-hash."""
     emb = load(spark, sf_dir, "embeddings")
     bits, tables = _nd_knobs(emb.count())
-    planes = [_nd_planes(t, bits) for t in range(tables)]
     base = emb.select("vec_id", "embedding", norm_col("embedding").alias("norm"))
+    cand = _nd_candidate_pairs(base, bits, tables)
+    ea = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("na")
+    )
+    eb = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", cosine_from(dot_col("ea", "eb"), "na", "nb"))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def _nd_candidate_pairs(base: DataFrame, bits: int, tables: int) -> DataFrame:
+    """Multi-table SRP-LSH candidate pairs (vec_a < vec_b) with the
+    BUCKET_PAIR_CAP hub guard — the shared front half of
+    dedup_embedding_cosine and its measured-quality twin."""
+    planes = [_nd_planes(t, bits) for t in range(tables)]
     tb = base.select(
         "vec_id",
         F.explode(
@@ -621,23 +641,120 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbs.filter((F.col("n") > _BUCKET_PAIR_CAP) & (F.col("vec_id") != F.col("hub")))
         .select(F.col("hub").alias("vec_a"), F.col("vec_id").alias("vec_b"))
     )
-    cand = (
+    return (
         all_pairs.unionByName(hub_pairs)
         .distinct()
         .localCheckpoint(eager=False)
     )
-    ea = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("na")
+
+
+# Blocking-quality measurement for the embedding near-dup family — the
+# vector sibling of dedup_minhash_quality. Ground truth is all-pairs
+# exact cosine over a FIXED-size vec prefix (the quadratic is the
+# measurement's, not the operator's); candidates are the REAL
+# multi-table LSH pipeline at the anchor knobs (the capped sample size
+# keeps _nd_knobs at the oracle's 4-bit/2-table anchor on both sides).
+ND_QUALITY_SAMPLE = 800
+# Fixture-calibrated measurement threshold (like SEM_TAU): the synthetic
+# embeddings are near-orthogonal (max pairwise cosine 0.51/0.60 at
+# sf0.01/0.1), so the production NEAR_DUP_COS=0.8 has an EMPTY truth set
+# here; τ=0.4 yields 59/163 true pairs at the two scales. The blocking
+# under test keeps its production knobs — so the measured recall is the
+# honest (low) off-design rate, to be read against the SRP theory
+# 1−(1−p^bits)^tables with p = 1 − acos(τ)/π ≈ 0.29 at the τ boundary.
+ND_QUALITY_TAU = 0.4
+
+_ND_QUALITY_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {ND_QUALITY_SAMPLE}),
+tb AS (
+  SELECT vec_id, 0 AS tbl, {_sql_bucket("embedding", _ND_ORACLE_PLANES[0])} AS bucket FROM e
+  UNION ALL
+  SELECT vec_id, 1 AS tbl, {_sql_bucket("embedding", _ND_ORACLE_PLANES[1])} AS bucket FROM e
+), bstat AS (
+  SELECT tbl, bucket, MIN(vec_id) AS hub, COUNT(*) AS n
+  FROM tb GROUP BY tbl, bucket
+), cand AS (
+  SELECT DISTINCT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+    FROM tb a
+    JOIN tb c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+    JOIN bstat s ON s.tbl = a.tbl AND s.bucket = a.bucket
+    WHERE s.n <= {_BUCKET_PAIR_CAP}
+    UNION ALL
+    SELECT s.hub, x.vec_id
+    FROM tb x JOIN bstat s ON s.tbl = x.tbl AND s.bucket = x.bucket
+    WHERE s.n > {_BUCKET_PAIR_CAP} AND x.vec_id != s.hub
+  )
+), truth AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {ND_QUALITY_TAU}
+), j AS (
+  SELECT (t.vec_a IS NOT NULL) AS in_truth, (c.vec_a IS NOT NULL) AS in_cand
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.vec_a = c.vec_a AND t.vec_b = c.vec_b
+)
+SELECT CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS expected,
+       CAST(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT) AS found,
+       CASE WHEN SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) > 0 THEN
+            CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS DOUBLE)
+            / SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) END AS recall,
+       CASE WHEN SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) > 0 THEN
+            CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS DOUBLE)
+            / SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) END AS cand_precision
+FROM j
+"""
+
+
+@query("dedup_embedding_quality", oracle=_ND_QUALITY_ORACLE)
+def dedup_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall + candidate precision of the multi-table SRP-LSH blocking
+    (dedup_embedding_cosine's candidate pipeline, production knobs)
+    against the exact all-pairs cosine-≥-{ND_QUALITY_TAU} ground truth
+    over a fixed {ND_QUALITY_SAMPLE}-vector prefix — τ is
+    fixture-calibrated (see ND_QUALITY_TAU note). The theoretical
+    single-pair catch probability at cosine c is 1−(1−p^bits)^tables
+    with p = 1 − acos(c)/π; this query measures the realized rate per
+    corpus, the same conversion of "blocking runs" into "blocking
+    works" as ann_recall_at_k and dedup_minhash_quality."""
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < ND_QUALITY_SAMPLE
     )
-    eb = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb")
+    base = emb.select("vec_id", "embedding", norm_col("embedding").alias("norm"))
+    bits, tables = _nd_knobs(ND_QUALITY_SAMPLE)
+    cand = _nd_candidate_pairs(base, bits, tables).withColumn("__c", F.lit(1))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
     )
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .withColumn("cosine", cosine_from(dot_col("ea", "eb"), "na", "nb"))
-        .filter(F.col("cosine") >= NEAR_DUP_COS)
-        .select("vec_a", "vec_b", "cosine")
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine_from(dot_col("ea", "eb"), "na", "nb") >= ND_QUALITY_TAU)
+        .select("vec_a", "vec_b")
+        .withColumn("__t", F.lit(1))
+    )
+    j = truth.join(cand, ["vec_a", "vec_b"], "full_outer")
+    hit = (F.col("__t").isNotNull() & F.col("__c").isNotNull()).cast("long")
+    return j.agg(
+        F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("expected"),
+        F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("n_candidates"),
+        F.sum(hit).cast("long").alias("found"),
+        F.when(
+            F.sum(F.coalesce(F.col("__t"), F.lit(0))) > 0,
+            F.sum(hit).cast("double")
+            / F.sum(F.coalesce(F.col("__t"), F.lit(0))),
+        ).alias("recall"),
+        F.when(
+            F.sum(F.coalesce(F.col("__c"), F.lit(0))) > 0,
+            F.sum(hit).cast("double")
+            / F.sum(F.coalesce(F.col("__c"), F.lit(0))),
+        ).alias("cand_precision"),
     )
 
 
