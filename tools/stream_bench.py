@@ -108,6 +108,43 @@ def _drain_ivm(spark, seg: str, root: str, tag: str, files_per_trigger: int) -> 
     return dt
 
 
+def _drain_family(spark, seg: str, root: str, tag: str, files_per_trigger: int) -> dict:
+    """Round-6 IVM twins over the same stream: top-k (dirty-and-repair)
+    and fixed-bin histogram (pure signed deltas) — per-batch cost
+    O(batch + touched state), the maintenance-beats-recompute figure
+    for each algebra."""
+    from pyspark.sql import types as T
+
+    from go_cdc_spark.streaming.ivm import IncrementalHistogram, IncrementalTopK
+
+    types = {"grp": T.StringType(), "val": T.DoubleType(), "id": T.LongType()}
+    out = {}
+    tk = IncrementalTopK(
+        spark, ["grp"], ["id"], "val", 3, os.path.join(root, f"tk_{tag}"),
+        types=types,
+    )
+    t0 = time.monotonic()
+    tk.start(
+        read_changelog_stream(spark, seg, max_files_per_trigger=files_per_trigger),
+        os.path.join(root, f"tk_ckpt_{tag}"),
+    ).awaitTermination(600)
+    out["topk_sec"] = time.monotonic() - t0
+    assert 0 < tk.read_table().count() <= 16 * 3
+
+    h = IncrementalHistogram(
+        spark, ["grp"], "val", 0.0, 1000.0, 20, os.path.join(root, f"h_{tag}"),
+        types=types,
+    )
+    t0 = time.monotonic()
+    h.start(
+        read_changelog_stream(spark, seg, max_files_per_trigger=files_per_trigger),
+        os.path.join(root, f"h_ckpt_{tag}"),
+    ).awaitTermination(600)
+    out["hist_sec"] = time.monotonic() - t0
+    assert 0 < h.read_table().count() <= 16
+    return out
+
+
 def _drain(spark, seg: str, root: str, tag: str, files_per_trigger: int) -> float:
     mat = StreamingMaterializer(
         spark,
@@ -138,6 +175,7 @@ def main() -> None:
         t_micro = _drain(spark, seg10, root, "micro", files_per_trigger=1)
         t_ivm_big = _drain_ivm(spark, seg10, root, "big", files_per_trigger=10)
         t_ivm_micro = _drain_ivm(spark, seg10, root, "micro", files_per_trigger=1)
+        fam = _drain_family(spark, seg10, root, "big", files_per_trigger=10)
         print(
             json.dumps(
                 {
@@ -150,6 +188,8 @@ def main() -> None:
                     "ten_batches_sec": round(t_micro, 2),
                     "ivm_one_batch_eps": round(N_EVENTS / t_ivm_big),
                     "ivm_ten_batches_eps": round(N_EVENTS / t_ivm_micro),
+                    "ivm_topk_eps": round(N_EVENTS / fam["topk_sec"]),
+                    "ivm_hist_eps": round(N_EVENTS / fam["hist_sec"]),
                 }
             )
         )
