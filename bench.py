@@ -100,6 +100,7 @@ HEADLINE = [
     "dedup_minhash_quality",
     "cdc_incremental_histogram",
     "dedup_embedding_quality",
+    "dedup_simhash_banded",
 ]
 
 

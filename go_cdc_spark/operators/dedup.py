@@ -468,8 +468,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_ORACLE = """
-WITH tok AS (
+_SIMHASH_SIG_CTES = """tok AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ), th AS (
     SELECT doc_id, substring(md5(tok), 1, 16) AS h FROM tok
@@ -488,7 +487,10 @@ WITH tok AS (
                       ELSE (CAST(1 AS BIGINT) << (63 - j)) END
                ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
-)
+)"""
+
+_SIMHASH_ORACLE = f"""
+WITH {_SIMHASH_SIG_CTES}
 SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
 FROM sig GROUP BY simhash
 """
@@ -514,6 +516,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     token rows before the only shuffle (doc_id-keyed votes)."""
 
     docs = fan_out(load(spark, sf_dir, "documents"))
+    sig = _simhash_signatures(docs)
+    return sig.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id")
+    )
+
+
+def _simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash BIGINT) — the codegen bit-voting pipeline shared
+    by the bucket form, the banded pair form and the quality twin."""
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     hashed = tok.select("doc_id", F.substring(F.md5("tok"), 1, 16).alias("h"))
 
@@ -532,9 +543,197 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col(f"c{j}") * 2 > F.col("n_toks"), F.lit(1).cast("bigint"))
             .otherwise(F.lit(0).cast("bigint"))
         )
-    sig = votes.select("doc_id", packed.alias("simhash"))
-    return sig.groupBy("simhash").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id")
+    return votes.select("doc_id", packed.alias("simhash"))
+
+
+SIMHASH_BANDS = 4      # 4 x 16-bit bands: hamming <= 3 pairs share >= 1
+SIMHASH_HAM = 3        # Manku et al. WWW'07 near-dup radius
+
+
+def _simhash_band_key(col: Column, b: int) -> Column:
+    """16-bit band b (MSB-first) of a 64-bit signature. Arithmetic vs
+    logical shift doesn't matter: the & 0xFFFF mask keeps only original
+    bits — identical in Spark and DuckDB."""
+    return F.shiftright(col, 48 - 16 * b).bitwiseAND(F.lit(65535))
+
+
+def _simhash_banded_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate pairs sharing >= 1 of the {SIMHASH_BANDS} signature
+    bands, hamming-verified at radius {SIMHASH_HAM} — by pigeonhole, a
+    pair within hamming {SIMHASH_HAM} differs in at most 3 of 4 bands,
+    so band equality is a LOSSLESS block for the radius (recall loss
+    comes only from simhash itself, not the blocking). Identical-doc
+    mega-clusters share every band: the BUCKET_PAIR_CAP hub guard
+    applies per band bucket, as in the MinHash family."""
+    sig = _simhash_signatures(docs).localCheckpoint(eager=False)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        _simhash_band_key(F.col("simhash"), b).alias("k"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", F.col("bd.b").alias("b"), F.col("bd.k").alias("k"))
+    bstat = banded.groupBy("b", "k").agg(
+        F.min("doc_id").alias("hub"), F.count(F.lit(1)).alias("n")
+    )
+    bb = banded.join(bstat, ["b", "k"])
+    small = bb.filter(F.col("n") <= BUCKET_PAIR_CAP)
+    a = small.select(F.col("doc_id").alias("doc_a"), "b", "k")
+    c = small.select(F.col("doc_id").alias("doc_b"), "b", "k")
+    all_pairs = (
+        a.join(c, ["b", "k"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    hub_pairs = bb.filter(
+        (F.col("n") > BUCKET_PAIR_CAP) & (F.col("doc_id") != F.col("hub"))
+    ).select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    cand = all_pairs.unionByName(hub_pairs).distinct()
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAM)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_SIMHASH_CAND_SQL = f"""banded AS (
+    SELECT doc_id, p.b, (simhash >> (48 - 16 * p.b)) & 65535 AS k
+    FROM sig, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS b) p
+), bstat AS (
+    SELECT b, k, MIN(doc_id) AS hub, COUNT(*) AS n FROM banded GROUP BY b, k
+), spairs AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM banded a
+        JOIN banded c ON a.b = c.b AND a.k = c.k AND a.doc_id < c.doc_id
+        JOIN bstat s ON s.b = a.b AND s.k = a.k
+        WHERE s.n <= {BUCKET_PAIR_CAP}
+        UNION ALL
+        SELECT s.hub, x.doc_id
+        FROM banded x JOIN bstat s ON s.b = x.b AND s.k = x.k
+        WHERE s.n > {BUCKET_PAIR_CAP} AND x.doc_id != s.hub
+    )
+), verified AS (
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM spairs
+    JOIN sig sa ON sa.doc_id = spairs.doc_a
+    JOIN sig sb ON sb.doc_id = spairs.doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_HAM}
+)"""
+
+_SIMHASH_BANDED_ORACLE = f"""
+WITH {_SIMHASH_SIG_CTES},
+{_SIMHASH_CAND_SQL}
+SELECT doc_a, doc_b, hamming FROM verified
+"""
+
+
+@query("dedup_simhash_banded", oracle=_SIMHASH_BANDED_ORACLE)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at hamming radius {SIMHASH_HAM}, found by
+    {SIMHASH_BANDS}x16-bit band blocking (Manku et al. WWW'07, the
+    public method): pigeonhole makes band equality lossless for the
+    radius, so this upgrades `dedup_simhash`'s exact-signature buckets
+    to the production near-dup form. Scale shape mirrors
+    dedup_minhash_lsh: map-side signatures, one band self-join bounded
+    by bucket occupancy (hub guard past BUCKET_PAIR_CAP), verification
+    by a 64-bit XOR popcount on candidates only."""
+    return _simhash_banded_pairs(fan_out(load(spark, sf_dir, "documents")))
+
+
+_SIMHASH_QUALITY_ORACLE = f"""
+WITH qdocs AS (SELECT * FROM documents WHERE doc_id < {{Q}}),
+{_SIMHASH_SIG_CTES.replace("FROM documents", "FROM qdocs")},
+{_SIMHASH_CAND_SQL},
+sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS shset FROM qdocs),
+truth AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+          / (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) >= 0.5
+),
+j AS (
+    SELECT (t.doc_a IS NOT NULL) AS in_truth, (c.doc_a IS NOT NULL) AS in_cand
+    FROM truth t FULL OUTER JOIN verified c
+      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS expected,
+       CAST(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT) AS found,
+       CASE WHEN SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) > 0 THEN
+            CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS DOUBLE)
+            / SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) END AS recall,
+       CASE WHEN SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) > 0 THEN
+            CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS DOUBLE)
+            / SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) END AS cand_precision
+FROM j
+""".replace("{Q}", str(QUALITY_SAMPLE_DOCS))
+
+
+@query("dedup_simhash_quality", oracle=_SIMHASH_QUALITY_ORACLE)
+def dedup_simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality of simhash-at-hamming-{SIMHASH_HAM} as a DUP DETECTOR:
+    recall + precision of `dedup_simhash_banded`'s verified pairs
+    against the exact all-pairs Jaccard-≥-0.5 ground truth over the
+    same fixed {QUALITY_SAMPLE_DOCS}-doc prefix as
+    dedup_minhash_quality — the third measured blocking family.
+    SimHash approximates COSINE of token-frequency vectors, so its
+    agreement with a Jaccard truth set is exactly the cross-metric gap
+    worth measuring (near-identical docs agree on both; partial
+    overlaps diverge)."""
+    docs = fan_out(
+        load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < QUALITY_SAMPLE_DOCS
+        )
+    )
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles_col()).alias("shset")
+    ).localCheckpoint(eager=False)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size("sha") + F.size("shb") - inter
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((inter.cast("double") / union) >= 0.5)
+        .select("doc_a", "doc_b")
+        .withColumn("__t", F.lit(1))
+    )
+    cand = _simhash_banded_pairs(docs).select("doc_a", "doc_b").withColumn(
+        "__c", F.lit(1)
+    )
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    hit = (F.col("__t").isNotNull() & F.col("__c").isNotNull()).cast("long")
+    return j.agg(
+        F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("expected"),
+        F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("n_candidates"),
+        F.sum(hit).cast("long").alias("found"),
+        F.when(
+            F.sum(F.coalesce(F.col("__t"), F.lit(0))) > 0,
+            F.sum(hit).cast("double")
+            / F.sum(F.coalesce(F.col("__t"), F.lit(0))),
+        ).alias("recall"),
+        F.when(
+            F.sum(F.coalesce(F.col("__c"), F.lit(0))) > 0,
+            F.sum(hit).cast("double")
+            / F.sum(F.coalesce(F.col("__c"), F.lit(0))),
+        ).alias("cand_precision"),
     )
 
 
