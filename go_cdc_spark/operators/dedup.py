@@ -235,6 +235,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def blocking_quality(
+    truth: DataFrame, cand: DataFrame, pair_cols: list[str]
+) -> DataFrame:
+    """One-row quality summary of a blocking method against exact
+    ground truth: (expected, n_candidates, found, recall,
+    cand_precision) over pair sets keyed by ``pair_cols``. Shared by
+    the three measured blocking families (minhash bands, SRP-LSH
+    vectors, simhash hamming) so the metric definition and output
+    schema — which the oracles hash against — live in exactly one
+    place. Divisions are guarded: an empty truth or candidate set
+    yields NULL rates (both engines)."""
+    t = truth.select(*pair_cols).withColumn("__t", F.lit(1))
+    c = cand.select(*pair_cols).withColumn("__c", F.lit(1))
+    j = t.join(c, pair_cols, "full_outer")
+    hit = (F.col("__t").isNotNull() & F.col("__c").isNotNull()).cast("long")
+    return j.agg(
+        F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("expected"),
+        F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("n_candidates"),
+        F.sum(hit).cast("long").alias("found"),
+        F.when(
+            F.sum(F.coalesce(F.col("__t"), F.lit(0))) > 0,
+            F.sum(hit).cast("double")
+            / F.sum(F.coalesce(F.col("__t"), F.lit(0))),
+        ).alias("recall"),
+        F.when(
+            F.sum(F.coalesce(F.col("__c"), F.lit(0))) > 0,
+            F.sum(hit).cast("double")
+            / F.sum(F.coalesce(F.col("__c"), F.lit(0))),
+        ).alias("cand_precision"),
+    )
+
+
 # Bound on the measurement sample: the ground truth is all-pairs
 # (quadratic by definition), so quality is measured over a FIXED-size
 # doc prefix — every doc at sf0.01, the first 800 at any larger scale.
@@ -301,26 +333,8 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter((inter.cast("double") / union) >= 0.5)
         .select("doc_a", "doc_b")
-        .withColumn("__t", F.lit(1))
     )
-    cand = _minhash_candidates(docs).withColumn("__c", F.lit(1))
-    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
-    hit = (F.col("__t").isNotNull() & F.col("__c").isNotNull()).cast("long")
-    return j.agg(
-        F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("expected"),
-        F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("n_candidates"),
-        F.sum(hit).cast("long").alias("found"),
-        F.when(
-            F.sum(F.coalesce(F.col("__t"), F.lit(0))) > 0,
-            F.sum(hit).cast("double")
-            / F.sum(F.coalesce(F.col("__t"), F.lit(0))),
-        ).alias("recall"),
-        F.when(
-            F.sum(F.coalesce(F.col("__c"), F.lit(0))) > 0,
-            F.sum(hit).cast("double")
-            / F.sum(F.coalesce(F.col("__c"), F.lit(0))),
-        ).alias("cand_precision"),
-    )
+    return blocking_quality(truth, _minhash_candidates(docs), ["doc_a", "doc_b"])
 
 
 @query(
@@ -713,27 +727,9 @@ def dedup_simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter((inter.cast("double") / union) >= 0.5)
         .select("doc_a", "doc_b")
-        .withColumn("__t", F.lit(1))
     )
-    cand = _simhash_banded_pairs(docs).select("doc_a", "doc_b").withColumn(
-        "__c", F.lit(1)
-    )
-    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
-    hit = (F.col("__t").isNotNull() & F.col("__c").isNotNull()).cast("long")
-    return j.agg(
-        F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("expected"),
-        F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("n_candidates"),
-        F.sum(hit).cast("long").alias("found"),
-        F.when(
-            F.sum(F.coalesce(F.col("__t"), F.lit(0))) > 0,
-            F.sum(hit).cast("double")
-            / F.sum(F.coalesce(F.col("__t"), F.lit(0))),
-        ).alias("recall"),
-        F.when(
-            F.sum(F.coalesce(F.col("__c"), F.lit(0))) > 0,
-            F.sum(hit).cast("double")
-            / F.sum(F.coalesce(F.col("__c"), F.lit(0))),
-        ).alias("cand_precision"),
+    return blocking_quality(
+        truth, _simhash_banded_pairs(docs), ["doc_a", "doc_b"]
     )
 
 

@@ -723,7 +723,7 @@ def dedup_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = emb.select("vec_id", "embedding", norm_col("embedding").alias("norm"))
     bits, tables = _nd_knobs(ND_QUALITY_SAMPLE)
-    cand = _nd_candidate_pairs(base, bits, tables).withColumn("__c", F.lit(1))
+    cand = _nd_candidate_pairs(base, bits, tables)
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
         F.col("norm").alias("na"),
@@ -737,25 +737,10 @@ def dedup_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(cosine_from(dot_col("ea", "eb"), "na", "nb") >= ND_QUALITY_TAU)
         .select("vec_a", "vec_b")
-        .withColumn("__t", F.lit(1))
     )
-    j = truth.join(cand, ["vec_a", "vec_b"], "full_outer")
-    hit = (F.col("__t").isNotNull() & F.col("__c").isNotNull()).cast("long")
-    return j.agg(
-        F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("expected"),
-        F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("n_candidates"),
-        F.sum(hit).cast("long").alias("found"),
-        F.when(
-            F.sum(F.coalesce(F.col("__t"), F.lit(0))) > 0,
-            F.sum(hit).cast("double")
-            / F.sum(F.coalesce(F.col("__t"), F.lit(0))),
-        ).alias("recall"),
-        F.when(
-            F.sum(F.coalesce(F.col("__c"), F.lit(0))) > 0,
-            F.sum(hit).cast("double")
-            / F.sum(F.coalesce(F.col("__c"), F.lit(0))),
-        ).alias("cand_precision"),
-    )
+    from .dedup import blocking_quality
+
+    return blocking_quality(truth, cand, ["vec_a", "vec_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -778,12 +763,39 @@ KMEANS_ITERS = 2
 # centroids are trained once and broadcast to every consumer instead
 # of re-trained per query. Keyed by sf_dir; values are bit-exact
 # round-trips (collected doubles), so oracle hashes are unchanged.
-_TRAINED_MEMO: dict[str, tuple] = {}
+_TRAINED_MEMO: dict[tuple, tuple] = {}
+
+
+def _corpus_version(sf_dir: str) -> tuple:
+    """Cache key component tying the memo to the corpus CONTENT, not
+    just its path: the embeddings parquet's latest mtime + total size.
+    A rewritten/regenerated corpus under the same path (long-lived
+    driver, notebook) invalidates the entry instead of replaying stale
+    training against a fresh oracle read."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+            ]
+            return (
+                max((os.path.getmtime(f) for f in files), default=0.0),
+                sum(os.path.getsize(f) for f in files),
+            )
+        return (os.path.getmtime(path), os.path.getsize(path))
+    except OSError:
+        return ()
 
 
 def _trained_updates(spark: SparkSession, emb: DataFrame, cache_key: str) -> DataFrame:
     """Final-round Lloyd updates (centroid_id, dim, value, n_members),
-    trained on first use per corpus and replayed thereafter."""
+    trained on first use per corpus VERSION and replayed thereafter
+    (key = path + file mtimes/sizes, so an in-place rewrite retrains)."""
+    cache_key = (cache_key, _corpus_version(cache_key))
     hit = _TRAINED_MEMO.get(cache_key)
     if hit is None:
         cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(

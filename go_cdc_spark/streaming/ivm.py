@@ -561,9 +561,12 @@ class IncrementalJoin:
             regressing the view."""
             touched = ev.select(*keys).distinct()
             prior = state.join(touched, on=keys, how="left_semi")
+            # lazily pinned: eff feeds BOTH the new side state and the
+            # view delta (three swap_in_many writes would otherwise
+            # re-run the collapse window and the batch decode per write)
             eff = cdc_collapse(
                 prior.unionByName(ev), keys, keep_deletes=True
-            )
+            ).localCheckpoint(eager=False)
             new_state = state.join(touched, on=keys, how="left_anti").unionByName(eff)
             return eff, new_state
 
@@ -623,10 +626,15 @@ class IncrementalTopK:
     (k+1)-th row is unknowable from top-k state alone. :meth:`repair`
     rescans dirty groups from the base, scoped by semi-join.
 
-    A change below the stored k-th value for a full group provably
-    cannot enter the top-k; such inserts fold as no-ops. Crash-replay
-    safe via the same storeio batch-id + run-id stamp as the other
-    folds (the fold is not idempotent)."""
+    The micro-batch is collapsed per key first (retraction = the
+    key's earliest before-image, candidate insert = its latest
+    after-image unless the final op is a delete), so intra-batch
+    insert+delete / insert+update sequences fold correctly. A change
+    below the stored k-th value for a full group provably cannot enter
+    the top-k; such inserts fold as no-ops. A dirty group with no
+    stored rows (reordered events) keeps its flag via a NULL-key
+    sentinel row. Crash-replay safe via the same storeio batch-id +
+    run-id stamp as the other folds (the fold is not idempotent)."""
 
     def __init__(
         self,
@@ -675,15 +683,70 @@ class IncrementalTopK:
             return None
         return self.spark.read.parquet(self.state_path)
 
+    def _sentinel_pred(self) -> Column:
+        """A sentinel row carries a dirty flag for a group with no
+        stored top-k rows (all key columns NULL, NULL value)."""
+        p = F.col("__v").isNull()
+        for c in self.key_cols:
+            p = p & F.col(c).isNull()
+        return p
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import types as T
+        from pyspark.sql.window import Window
+
         applied = _applied_batch(self.state_path, run_id=self._run_id)
         if applied is not None and batch_id <= applied:
             return  # crash-replay of an already-folded batch
-        ins = self._image(
-            batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE)), "data"
+        rows = batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE, OP_DELETE))
+
+        def img(df: DataFrame, image_col: str) -> DataFrame:
+            cols = [
+                decode_image_value(
+                    F.col(image_col).getItem(c), self.types.get(c, T.StringType())
+                ).alias(c)
+                for c in [*self.group_cols, *self.key_cols, self.value_col]
+            ]
+            return df.select(*cols, "pos").withColumnRenamed(
+                self.value_col, "__v"
+            )
+
+        # Per-key collapse of the micro-batch: several events may hit
+        # one key (insert+delete, insert+update, …). The retraction
+        # against PRE-batch state is the key's EARLIEST before-image;
+        # the candidate insert is the key's LATEST after-image, and only
+        # if the key's final op is not delete. (Intermediate intra-batch
+        # images never touch state.)
+        w_last = Window.partitionBy(*self.key_cols).orderBy(F.desc("pos"))
+        w_first = Window.partitionBy(*self.key_cols).orderBy(F.asc("pos"))
+        key_from_either = [
+            decode_image_value(
+                F.coalesce(
+                    F.col("data").getItem(c), F.col("before").getItem(c)
+                ),
+                self.types.get(c, T.StringType()),
+            ).alias(c)
+            for c in self.key_cols
+        ]
+        final_op = (
+            rows.select(*key_from_either, "pos", "op")
+            .withColumn("__rn", F.row_number().over(w_last))
+            .filter(F.col("__rn") == 1)
+            .select(*self.key_cols, F.col("op").alias("__final_op"))
         )
-        rem = self._image(
-            batch.filter(F.col("op").isin(OP_DELETE, OP_UPDATE)), "before"
+        ins = (
+            img(rows.filter(F.col("op").isin(OP_INSERT, OP_UPDATE)), "data")
+            .withColumn("__rn", F.row_number().over(w_last))
+            .filter(F.col("__rn") == 1)
+            .join(final_op, on=self.key_cols)
+            .filter(F.col("__final_op") != OP_DELETE)
+            .select(*self.group_cols, *self.key_cols, "__v")
+        )
+        rem = (
+            img(rows.filter(F.col("op").isin(OP_DELETE, OP_UPDATE)), "before")
+            .withColumn("__rn", F.row_number().over(w_first))
+            .filter(F.col("__rn") == 1)
+            .select(*self.group_cols, *self.key_cols, "__v")
         )
         state = self._state()
         if state is None:
@@ -692,10 +755,11 @@ class IncrementalTopK:
                 .select(*self.group_cols, *self.key_cols, "__v")
                 .withColumn("dirty", F.lit(False))
             )
+        real_state = state.filter(~self._sentinel_pred())
         # a removal (or update-before) dirties its OLD group whenever
         # its key sits in that group's stored top-k — and conservatively
         # when the group is unknown to state (reordered events)
-        skeys = state.select(*self.group_cols, *self.key_cols).withColumn(
+        skeys = real_state.select(*self.group_cols, *self.key_cols).withColumn(
             "__in_top", F.lit(True)
         )
         sgroups = state.select(*self.group_cols).distinct().withColumn(
@@ -726,31 +790,49 @@ class IncrementalTopK:
             *self.group_cols, *self.key_cols, "__v"
         )
         folded = self._rank(
-            state.drop("dirty")
-            .unionByName(fresh_ins)
+            real_state.drop("dirty").unionByName(fresh_ins)
+        ).localCheckpoint(eager=False)
+        # all dirty groups this batch: new flags + carried-forward ones
+        prev_dirty = state.filter(F.col("dirty")).select(*self.group_cols).distinct()
+        all_dirty = (
+            dirty_groups.unionByName(prev_dirty).distinct().localCheckpoint(
+                eager=False
+            )
         )
         combined = folded.join(
-            dirty_groups.withColumn("__d", F.lit(True)), on=self.group_cols, how="left"
+            all_dirty.withColumn("__d", F.lit(True)), on=self.group_cols, how="left"
         ).select(
             *self.group_cols,
             *self.key_cols,
             "__v",
-            (
-                F.col("__d").isNotNull()
-            ).alias("dirty"),
+            F.col("__d").isNotNull().alias("dirty"),
         )
-        # carry forward previously-dirty flags (their groups stay dirty
-        # until repaired)
-        prev_dirty = state.filter(F.col("dirty")).select(*self.group_cols).distinct()
-        combined = combined.join(
-            prev_dirty.withColumn("__pd", F.lit(True)), on=self.group_cols, how="left"
-        ).select(
-            *self.group_cols,
-            *self.key_cols,
-            "__v",
-            (F.col("dirty") | F.col("__pd").isNotNull()).alias("dirty"),
+        # a dirty group may have NO stored rows (e.g. a delete for a
+        # group state never saw — the reordered-events case): persist
+        # the flag as a sentinel row so repair() still finds it
+        key_types = {f.name: f.dataType for f in state.schema.fields}
+        sentinels = (
+            all_dirty.join(
+                folded.select(*self.group_cols).distinct(),
+                on=self.group_cols,
+                how="left_anti",
+            )
+            .select(
+                *self.group_cols,
+                *[
+                    F.lit(None).cast(key_types[c]).alias(c)
+                    for c in self.key_cols
+                ],
+                F.lit(None).cast(key_types["__v"]).alias("__v"),
+                F.lit(True).alias("dirty"),
+            )
         )
-        _swap_state(combined, self.state_path, batch_id, run_id=self._run_id)
+        _swap_state(
+            combined.unionByName(sentinels),
+            self.state_path,
+            batch_id,
+            run_id=self._run_id,
+        )
 
     def repair(self, base: DataFrame) -> int:
         """Recompute top-k for dirty groups from the base table (scoped
@@ -774,7 +856,9 @@ class IncrementalTopK:
 
     def read_table(self) -> DataFrame:
         """Current per-group top-k (re-ranked); ``dirty`` surfaces
-        staleness instead of hiding it."""
+        staleness instead of hiding it. Sentinel rows (dirty groups
+        with no stored rows) appear with NULL keys/value and NULL
+        rank."""
         state = self._state()
         if state is None:
             raise FileNotFoundError(f"no IVM state at {self.state_path}")
@@ -783,7 +867,14 @@ class IncrementalTopK:
         w = Window.partitionBy(*self.group_cols).orderBy(
             F.desc_nulls_last("__v"), *[F.asc(c) for c in self.key_cols]
         )
-        return state.withColumn("rank", F.row_number().over(w)).select(
+        real = (
+            state.filter(~self._sentinel_pred())
+            .withColumn("rank", F.row_number().over(w))
+        )
+        sentinels = state.filter(self._sentinel_pred()).withColumn(
+            "rank", F.lit(None).cast("int")
+        )
+        return real.unionByName(sentinels).select(
             *self.group_cols,
             *self.key_cols,
             F.col("__v").alias(self.value_col),

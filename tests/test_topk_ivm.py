@@ -223,3 +223,77 @@ def test_stream_topk_replay_is_noop_and_repair_keeps_stamp(spark, tmp_path):
     assert clean == [("a", 2, 8.0, 1, False)]
     tk.process_batch(b1, 1)  # replay AFTER repair must still be skipped
     assert _rows(tk) == clean
+
+
+def test_stream_topk_intra_batch_insert_then_delete(spark, tmp_path):
+    """Several events for ONE key inside one micro-batch must collapse
+    per key: an insert followed by a delete of the same key leaves no
+    clean row behind, and insert+update leaves only the final image."""
+    from go_cdc_spark.sources.changelog import changelog_df
+
+    tk = IncrementalTopK(
+        spark, ["grp"], ["id"], "val", 2, str(tmp_path / "tk_state"),
+        types={"grp": T.StringType(), "val": T.DoubleType(), "id": T.LongType()},
+    )
+
+    def b(events):
+        rows = []
+        for e in events:
+            e = dict(e)
+            e["ts"] = None
+            rows.append(e)
+        return changelog_df(spark, rows)
+
+    # group 'a' already known to state
+    tk.process_batch(b([_ev("insert", 1, 1, "a", 9.0)]), 0)
+    # one batch: new key 7 inserted then deleted; new key 8 inserted
+    # then updated
+    tk.process_batch(b([
+        _ev("insert", 2, 7, "a", 5.0),
+        _ev("delete", 3, 7, before=("a", 5.0)),
+        _ev("insert", 4, 8, "a", 4.0),
+        _ev("update", 5, 8, "a", 6.0, before=("a", 4.0)),
+    ]), 1)
+    rows = _rows(tk)
+    ids = {r[1] for r in rows}
+    assert 7 not in ids, f"deleted-in-batch key must not appear: {rows}"
+    vals8 = [r for r in rows if r[1] == 8]
+    assert len(vals8) == 1 and vals8[0][2] == 6.0, (
+        f"key 8 must appear once with its final value: {rows}"
+    )
+
+
+def test_stream_topk_unknown_group_delete_keeps_dirty_sentinel(spark, tmp_path):
+    """A delete for a group state never saw (reordered events) must
+    persist its dirty flag even though the group has no stored rows —
+    via a sentinel row — so a later out-of-order insert cannot
+    silently resurrect the deleted row, and repair() rescans."""
+    from pyspark.sql import Row
+
+    from go_cdc_spark.sources.changelog import changelog_df
+
+    tk = IncrementalTopK(
+        spark, ["grp"], ["id"], "val", 2, str(tmp_path / "tk_state"),
+        types={"grp": T.StringType(), "val": T.DoubleType(), "id": T.LongType()},
+    )
+
+    def b(events):
+        rows = []
+        for e in events:
+            e = dict(e)
+            e["ts"] = None
+            rows.append(e)
+        return changelog_df(spark, rows)
+
+    # batch 0: delete arrives BEFORE its insert (cross-batch reorder)
+    tk.process_batch(b([_ev("delete", 20, 9, before=("z", 7.0))]), 0)
+    sent = [r for r in tk.read_table().collect() if r.grp == "z"]
+    assert sent and all(r.dirty for r in sent), "dirty flag must survive"
+    # batch 1: the late insert lands — group must STAY dirty (the fold
+    # cannot know the delete already consumed it)
+    tk.process_batch(b([_ev("insert", 10, 9, "z", 7.0)]), 1)
+    assert all(r.dirty for r in tk.read_table().collect() if r.grp == "z")
+    # repair against the true base (key 9 is gone) removes the ghost
+    base = spark.createDataFrame([Row(id=1, grp="other", val=1.0)])
+    assert tk.repair(base) >= 1
+    assert not [r for r in tk.read_table().collect() if r.grp == "z"]
