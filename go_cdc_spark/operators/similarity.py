@@ -766,36 +766,39 @@ KMEANS_ITERS = 2
 _TRAINED_MEMO: dict[tuple, tuple] = {}
 
 
-def _corpus_version(sf_dir: str) -> tuple:
+def _corpus_version(sf_dir: str) -> object:
     """Cache key component tying the memo to the corpus CONTENT, not
-    just its path: the embeddings parquet's latest mtime + total size.
-    A rewritten/regenerated corpus under the same path (long-lived
-    driver, notebook) invalidates the entry instead of replaying stale
-    training against a fresh oracle read."""
+    just its path: one (name, size, mtime_ns) tuple PER data file, so a
+    rewrite that shuffles bytes between files while preserving the
+    total — or touches only one file within coarse-mtime granularity —
+    still invalidates (the aggregate max-mtime+total-size key could
+    miss both). A stat failure returns a fresh sentinel that equals
+    nothing, so an unreadable corpus retrains instead of replaying a
+    stale codebook."""
     import os
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     try:
         if os.path.isdir(path):
-            files = [
-                os.path.join(path, f)
-                for f in os.listdir(path)
-                if not f.startswith(("_", "."))
-            ]
-            return (
-                max((os.path.getmtime(f) for f in files), default=0.0),
-                sum(os.path.getsize(f) for f in files),
+            return tuple(
+                sorted(
+                    (f, (st := os.stat(os.path.join(path, f))).st_size, st.st_mtime_ns)
+                    for f in os.listdir(path)
+                    if not f.startswith(("_", "."))
+                )
             )
-        return (os.path.getmtime(path), os.path.getsize(path))
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
     except OSError:
-        return ()
+        return object()  # unknown version: never matches, always retrains
 
 
 def _trained_updates(spark: SparkSession, emb: DataFrame, cache_key: str) -> DataFrame:
     """Final-round Lloyd updates (centroid_id, dim, value, n_members),
     trained on first use per corpus VERSION and replayed thereafter
     (key = path + file mtimes/sizes, so an in-place rewrite retrains)."""
-    cache_key = (cache_key, _corpus_version(cache_key))
+    sf_dir = cache_key
+    cache_key = (sf_dir, _corpus_version(sf_dir))
     hit = _TRAINED_MEMO.get(cache_key)
     if hit is None:
         cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
@@ -807,6 +810,11 @@ def _trained_updates(spark: SparkSession, emb: DataFrame, cache_key: str) -> Dat
             cent = _centroid_arrays(updates)
         assert updates is not None
         hit = (updates.schema, updates.collect())
+        # one live version per corpus path: evict superseded entries so
+        # a long-lived driver that regenerates the corpus doesn't grow
+        # the memo without bound
+        for stale in [k for k in _TRAINED_MEMO if k[0] == sf_dir]:
+            del _TRAINED_MEMO[stale]
         _TRAINED_MEMO[cache_key] = hit
     return spark.createDataFrame(hit[1], hit[0])
 

@@ -45,8 +45,16 @@ def applied_batch(path: str, run_id: str | None = None) -> int | None:
     must not let the old stamp silently skip every new batch. Callers
     that know their checkpoint identity pass it as ``run_id``: a stamp
     carrying a DIFFERENT run_id is ignored (returns None, so the new
-    run folds from its first batch). Stamps without a run_id (legacy,
-    or direct process_batch calls in tests) stay valid for any caller.
+    run folds from its first batch). Stamps without a run_id (legacy
+    dirs written before run scoping) stay valid for any caller — new
+    writers always stamp with one (the IVM consumers fall back to a
+    per-instance id before start() knows the checkpoint), so a dir
+    seeded by direct process_batch calls is never silently honored by
+    an unrelated run. Corollary, stated once: re-pointing an existing
+    state dir at a FRESH checkpoint makes the new run fold from batch
+    0, which double-folds unless the new run's source offset also
+    starts past the data already folded into the state — reattach
+    state only together with its checkpoint, or reset both.
     """
     stamp = _read_stamp(path)
     if stamp is None:

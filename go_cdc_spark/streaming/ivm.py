@@ -38,6 +38,7 @@ repo-wide float policy), cast to double only in ``read_table``.
 from __future__ import annotations
 
 import os
+import uuid as uuidlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,6 +59,53 @@ _SUM_T = "decimal(38,6)"
 # stamps the applied batch id atomically with the state (storeio's
 # replay-guarded swap) and skips replays at or below the stamp.
 _applied_batch = storeio.applied_batch
+
+
+def _instance_run_id() -> str:
+    """Replay-stamp identity used before ``start()`` supplies the real
+    checkpoint dir. Direct ``process_batch`` callers (tests, manual
+    seeding) thus still stamp with SOME run identity — a state dir
+    seeded that way and later attached to a real checkpoint does NOT
+    silently honor the seeding stamp (its ids mean nothing under the
+    new checkpoint's numbering). The flip side is documented in
+    storeio: re-pointing folded state at a fresh checkpoint re-folds
+    from batch 0, which is only safe if the source offset also starts
+    past the already-folded data."""
+    return f"local-{uuidlib.uuid4().hex[:12]}"
+
+
+def _split_key_mutations(rows: DataFrame, key_cols: list[str], types: dict) -> DataFrame:
+    """Normalize key-mutating updates: an update whose before-image key
+    differs from its after-image key is routed as delete(old key) +
+    insert(new key), both at the event's pos. Keyed consumers that
+    collapse the batch PER KEY (join sides, top-k) would otherwise
+    leave the old key's row live in state — the update's images land
+    under the new key only. Signed-delta consumers (sum/count,
+    histogram, distinct, min/max) don't need this: they fold the two
+    images independently, each under its own key."""
+    from pyspark.sql import types as T
+
+    def dec(image: str, c: str):
+        return decode_image_value(
+            F.col(image).getItem(c), types.get(c, T.StringType())
+        )
+
+    moved = F.lit(False)
+    for c in key_cols:
+        moved = moved | ~dec("data", c).eqNullSafe(dec("before", c))
+    is_move = (
+        (F.col("op") == OP_UPDATE)
+        & F.col("data").isNotNull()
+        & F.col("before").isNotNull()
+        & moved
+    )
+    movers = rows.filter(is_move)
+    null_of = lambda col: F.lit(None).cast(rows.schema[col].dataType)  # noqa: E731
+    dels = movers.withColumn("op", F.lit(OP_DELETE)).withColumn("data", null_of("data"))
+    inss = movers.withColumn("op", F.lit(OP_INSERT)).withColumn(
+        "before", null_of("before")
+    )
+    return rows.filter(~is_move).unionByName(dels).unionByName(inss)
 
 
 def _swap_state(
@@ -94,7 +142,8 @@ class IncrementalAggregate:
         self.value_col = value_col
         self.state_path = state_path
         self.types = types or {}
-        self._run_id: str | None = None  # set by start(); see storeio.applied_batch
+        self._run_id: str = _instance_run_id()  # start() swaps in the checkpoint dir
+        storeio.recover(state_path)  # promote a torn swap's .old- state before first read
 
     # -- envelope → signed contributions --------------------------------
 
@@ -207,7 +256,8 @@ class IncrementalMinMax:
         self.value_col = value_col
         self.state_path = state_path
         self.types = types or {}
-        self._run_id: str | None = None  # set by start(); see storeio.applied_batch
+        self._run_id: str = _instance_run_id()  # start() swaps in the checkpoint dir
+        storeio.recover(state_path)  # promote a torn swap's .old- state before first read
 
     def _image(self, batch: DataFrame, image_col: str) -> DataFrame:
         from pyspark.sql import types as T
@@ -360,7 +410,8 @@ class IncrementalDistinct:
         self.value_col = value_col
         self.state_path = state_path
         self.types = types or {}
-        self._run_id: str | None = None  # set by start(); see storeio.applied_batch
+        self._run_id: str = _instance_run_id()  # start() swaps in the checkpoint dir
+        storeio.recover(state_path)  # promote a torn swap's .old- state before first read
 
     def _image(self, batch: DataFrame, image_col: str, sign: int) -> DataFrame:
         from pyspark.sql import types as T
@@ -461,7 +512,11 @@ class IncrementalJoin:
     Events route by the envelope's ``table`` field; update/delete
     events must carry full before-images (the reference's
     ``binlog_row_image=FULL`` assumption, like every IVM consumer
-    here).
+    here). An update that MUTATES a primary key is normalized to
+    delete(old key) + insert(new key) before folding
+    (``_split_key_mutations``) — the data-over-before key coalesce
+    would otherwise leave the old key's row live in side state and in
+    the view.
     """
 
     def __init__(
@@ -485,7 +540,8 @@ class IncrementalJoin:
         self.dim_fields = dict(dim_fields)
         self.dim_keys = dim_keys
         self.fk = fk or dim_keys
-        self._run_id: str | None = None
+        self._run_id: str = _instance_run_id()  # start() swaps in the checkpoint dir
+        storeio.recover(state_path)  # promote a torn swap's .old- state before first read
         storeio.recover(state_path)
 
     # -- state ----------------------------------------------------------
@@ -541,13 +597,23 @@ class IncrementalJoin:
         if applied is not None and batch_id <= applied:
             return  # crash-replay of an already-folded batch
         rows = batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE, OP_DELETE))
+        # PK mutation is routed as delete(old)+insert(new) per side; the
+        # per-key collapse below would otherwise leave the old key live
         f_ev = self._decode(
-            rows.filter(F.col("table") == self.fact_table),
+            _split_key_mutations(
+                rows.filter(F.col("table") == self.fact_table),
+                self.fact_keys,
+                self.fact_fields,
+            ),
             self.fact_fields,
             self.fact_keys,
         )
         d_ev = self._decode(
-            rows.filter(F.col("table") == self.dim_table),
+            _split_key_mutations(
+                rows.filter(F.col("table") == self.dim_table),
+                self.dim_keys,
+                self.dim_fields,
+            ),
             self.dim_fields,
             self.dim_keys,
         )
@@ -633,8 +699,13 @@ class IncrementalTopK:
     below the stored k-th value for a full group provably cannot enter
     the top-k; such inserts fold as no-ops. A dirty group with no
     stored rows (reordered events) keeps its flag via a NULL-key
-    sentinel row. Crash-replay safe via the same storeio batch-id +
-    run-id stamp as the other folds (the fold is not idempotent)."""
+    sentinel row. A key-mutating update is normalized to delete(old
+    key) + insert(new key) before the collapse
+    (``_split_key_mutations``) — the per-key windows partition by the
+    coalesced NEW key, so the un-split form would leave the old key's
+    final op a live insert. Crash-replay safe via the same storeio
+    batch-id + run-id stamp as the other folds (the fold is not
+    idempotent)."""
 
     def __init__(
         self,
@@ -653,7 +724,8 @@ class IncrementalTopK:
         self.k = k
         self.state_path = state_path
         self.types = types or {}
-        self._run_id: str | None = None
+        self._run_id: str = _instance_run_id()  # start() swaps in the checkpoint dir
+        storeio.recover(state_path)  # promote a torn swap's .old- state before first read
 
     def _image(self, batch: DataFrame, image_col: str) -> DataFrame:
         from pyspark.sql import types as T
@@ -699,6 +771,11 @@ class IncrementalTopK:
         if applied is not None and batch_id <= applied:
             return  # crash-replay of an already-folded batch
         rows = batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE, OP_DELETE))
+        # PK mutation is routed as delete(old)+insert(new): the per-key
+        # windows below partition by coalesce(data, before) — the NEW
+        # key — so an un-split migrating update would leave the old
+        # key's final op as a live insert
+        rows = _split_key_mutations(rows, self.key_cols, self.types)
 
         def img(df: DataFrame, image_col: str) -> DataFrame:
             cols = [
@@ -923,7 +1000,8 @@ class IncrementalHistogram:
         self.lo, self.hi, self.nbins = lo, hi, nbins
         self.state_path = state_path
         self.types = types or {}
-        self._run_id: str | None = None
+        self._run_id: str = _instance_run_id()  # start() swaps in the checkpoint dir
+        storeio.recover(state_path)  # promote a torn swap's .old- state before first read
 
     def _image(self, batch: DataFrame, image_col: str, sign: int) -> DataFrame:
         from pyspark.sql import types as T
@@ -988,10 +1066,26 @@ class IncrementalHistogram:
             raise FileNotFoundError(f"no IVM state at {self.state_path}")
         return state.filter(F.col("n") > 0)
 
+    def staleness(self) -> DataFrame:
+        """Per-group ``has_negative``: true while a retraction that
+        arrived before its matching insert parks a negative cell in
+        state — the group's visible bin totals transiently overstate
+        the merged count until the insert lands. The histogram twin of
+        IncrementalTopK's ``dirty`` column: readers get a signal, not
+        a silently-wrong total."""
+        state = self._state()
+        if state is None:
+            raise FileNotFoundError(f"no IVM state at {self.state_path}")
+        return state.groupBy(*self.group_cols).agg(
+            F.max(F.col("n") < 0).alias("has_negative")
+        )
+
     def read_table(self) -> DataFrame:
         from ..operators.cdc import histogram_percentiles
 
-        return histogram_percentiles(self.histogram(), self.group_cols)
+        return histogram_percentiles(self.histogram(), self.group_cols).join(
+            self.staleness(), on=self.group_cols, how="left"
+        )
 
     def start(
         self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "ivm_hist"

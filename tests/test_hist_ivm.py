@@ -189,3 +189,37 @@ def test_stream_histogram_delete_before_insert_commutes(spark, tmp_path):
     assert sorted(map(tuple, h.histogram().collect())) == []  # net zero, compacted
     h.process_batch(b([_ev("insert", 3, 2, "a", 50.0)]), 2)
     assert sorted(map(tuple, h.histogram().collect())) == [("a", 5, 1)]
+
+
+def test_stream_histogram_staleness_flag(spark, tmp_path):
+    """A retraction arriving BEFORE its insert parks a negative cell;
+    while it is parked the group's visible totals overstate the merged
+    count — read_table must say so (has_negative), the histogram twin
+    of top-k's dirty column."""
+    from go_cdc_spark.sources.changelog import changelog_df
+
+    h = IncrementalHistogram(
+        spark, ["grp"], "val", LO, HI, BINS, str(tmp_path / "h_state"),
+        types={"grp": T.StringType(), "val": T.DoubleType()},
+    )
+
+    def b(events):
+        rows = []
+        for e in events:
+            e = dict(e)
+            e["ts"] = None
+            rows.append(e)
+        return changelog_df(spark, rows)
+
+    # delete of id 2 arrives a batch before its insert (cross-segment
+    # reordering): bin(35) parks at n=-1 while bin(15) reads n=1
+    h.process_batch(
+        b([_ev("insert", 1, 1, "a", 15.0), _ev("delete", 2, 2, before=("a", 35.0))]),
+        0,
+    )
+    row = h.read_table().collect()[0]
+    assert row.has_negative and row.n_vals == 1
+    # the late insert lands: the negative annihilates, flag clears
+    h.process_batch(b([_ev("insert", 3, 2, "a", 35.0)]), 1)
+    row = h.read_table().collect()[0]
+    assert not row.has_negative and row.n_vals == 1

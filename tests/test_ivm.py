@@ -1038,3 +1038,69 @@ def test_storeio_stamp_run_id_scoping(spark, tmp_path):
     # legacy stamp (no run_id) is valid under any lineage
     storeio.swap_in(spark.range(1), path, batch_id=7)
     assert storeio.applied_batch(path, run_id="ckptB") == 7
+
+
+def test_consumer_init_recovers_torn_swap(spark, tmp_path):
+    """A crash between swap_in's two renames leaves the state only at
+    the .old- sibling. Every IVM consumer must promote it back at
+    construction (storeio.recover) — otherwise _state() returns None on
+    restart and the replayed batch folds into EMPTY state: silent total
+    state loss."""
+    import os
+
+    from go_cdc_spark.sources.changelog import changelog_df
+    from go_cdc_spark.streaming.ivm import IncrementalAggregate
+
+    def ev(*a, **k):
+        e = _ev(*a, **k)
+        e["ts"] = None
+        return e
+
+    path = str(tmp_path / "s")
+    ivm = IncrementalAggregate(spark, ["grp"], "val", path, types={"grp": T.StringType()})
+    ivm.process_batch(changelog_df(spark, [ev("insert", 1, 1, "a", 10.0)]), 0)
+    want = sorted((r.grp, r.n_rows, r.sum_val) for r in ivm.read_table().collect())
+    # simulate the torn swap: live dir demoted, promotion rename lost
+    os.rename(path, path + ".old-deadbeef")
+    restarted = IncrementalAggregate(
+        spark, ["grp"], "val", path, types={"grp": T.StringType()}
+    )
+    assert sorted(
+        (r.grp, r.n_rows, r.sum_val) for r in restarted.read_table().collect()
+    ) == want
+    # same checkpoint identity on restart → the recovered stamp still
+    # absorbs the replay of the in-flight batch
+    restarted._run_id = ivm._run_id
+    restarted.process_batch(changelog_df(spark, [ev("insert", 1, 1, "a", 10.0)]), 0)
+    assert sorted(
+        (r.grp, r.n_rows, r.sum_val) for r in restarted.read_table().collect()
+    ) == want
+
+
+def test_stamp_always_carries_run_id(spark, tmp_path):
+    """Direct process_batch calls (no start()) must still stamp with a
+    run identity: a state dir seeded that way and later attached to a
+    DIFFERENT run must not have its seeding stamp honored — ids mean
+    nothing under the new run's numbering."""
+    import json
+    import os
+
+    from go_cdc_spark import storeio
+    from go_cdc_spark.sources.changelog import changelog_df
+    from go_cdc_spark.streaming.ivm import IncrementalAggregate
+
+    def ev(*a, **k):
+        e = _ev(*a, **k)
+        e["ts"] = None
+        return e
+
+    path = str(tmp_path / "s")
+    ivm = IncrementalAggregate(spark, ["grp"], "val", path, types={"grp": T.StringType()})
+    ivm.process_batch(changelog_df(spark, [ev("insert", 1, 1, "a", 10.0)]), 5)
+    with open(os.path.join(path, "_applied_batch.json")) as f:
+        stamp = json.load(f)
+    assert stamp["batch_id"] == 5 and stamp.get("run_id")  # never unscoped
+    # the seeding instance itself still skips its own replays ...
+    assert storeio.applied_batch(path, run_id=ivm._run_id) == 5
+    # ... but a foreign run does not inherit the seed's stamp
+    assert storeio.applied_batch(path, run_id=str(tmp_path / "fresh_ckpt")) is None

@@ -160,8 +160,11 @@ def test_every_ivm_consumer_agrees_with_the_materialized_table(spark, tmp_path):
         "grp", _bin_expr("val", LO, HI, BINS).alias("bin")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     want = sorted(map(tuple, histogram_percentiles(want_hist, ["grp"]).collect()))
-    got = sorted(map(tuple, consumers["hist"].read_table().collect()))
+    hist_rows = consumers["hist"].read_table().collect()
+    got = sorted(tuple(r)[:-1] for r in hist_rows)  # last col = has_negative
     assert got == want
+    # every retraction found its insert by end of stream: no staleness
+    assert not any(r.has_negative for r in hist_rows)
 
     # SCD2 current state == flat materializer state
     a = sorted(map(tuple, consumers["scd2"].current().select("id", "grp", "val").collect()))

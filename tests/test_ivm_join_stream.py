@@ -234,3 +234,41 @@ def test_multi_swap_torn_crash_recovers(spark, tmp_path):
     os.makedirs(path + ".tmp-dead")
     storeio.recover(path)
     assert not os.path.exists(path + ".tmp-dead")
+
+
+def test_join_view_key_mutating_updates_both_sides(spark, tmp_path):
+    """PK mutation on either side is delete(old key)+insert(new key):
+    the data-over-before key coalesce would otherwise leave the old
+    key's row live in side state AND in the view as a duplicate."""
+    jv = _mk(spark, tmp_path)
+    b0 = [
+        _dev("insert", 100, 1, "alpha"),
+        _dev("insert", 101, 2, "beta"),
+        _fev("insert", 102, 10, fk=1, amount=5.0),
+        _fev("insert", 103, 11, fk=2, amount=6.0),
+    ]
+    jv.process_batch(changelog_df(spark, b0), 0)
+    assert _view_set(jv) == {(10, 1, 5.0, "alpha"), (11, 2, 6.0, "beta")}
+
+    # fact PK mutates 10→20; dim PK mutates 2→3 (fact 11 dangles)
+    fmv = _fev("update", 110, 20, fk=1, amount=5.5, before=(1, 5.0))
+    fmv["before"]["id"] = "10"
+    dmv = _dev("update", 111, 3, "beta2", before="beta")
+    dmv["before"]["did"] = "2"
+    jv.process_batch(changelog_df(spark, [fmv, dmv]), 1)
+    assert _view_set(jv) == {(20, 1, 5.5, "alpha")}
+    live_facts = {
+        r.id for r in jv._side("fact", FACT_FIELDS).filter("op != 'delete'").collect()
+    }
+    assert live_facts == {20, 11}, "old fact key must be a tombstone"
+    live_dims = {
+        r.did for r in jv._side("dim", DIM_FIELDS).filter("op != 'delete'").collect()
+    }
+    assert live_dims == {1, 3}, "old dim key must be a tombstone"
+
+    # fact 11 re-points at the migrated dim key and rejoins
+    jv.process_batch(
+        changelog_df(spark, [_fev("update", 120, 11, fk=3, amount=6.5, before=(2, 6.0))]),
+        2,
+    )
+    assert _view_set(jv) == {(20, 1, 5.5, "alpha"), (11, 3, 6.5, "beta2")}

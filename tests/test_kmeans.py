@@ -96,3 +96,61 @@ def test_semdedup_matches_numpy_reference(spark, sf_dir):
     # allowing disagreement only for pairs within 1e-9 of the τ or
     # domination boundary (none exist in the fixture; assert exact)
     assert got == want
+
+
+def test_corpus_version_per_file_granularity(tmp_path):
+    """The trained-codebook memo key must see a rewrite that preserves
+    TOTAL size (bytes moving between part files) and must never treat
+    an unreadable corpus as a stable version."""
+    import os
+
+    from go_cdc_spark.operators.similarity import _corpus_version
+
+    d = tmp_path / "sf"
+    p = d / "embeddings.parquet"
+    p.mkdir(parents=True)
+    (p / "part-0").write_bytes(b"aaaa")
+    (p / "part-1").write_bytes(b"bb")
+    for f, t in (("part-0", 111), ("part-1", 222)):
+        os.utime(p / f, (t, t))
+    v1 = _corpus_version(str(d))
+    # shuffle bytes between files, total size unchanged, same mtimes:
+    # the old aggregate (max mtime, total size) key was blind to this
+    (p / "part-0").write_bytes(b"aa")
+    (p / "part-1").write_bytes(b"bbbb")
+    for f, t in (("part-0", 111), ("part-1", 222)):
+        os.utime(p / f, (t, t))
+    v2 = _corpus_version(str(d))
+    assert v1 != v2
+    # a stat failure yields a sentinel that matches nothing — not a
+    # shared "empty" version colliding across broken corpora
+    missing = _corpus_version(str(tmp_path / "nope"))
+    assert missing != _corpus_version(str(tmp_path / "nope"))
+
+
+def test_trained_memo_evicts_superseded_corpus_versions(spark, tmp_path):
+    """One live memo entry per corpus path: regenerating the corpus in
+    a long-lived driver must replace, not accumulate."""
+    import os
+
+    from pyspark.sql import Row
+
+    from go_cdc_spark.operators import similarity as S
+
+    d = tmp_path / "sf"
+    p = d / "embeddings.parquet"
+    p.mkdir(parents=True)
+    (p / "part-0").write_bytes(b"v1")
+    os.utime(p / "part-0", (111, 111))
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(12)]
+    )
+    before = {k for k in S._TRAINED_MEMO if k[0] == str(d)}
+    assert not before
+    S._trained_updates(spark, emb, str(d))
+    assert len([k for k in S._TRAINED_MEMO if k[0] == str(d)]) == 1
+    # corpus regenerated in place → retrain AND evict the old version
+    (p / "part-0").write_bytes(b"v2x")
+    os.utime(p / "part-0", (222, 222))
+    S._trained_updates(spark, emb, str(d))
+    assert len([k for k in S._TRAINED_MEMO if k[0] == str(d)]) == 1

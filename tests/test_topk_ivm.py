@@ -297,3 +297,77 @@ def test_stream_topk_unknown_group_delete_keeps_dirty_sentinel(spark, tmp_path):
     base = spark.createDataFrame([Row(id=1, grp="other", val=1.0)])
     assert tk.repair(base) >= 1
     assert not [r for r in tk.read_table().collect() if r.grp == "z"]
+
+
+def test_stream_topk_key_mutating_update_intra_batch(spark, tmp_path):
+    """An update whose before-image key differs from its after-image
+    key (PK mutation) is delete(old)+insert(new): the per-key collapse
+    windows partition by the coalesced NEW key, so without the split
+    the OLD key's final op stays a live insert — a phantom row."""
+    from go_cdc_spark.sources.changelog import changelog_df
+
+    tk = IncrementalTopK(
+        spark, ["grp"], ["id"], "val", 2, str(tmp_path / "tk_state"),
+        types={"grp": T.StringType(), "val": T.DoubleType(), "id": T.LongType()},
+    )
+
+    def b(events):
+        rows = []
+        for e in events:
+            e = dict(e)
+            e["ts"] = None
+            rows.append(e)
+        return changelog_df(spark, rows)
+
+    mv = _ev("update", 3, 6, "a", 4.0, before=("a", 3.0))
+    mv["before"]["id"] = "5"  # key 5 migrates to key 6
+    tk.process_batch(
+        b([_ev("insert", 1, 1, "a", 9.0), _ev("insert", 2, 5, "a", 3.0), mv]), 0
+    )
+    rows = {(r.grp, r.id): (r.val, r.rank) for r in tk.read_table().collect()}
+    assert ("a", 5) not in rows, "old key must be retracted, not left live"
+    assert rows[("a", 1)][0] == 9.0 and rows[("a", 6)][0] == 4.0
+    # the retraction of a state-unknown key conservatively dirtied the
+    # group; repair converges to the recompute
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame(
+        [Row(id=1, grp="a", val=9.0), Row(id=6, grp="a", val=4.0)]
+    )
+    tk.repair(base)
+    assert _rows(tk) == [("a", 1, 9.0, 1, False), ("a", 6, 4.0, 2, False)]
+
+
+def test_stream_topk_key_mutating_update_cross_batch(spark, tmp_path):
+    """A stored top-k key migrating to a new key in a later batch:
+    the old key's group dirties (its row leaves the top-k) and the new
+    key folds; repair surfaces the final ranking."""
+    from pyspark.sql import Row
+
+    from go_cdc_spark.sources.changelog import changelog_df
+
+    tk = IncrementalTopK(
+        spark, ["grp"], ["id"], "val", 2, str(tmp_path / "tk_state"),
+        types={"grp": T.StringType(), "val": T.DoubleType(), "id": T.LongType()},
+    )
+
+    def b(events):
+        rows = []
+        for e in events:
+            e = dict(e)
+            e["ts"] = None
+            rows.append(e)
+        return changelog_df(spark, rows)
+
+    tk.process_batch(
+        b([_ev("insert", 1, 1, "a", 9.0), _ev("insert", 2, 2, "a", 8.0)]), 0
+    )
+    mv = _ev("update", 3, 7, "a", 8.5, before=("a", 8.0))
+    mv["before"]["id"] = "2"  # stored rank-2 key migrates to key 7
+    tk.process_batch(b([mv]), 1)
+    assert any(r.dirty for r in tk.read_table().collect())
+    base = spark.createDataFrame(
+        [Row(id=1, grp="a", val=9.0), Row(id=7, grp="a", val=8.5)]
+    )
+    assert tk.repair(base) == 1
+    assert _rows(tk) == [("a", 1, 9.0, 1, False), ("a", 7, 8.5, 2, False)]
