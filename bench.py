@@ -101,6 +101,8 @@ HEADLINE = [
     "cdc_incremental_histogram",
     "dedup_embedding_quality",
     "dedup_simhash_banded",
+    # round-7 surface
+    "cdc_incremental_stats",
 ]
 
 

@@ -1141,6 +1141,144 @@ def cdc_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_stats(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    group_cols: list[str],
+    val_col: str,
+    pos_threshold: str | None = None,
+    base_stats: DataFrame | None = None,
+    pos_col: str = "pos",
+    op_col: str = "op",
+) -> DataFrame:
+    """Per-group second-moment power sums — ``COUNT(*)``,
+    ``COUNT(val)``, ``Σval``, ``Σval²`` — maintained from the change
+    stream by signed deltas; mean/variance/stddev derive at read time.
+
+    The second fully-foldable IVM member after the histogram: a row's
+    contribution to each power sum is independent of every other row,
+    so retraction is an exact signed delta with no dirty flags or
+    rescans. The part that makes retraction EXACT (not just unbiased)
+    is the accumulation type: Σval and Σval² ride the repo's decimal
+    policy (val and val² cast to decimal per element — deterministic
+    per-element rounding — then summed exactly), so maintained sums are
+    bit-identical to a full recompute at any parallelism. A float
+    accumulator could not deliver that: ``(a + b) − b ≠ a`` in binary
+    float, and months of folds would accumulate cancellation residue.
+
+    Delegates the delta algebra (latest-wins collapse, before-image
+    lookup scoped by semi-join, after-image assertion, MV merge) to
+    :func:`incremental_agg` over derived columns. ``base_stats``, when
+    supplied, is the stored MV in THIS function's output shape
+    (``group_cols + [n, n_vals, sum_val, sum_sq]``).
+
+    Returns ``group_cols + [n (long), n_vals (long), sum_val
+    (decimal), sum_sq (decimal)]``. NULL values count toward ``n``
+    but not ``n_vals``/sums — SQL aggregate semantics.
+    """
+    dec38 = "decimal(38,6)"
+    sq_c, nn_c = "__sq", "__nn"
+
+    def widen(df: DataFrame) -> DataFrame:
+        v = F.col(val_col)
+        return df.withColumn(sq_c, (v * v).cast("decimal(28,6)")).withColumn(
+            nn_c,
+            F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("decimal(18,6)"),
+        )
+
+    if base_stats is not None:
+        base_stats = base_stats.select(
+            *group_cols,
+            "n",
+            F.col("sum_val").cast(dec38).alias(f"sum_{val_col}"),
+            F.col("sum_sq").cast(dec38).alias(f"sum_{sq_c}"),
+            F.col("n_vals").cast(dec38).alias(f"sum_{nn_c}"),
+        )
+    agg = incremental_agg(
+        widen(snapshot),
+        widen(changes),
+        keys,
+        group_cols,
+        sum_cols=[val_col, sq_c, nn_c],
+        pos_threshold=pos_threshold,
+        base_agg=base_stats,
+        pos_col=pos_col,
+        op_col=op_col,
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.col(f"sum_{nn_c}").cast("long").alias("n_vals"),
+        F.col(f"sum_{val_col}").alias("sum_val"),
+        F.col(f"sum_{sq_c}").alias("sum_sq"),
+    )
+
+
+_CDC_STATS_ORACLE = f"""
+WITH {_CDC_CHANGES_CTE},
+merged AS (
+    SELECT c.c_nationkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_nationkey, c_acctbal FROM latest WHERE op <> 'delete'
+),
+sums AS (
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(COUNT(c_acctbal) AS BIGINT) AS n_vals,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) AS sum_bal,
+           CAST(CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,6)))
+                AS VARCHAR) AS DOUBLE) AS sum_sq
+    FROM merged
+    GROUP BY c_nationkey
+)
+SELECT c_nationkey, n_cust, n_vals,
+       sum_bal / n_vals AS mean_bal,
+       CASE WHEN n_vals > 1 THEN
+           SQRT(GREATEST((sum_sq - (sum_bal * sum_bal) / n_vals)
+                         / (n_vals - 1), 0.0))
+       END AS stddev_bal
+FROM sums
+"""
+
+
+@query("cdc_incremental_stats", oracle=_CDC_STATS_ORACLE)
+def cdc_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment-statistics maintenance (:func:`incremental_stats`):
+    per-nation balance mean + sample stddev kept current by signed
+    power-sum deltas, never re-scanning the base. The oracle recomputes
+    the power sums from the fully merged table with the same
+    deterministic per-element decimal rounding, so the gate proves
+    maintained sums ≡ recomputed sums bit-for-bit — including group
+    migration and vanished/new groups. Both engines derive the
+    statistics from identical doubles (decimal→double via Spark cast /
+    DuckDB VARCHAR hop, both correctly rounded)."""
+    cust = load(spark, sf_dir, "customer")
+    changes = _derived_customer_changes(load(spark, sf_dir, "events"))
+    st = incremental_stats(
+        cust,
+        changes,
+        keys=["c_custkey"],
+        group_cols=["c_nationkey"],
+        val_col="c_acctbal",
+        pos_threshold=_CDC_TABLE_GTID,
+    )
+    n_vals = F.col("n_vals")
+    sv = F.col("sum_val").cast("double")
+    sq = F.col("sum_sq").cast("double")
+    var = (sq - (sv * sv) / n_vals) / (n_vals - 1)
+    return st.select(
+        "c_nationkey",
+        F.col("n").alias("n_cust"),
+        "n_vals",
+        (sv / n_vals).alias("mean_bal"),
+        F.when(n_vals > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("stddev_bal"),
+    )
+
+
 @query(
     "filter_rules",
     oracle="""

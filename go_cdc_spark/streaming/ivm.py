@@ -228,6 +228,137 @@ class IncrementalAggregate:
         )
 
 
+class IncrementalStats:
+    """Mean/variance/stddev per group from the change stream — the
+    streaming twin of ``operators/cdc.py::incremental_stats``. State is
+    the per-group power sums (COUNT(*), COUNT(val), Σval, Σval²), the
+    second fully-foldable IVM member after the histogram: every row's
+    contribution is independent, so retraction is an exact signed
+    delta. The sums accumulate in decimal (val and val² cast per
+    element, then summed exactly), which is what makes long-lived
+    retraction exact — a float accumulator would collect cancellation
+    residue since ``(a + b) − b ≠ a`` in binary float. Same
+    cross-batch commutation (negative groups park hidden) and storeio
+    batch-id + run-id replay guard as :class:`IncrementalAggregate`.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        group_cols: list[str],
+        value_col: str,
+        state_path: str,
+        types: dict | None = None,
+    ):
+        self.spark = spark
+        self.group_cols = group_cols
+        self.value_col = value_col
+        self.state_path = state_path
+        self.types = types or {}
+        self._run_id: str = _instance_run_id()  # start() swaps in the checkpoint dir
+        storeio.recover(state_path)  # promote a torn swap's .old- state before first read
+
+    def _image(self, batch: DataFrame, image_col: str, sign: int) -> DataFrame:
+        from pyspark.sql import types as T
+
+        cols = [
+            decode_image_value(
+                F.col(image_col).getItem(c), self.types.get(c, T.StringType())
+            ).alias(c)
+            for c in self.group_cols
+        ]
+        val = decode_image_value(
+            F.col(image_col).getItem(self.value_col),
+            self.types.get(self.value_col, T.DoubleType()),
+        )
+        return batch.select(
+            *cols, val.alias("__val"), F.lit(sign).alias("__sign")
+        )
+
+    def _delta(self, batch: DataFrame) -> DataFrame:
+        plus = self._image(
+            batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE)), "data", 1
+        )
+        minus = self._image(
+            batch.filter(F.col("op").isin(OP_DELETE, OP_UPDATE)), "before", -1
+        )
+        both = plus.unionByName(minus)
+        v = F.col("__val")
+        sg = F.col("__sign")
+        return both.groupBy(*self.group_cols).agg(
+            F.sum(sg).cast("long").alias("n_rows"),
+            F.sum(F.when(v.isNotNull(), sg).otherwise(0)).cast("long").alias("n_vals"),
+            F.sum(sg * v.cast("decimal(18,6)")).cast(_SUM_T).alias("sum_val"),
+            F.sum(sg * (v * v).cast("decimal(28,6)")).cast(_SUM_T).alias("sum_sq"),
+        )
+
+    def _state(self) -> DataFrame | None:
+        if not os.path.exists(self.state_path):
+            return None
+        return self.spark.read.parquet(self.state_path)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        applied = _applied_batch(self.state_path, run_id=self._run_id)
+        if applied is not None and batch_id <= applied:
+            return  # crash-replay of an already-folded batch
+        delta = self._delta(batch)
+        state = self._state()
+        merged = delta if state is None else state.unionByName(delta)
+        # negatives park (cross-batch commutation); only the exact
+        # identity compacts away — same rule as IncrementalAggregate
+        combined = (
+            merged.groupBy(*self.group_cols)
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("n_vals").cast("long").alias("n_vals"),
+                F.sum("sum_val").cast(_SUM_T).alias("sum_val"),
+                F.sum("sum_sq").cast(_SUM_T).alias("sum_sq"),
+            )
+            .filter(
+                ~(
+                    (F.col("n_rows") == 0)
+                    & (F.col("n_vals") == 0)
+                    & (F.col("sum_val") == 0)
+                    & (F.col("sum_sq") == 0)
+                )
+            )
+        )
+        _swap_state(combined, self.state_path, batch_id, run_id=self._run_id)
+
+    def read_table(self) -> DataFrame:
+        """Current per-group statistics derived from the maintained
+        power sums: row/value counts, exact-sum mean, sample variance
+        and stddev (NULL until a group holds ≥ 2 values)."""
+        state = self._state()
+        if state is None:
+            raise FileNotFoundError(f"no IVM state at {self.state_path}")
+        state = state.filter(F.col("n_rows") > 0)  # hide in-flight negatives
+        n = F.col("n_vals")
+        sv = F.col("sum_val").cast("double")
+        sq = F.col("sum_sq").cast("double")
+        var = F.when(n > 1, F.greatest((sq - (sv * sv) / n) / (n - 1), F.lit(0.0)))
+        return state.select(
+            *self.group_cols,
+            "n_rows",
+            "n_vals",
+            F.when(n > 0, sv / n).alias("mean_val"),
+            var.alias("var_val"),
+            F.sqrt(var).alias("stddev_val"),
+        )
+
+    def start(
+        self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "ivm_stats"
+    ):
+        self._run_id = checkpoint_dir
+        return (
+            changes_stream.writeStream.queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
 class IncrementalMinMax:
     """MIN/MAX per group from the change stream — with the honest
     treatment of their non-distributivity: a delete can only be folded

@@ -142,6 +142,19 @@ def _drain_family(spark, seg: str, root: str, tag: str, files_per_trigger: int) 
     ).awaitTermination(600)
     out["hist_sec"] = time.monotonic() - t0
     assert 0 < h.read_table().count() <= 16
+
+    from go_cdc_spark.streaming.ivm import IncrementalStats
+
+    st = IncrementalStats(
+        spark, ["grp"], "val", os.path.join(root, f"st_{tag}"), types=types
+    )
+    t0 = time.monotonic()
+    st.start(
+        read_changelog_stream(spark, seg, max_files_per_trigger=files_per_trigger),
+        os.path.join(root, f"st_ckpt_{tag}"),
+    ).awaitTermination(600)
+    out["stats_sec"] = time.monotonic() - t0
+    assert 0 < st.read_table().count() <= 16
     return out
 
 
