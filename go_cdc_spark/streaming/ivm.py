@@ -82,17 +82,26 @@ def _split_key_mutations(rows: DataFrame, key_cols: list[str], types: dict) -> D
     leave the old key's row live in state — the update's images land
     under the new key only. Signed-delta consumers (sum/count,
     histogram, distinct, min/max) don't need this: they fold the two
-    images independently, each under its own key."""
-    from pyspark.sql import types as T
+    images independently, each under its own key.
 
-    def dec(image: str, c: str):
-        return decode_image_value(
-            F.col(image).getItem(c), types.get(c, T.StringType())
-        )
+    The mutation test compares the RAW image representations (no
+    decode): raw-equal implies decoded-equal, and a raw-unequal pair
+    that decodes equal merely takes the split path — a delete+insert
+    of the SAME key, which every consumer folds to the update's exact
+    effect (conservative, never wrong). ``types`` stays in the
+    signature for callers that pass it; only the images' own encoding
+    is compared."""
+    del types  # raw-representation compare; see docstring
 
+    # pin the micro-batch once: the three branches below (and every
+    # downstream reference) would otherwise each re-scan the streaming
+    # source (file read + JSON parse per reference)
+    rows = rows.localCheckpoint(eager=False)
     moved = F.lit(False)
     for c in key_cols:
-        moved = moved | ~dec("data", c).eqNullSafe(dec("before", c))
+        moved = moved | ~F.col("data").getItem(c).eqNullSafe(
+            F.col("before").getItem(c)
+        )
     is_move = (
         (F.col("op") == OP_UPDATE)
         & F.col("data").isNotNull()
@@ -105,7 +114,16 @@ def _split_key_mutations(rows: DataFrame, key_cols: list[str], types: dict) -> D
     inss = movers.withColumn("op", F.lit(OP_INSERT)).withColumn(
         "before", null_of("before")
     )
-    return rows.filter(~is_move).unionByName(dels).unionByName(inss)
+    # lazily pinned: consumers reference the normalized batch several
+    # times (ins/rem images, final-op window, sentinels), and without
+    # the checkpoint each reference re-scans the micro-batch source
+    # through all three union branches (measured 3.5× fold slowdown)
+    return (
+        rows.filter(~is_move)
+        .unionByName(dels)
+        .unionByName(inss)
+        .localCheckpoint(eager=False)
+    )
 
 
 def _swap_state(
@@ -661,6 +679,7 @@ class IncrementalJoin:
         dim_fields: dict,
         dim_keys: list[str],
         fk: list[str] | None = None,
+        assume_immutable_keys: bool = False,
     ):
         self.spark = spark
         self.state_path = state_path
@@ -671,6 +690,11 @@ class IncrementalJoin:
         self.dim_fields = dict(dim_fields)
         self.dim_keys = dim_keys
         self.fk = fk or dim_keys
+        # the PK-mutation split costs ~20% fold throughput on streams
+        # that never mutate keys (measured, COVERAGE.md round 7); a
+        # source with enforced-immutable PKs may opt out — an update
+        # whose key DOES mutate then corrupts state (old key stays live)
+        self.assume_immutable_keys = assume_immutable_keys
         self._run_id: str = _instance_run_id()  # start() swaps in the checkpoint dir
         storeio.recover(state_path)  # promote a torn swap's .old- state before first read
         storeio.recover(state_path)
@@ -728,10 +752,16 @@ class IncrementalJoin:
         if applied is not None and batch_id <= applied:
             return  # crash-replay of an already-folded batch
         rows = batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE, OP_DELETE))
+
         # PK mutation is routed as delete(old)+insert(new) per side; the
         # per-key collapse below would otherwise leave the old key live
+        def norm(side_rows: DataFrame, keys: list[str], fields: dict) -> DataFrame:
+            if self.assume_immutable_keys:
+                return side_rows
+            return _split_key_mutations(side_rows, keys, fields)
+
         f_ev = self._decode(
-            _split_key_mutations(
+            norm(
                 rows.filter(F.col("table") == self.fact_table),
                 self.fact_keys,
                 self.fact_fields,
@@ -740,7 +770,7 @@ class IncrementalJoin:
             self.fact_keys,
         )
         d_ev = self._decode(
-            _split_key_mutations(
+            norm(
                 rows.filter(F.col("table") == self.dim_table),
                 self.dim_keys,
                 self.dim_fields,
@@ -847,6 +877,7 @@ class IncrementalTopK:
         k: int,
         state_path: str,
         types: dict | None = None,
+        assume_immutable_keys: bool = False,
     ):
         self.spark = spark
         self.group_cols = group_cols
@@ -855,6 +886,9 @@ class IncrementalTopK:
         self.k = k
         self.state_path = state_path
         self.types = types or {}
+        # see IncrementalJoin: opting out reclaims ~20% fold throughput
+        # but corrupts state if a PK ever mutates
+        self.assume_immutable_keys = assume_immutable_keys
         self._run_id: str = _instance_run_id()  # start() swaps in the checkpoint dir
         storeio.recover(state_path)  # promote a torn swap's .old- state before first read
 
@@ -906,7 +940,8 @@ class IncrementalTopK:
         # windows below partition by coalesce(data, before) — the NEW
         # key — so an un-split migrating update would leave the old
         # key's final op as a live insert
-        rows = _split_key_mutations(rows, self.key_cols, self.types)
+        if not self.assume_immutable_keys:
+            rows = _split_key_mutations(rows, self.key_cols, self.types)
 
         def img(df: DataFrame, image_col: str) -> DataFrame:
             cols = [

@@ -203,6 +203,7 @@ def main() -> None:
                     "ivm_ten_batches_eps": round(N_EVENTS / t_ivm_micro),
                     "ivm_topk_eps": round(N_EVENTS / fam["topk_sec"]),
                     "ivm_hist_eps": round(N_EVENTS / fam["hist_sec"]),
+                    "ivm_stats_eps": round(N_EVENTS / fam["stats_sec"]),
                 }
             )
         )
