@@ -103,6 +103,7 @@ HEADLINE = [
     "dedup_simhash_banded",
     # round-7 surface
     "cdc_incremental_stats",
+    "split_leakage_safe",
 ]
 
 

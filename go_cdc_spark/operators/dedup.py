@@ -915,6 +915,147 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(non_reps, "doc_id", "left_anti")
 
 
+_LEAKAGE_HOLDOUT_PCT = 10  # mirrors text.py's split_train_holdout
+
+_LEAKAGE_ORACLE = f"""
+WITH RECURSIVE sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM {_EDGES_SQL}
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM {_EDGES_SQL}
+), reach(a, b) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), members AS (
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+), rep AS (
+    SELECT d.doc_id, COALESCE(m.cluster_id, d.doc_id) AS rep
+    FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
+), lab AS (
+    SELECT doc_id,
+           (CAST(concat('0x', substr(md5(concat('split',
+                CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100
+            < {_LEAKAGE_HOLDOUT_PCT}) AS naive_holdout,
+           (CAST(concat('0x', substr(md5(concat('split',
+                CAST(rep AS VARCHAR))), 1, 4)) AS BIGINT) % 100
+            < {_LEAKAGE_HOLDOUT_PCT}) AS safe_holdout
+    FROM rep
+), counts AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN naive_holdout THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_holdout_naive,
+           CAST(SUM(CASE WHEN safe_holdout THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_holdout_safe
+    FROM lab
+), leak AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs,
+           CAST(SUM(CASE WHEN la.naive_holdout <> lb.naive_holdout
+                    THEN 1 ELSE 0 END) AS BIGINT) AS naive_cross_pairs,
+           CAST(SUM(CASE WHEN la.safe_holdout <> lb.safe_holdout
+                    THEN 1 ELSE 0 END) AS BIGINT) AS safe_cross_pairs
+    FROM {_EDGES_SQL} p
+    JOIN lab la ON p.doc_a = la.doc_id
+    JOIN lab lb ON p.doc_b = lb.doc_id
+)
+SELECT * FROM counts, leak
+"""
+
+
+@query("split_leakage_safe", oracle=_LEAKAGE_ORACLE)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/holdout split: hash the near-dup CLUSTER
+    representative (min doc_id of the component; singletons hash their
+    own id), so an entire near-dup class lands on one side of the
+    split. The naive per-document hash split contaminates evaluation —
+    a holdout document whose near-duplicate sits in train is partially
+    memorized, and eval loss reads low. This is the split-time
+    counterpart of dedup_survivors: instead of dropping duplicates,
+    it quarantines whole duplicate classes on one side.
+
+    Returns ONE measured row (the quality-measurement family style):
+    corpus/holdout counts under both strategies plus the LEAKAGE of
+    each — near-dup pairs whose endpoints straddle the split. The safe
+    strategy's cross count is zero by construction, but the gate
+    measures it rather than asserting it, and the naive count is the
+    contamination a per-doc split would have shipped.
+
+    Scale shape: cluster ids come from the existing connected-components
+    path (bounded driver union-find under DRIVER_CC_MAX_EDGES, else
+    distributed min-label); the representative hash is a map-side
+    projection over docs; the leakage audit joins the bounded verified
+    pair set against the tiny (doc_id, flags) relation. The same
+    labeling expression, minus the audit, tags a training-shard write
+    exactly like split_train_holdout's.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # ONE pair pipeline feeds both the clustering and the leakage audit
+    # (calling dedup_clusters would rebuild the whole MinHash pipeline
+    # a second time — measured 4.6s → 2.9s at sf0.1)
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    members = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    rep = docs.join(members, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep")
+    )
+
+    def holdout(col: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split"), col.cast("string"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+            < _LEAKAGE_HOLDOUT_PCT
+        )
+
+    lab = rep.select(
+        "doc_id",
+        holdout(F.col("doc_id")).alias("naive_holdout"),
+        holdout(F.col("rep")).alias("safe_holdout"),
+    ).localCheckpoint(eager=False)  # feeds the counts AND both join sides
+    counts = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("naive_holdout").cast("int")).cast("bigint").alias(
+            "n_holdout_naive"
+        ),
+        F.sum(F.col("safe_holdout").cast("int")).cast("bigint").alias(
+            "n_holdout_safe"
+        ),
+    )
+    la = lab.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("naive_holdout").alias("na"),
+        F.col("safe_holdout").alias("sa"),
+    )
+    lb = lab.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("naive_holdout").alias("nb"),
+        F.col("safe_holdout").alias("sb"),
+    )
+    leak = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_neardup_pairs"),
+            F.sum((F.col("na") != F.col("nb")).cast("int"))
+            .cast("bigint")
+            .alias("naive_cross_pairs"),
+            F.sum((F.col("sa") != F.col("sb")).cast("int"))
+            .cast("bigint")
+            .alias("safe_cross_pairs"),
+        )
+    )
+    return counts.crossJoin(leak)
+
+
 # ---------------------------------------------------------------------------
 # Windowed event dedup: telemetry duplicate suppression — keep one
 # event per (entity, type) within each 10-minute bucket. The batch
