@@ -1,10 +1,10 @@
 """Family-wide IVM integration: ONE changelog stream drives every
 maintenance consumer side by side — flat materializer, SUM/COUNT,
 MIN/MAX (with repair), COUNT(DISTINCT), top-k (with repair), histogram
-quantiles, and SCD2 — and every maintained read view must agree with
-the aggregate recomputed from the materializer's table. The family's
-correctness story in one place: seven different delta algebras, one
-event history, zero disagreement."""
+quantiles, moment statistics, and SCD2 — and every maintained read
+view must agree with the aggregate recomputed from the materializer's
+table. The family's correctness story in one place: eight different
+delta algebras, one event history, zero disagreement."""
 
 from __future__ import annotations
 
@@ -19,6 +19,7 @@ from go_cdc_spark.streaming.ivm import (
     IncrementalDistinct,
     IncrementalHistogram,
     IncrementalMinMax,
+    IncrementalStats,
     IncrementalTopK,
 )
 from go_cdc_spark.streaming.pipeline import (
@@ -87,6 +88,9 @@ def test_every_ivm_consumer_agrees_with_the_materialized_table(spark, tmp_path):
         ),
         "hist": IncrementalHistogram(
             spark, ["grp"], "val", LO, HI, BINS, str(tmp_path / "hs"), types=types
+        ),
+        "stats": IncrementalStats(
+            spark, ["grp"], "val", str(tmp_path / "st"), types=types
         ),
     }
     for name, c in consumers.items():
@@ -165,6 +169,26 @@ def test_every_ivm_consumer_agrees_with_the_materialized_table(spark, tmp_path):
     assert got == want
     # every retraction found its insert by end of stream: no staleness
     assert not any(r.has_negative for r in hist_rows)
+
+    # moment statistics from maintained power sums
+    want = {
+        r.grp: (r.n, r.nv, r.mean, r.sd)
+        for r in truth.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("val").alias("nv"),
+            F.avg("val").alias("mean"),
+            F.stddev_samp("val").alias("sd"),
+        ).collect()
+    }
+    for r in consumers["stats"].read_table().collect():
+        wn, wnv, wmean, wsd = want[r.grp]
+        assert (r.n_rows, r.n_vals) == (wn, wnv)
+        assert abs(r.mean_val - wmean) < 1e-9
+        if wsd is None:
+            assert r.stddev_val is None
+        else:
+            assert abs(r.stddev_val - wsd) < 1e-9
+    assert len(want) == consumers["stats"].read_table().count()
 
     # SCD2 current state == flat materializer state
     a = sorted(map(tuple, consumers["scd2"].current().select("id", "grp", "val").collect()))
