@@ -310,6 +310,45 @@ class Engine:
             for (src_id, schema, table), mat in self.tables.items()
             if self.registry[src_id].config.changelog
         ]
+
+        def make_dlq_start(holder: SourceHolder):
+            """One quarantine stream per source, SEPARATE from the
+            per-table delivery queries: malformed lines parse to NULL
+            schema/table, so a per-table rule filter would drop them
+            before any consumer saw them — and attaching the capture
+            to every table's stream would quarantine each bad line
+            once per table."""
+            cfg = holder.config
+
+            def start():
+                from .streaming.dlq import DeadLetterQueue, read_changelog_stream_dlq
+
+                dlq = DeadLetterQueue(self.spark, self.quarantine_path(cfg.name))
+                stream = read_changelog_stream_dlq(
+                    self.spark, cfg.changelog, cfg.max_files_per_trigger
+                )
+                ckpt = os.path.join(
+                    self.config.checkpoint_dir, f"src{holder.id}", "_quarantine"
+                )
+
+                def pb(batch, batch_id):
+                    dlq.split_batch(batch, batch_id)  # clean side unused here
+
+                return (
+                    stream.writeStream.queryName(f"{cfg.name}.quarantine")
+                    .option("checkpointLocation", ckpt)
+                    .foreachBatch(pb)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+
+            return start
+
+        work += [
+            make_dlq_start(holder)
+            for holder in self.registry.values()
+            if holder.config.changelog and holder.config.quarantine
+        ]
         if continuous and len(work) > 1:
             # long-lived tails must run concurrently (one blocked
             # awaitTermination would starve the rest); each gets its own
@@ -347,6 +386,19 @@ class Engine:
     def read_table(self, source_id: int, schema: str, table: str):
         """Queryable current state of a synced table (tombstones hidden)."""
         return self.tables[(source_id, schema, table)].read_table()
+
+    def quarantine_path(self, source_name: str) -> str:
+        return os.path.join(self.config.state_dir, "quarantine", source_name)
+
+    def read_quarantine(self, source_name: str):
+        """Quarantined changelog events for a source (reason, raw line,
+        surviving parsed fields, batch id) — empty if the source is
+        clean or quarantine is off."""
+        from .streaming.dlq import DeadLetterQueue
+
+        return DeadLetterQueue(
+            self.spark, self.quarantine_path(source_name)
+        ).read_table()
 
 
 def run(config_path: str, spark: SparkSession | None = None, continuous: bool = False) -> dict:

@@ -82,6 +82,11 @@ class SourceConfig:
     # micro-batch with the max_by hash aggregate instead of the window
     # sort (see operators.cdc.cdc_collapse skew_robust)
     skew_robust: bool = False
+    # dead-letter quarantine (streaming/dlq.py): one extra per-source
+    # stream captures malformed/invalid changelog events with a reason
+    # and the raw line into <state_dir>/quarantine/<name>; without it
+    # PERMISSIVE parsing drops them silently (native format only)
+    quarantine: bool = False
     # filtering
     rules: dict = field(default_factory=dict)
 
@@ -131,6 +136,13 @@ def _build(raw: dict) -> EngineConfig:
             raise ValueError(
                 f"source {s.name!r}: unknown changelog_format "
                 f"{s.changelog_format!r} (native | debezium)"
+            )
+        if s.quarantine and s.changelog_format != "native":
+            # the Debezium adapters parse topic values through their own
+            # schemas; raw-line capture is wired for the native envelope
+            raise ValueError(
+                f"source {s.name!r}: quarantine requires "
+                "changelog_format='native'"
             )
         if s.changelog_format != "debezium":
             # These topics are only unioned into the stream by the

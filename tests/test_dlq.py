@@ -143,3 +143,74 @@ def test_violation_reason_order_and_validity(spark):
     assert df.withColumn("r", violation_reason()).filter(
         F.col("r").isNotNull()
     ).count() == 0
+
+
+def test_engine_boot_with_quarantine(spark, tmp_path):
+    """Config-driven engine with quarantine=true: the per-source DLQ
+    stream captures malformed/invalid lines once (NULL-table rows never
+    reach any per-table rule filter), delivery is unaffected."""
+    from go_cdc_spark.app import Engine
+    from go_cdc_spark.config import load_config
+
+    from .test_app import SF, _event
+
+    seg_dir = tmp_path / "changelog"
+    seg_dir.mkdir()
+    cfg = f"""
+[engine]
+meta_path      = "{tmp_path}/meta"
+state_dir      = "{tmp_path}/state"
+checkpoint_dir = "{tmp_path}/ckpt"
+
+[[source]]
+id         = 1
+name       = "dev"
+type       = "parquet"
+path       = "{SF}"
+changelog  = "{seg_dir}"
+quarantine = true
+[source.primary_keys]
+region = ["r_regionkey"]
+[source.rules.global]
+include_tables = ["region"]
+"""
+    p = tmp_path / "config.toml"
+    p.write_text(cfg)
+    engine = Engine(load_config(str(p)), spark=spark)
+    engine.init_sources()
+    snaps = engine.full_sync()
+    pos = int({s.table: s.pos for s in snaps[1]}["region"])
+    lines = [
+        json.dumps(_event(pos + 1, "insert",
+                          {"r_regionkey": "99", "r_name": "ATLANTIS"})),
+        "%% broken line %%",
+        json.dumps(dict(_event(pos + 2, "insert",
+                               {"r_regionkey": "98", "r_name": "MU"}),
+                        op="upsert")),
+    ]
+    with open(seg_dir / "seg0.json", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    engine.incremental_sync()
+
+    state = {
+        r.r_regionkey: r.r_name
+        for r in engine.read_table(1, "main", "region").collect()
+    }
+    assert state[99] == "ATLANTIS" and 98 not in state
+    q = {r.reason for r in engine.read_quarantine("dev").collect()}
+    assert q == {"malformed_json", "unknown_op"}
+
+
+def test_config_rejects_quarantine_on_debezium(tmp_path):
+    import pytest
+
+    from go_cdc_spark.config import load_config
+
+    p = tmp_path / "bad.toml"
+    p.write_text(
+        '[engine]\nmeta_path="m"\nstate_dir="s"\ncheckpoint_dir="c"\n'
+        '[[source]]\nid=1\nname="a"\nchangelog_format="debezium"\n'
+        "quarantine=true\n"
+    )
+    with pytest.raises(ValueError, match="quarantine requires"):
+        load_config(str(p))
