@@ -104,6 +104,7 @@ HEADLINE = [
     # round-7 surface
     "cdc_incremental_stats",
     "split_leakage_safe",
+    "quality_oov_bigrams",
 ]
 
 

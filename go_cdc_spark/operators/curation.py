@@ -265,6 +265,99 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Reference-model quality scoring (CCNet lineage): CCNet buckets web
+# documents by the perplexity of a KenLM trained on Wikipedia. The
+# in-engine, log-free analog: train a bigram VOCABULARY on a trusted
+# reference slice, score every document by its out-of-vocabulary bigram
+# rate, and bucket the corpus on that rate. Pure rational arithmetic
+# end to end (counts, integer-div bucketing, one exact-longs division)
+# — so unlike a log-prob perplexity, it is bit-identical cross-engine
+# and earns a full hash-checked oracle.
+# ---------------------------------------------------------------------------
+
+# trusted reference slice: every 7th document stands in for CCNet's
+# Wikipedia (a deterministic, engine-portable sample rule)
+_OOV_REF_MOD = 7
+_OOV_BUCKETS = 10
+
+_OOV_ORACLE = f"""
+WITH big AS (
+    SELECT doc_id, lang, unnest({_sql_shingles(2)}) AS bg FROM documents
+),
+vocab AS (SELECT DISTINCT bg FROM big WHERE doc_id % {_OOV_REF_MOD} = 0),
+scored AS (
+    SELECT b.doc_id, b.lang,
+           COUNT(*) AS n_big,
+           SUM(CASE WHEN v.bg IS NULL THEN 1 ELSE 0 END) AS n_oov
+    FROM big b LEFT JOIN vocab v ON b.bg = v.bg
+    GROUP BY b.doc_id, b.lang
+)
+SELECT lang,
+       CAST(LEAST({_OOV_BUCKETS - 1}, (n_oov * {_OOV_BUCKETS}) // n_big)
+            AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_big) AS BIGINT) AS n_bigrams,
+       CAST(SUM(n_oov) AS BIGINT) AS n_oov,
+       CAST(SUM(n_oov) AS DOUBLE) / CAST(SUM(n_big) AS DOUBLE) AS oov_rate
+FROM scored
+GROUP BY lang, bucket
+"""
+
+
+@query("quality_oov_bigrams", oracle=_OOV_ORACLE)
+def quality_oov_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, decile-bucket) corpus composition by out-of-vocabulary
+    bigram rate against a reference slice — the log-free CCNet
+    perplexity-bucket analog (see module comment). A document whose
+    bigrams are mostly unseen in the trusted slice lands in a high
+    bucket: the filter/mix knob is then per-bucket sampling, exactly
+    CCNet's head/middle/tail treatment.
+
+    Scale shape: bigrams explode map-side (the shared shingle
+    expression, codegen); the vocabulary is a distinct over the
+    reference slice only (corpus/{_OOV_REF_MOD}); membership is one
+    hash join keyed by the bigram string (count-only aggregate above
+    it, skew-immune via map-side partials); the rollup output is
+    lang × {_OOV_BUCKETS} rows. At 100 TB the vocabulary of a trusted
+    slice is the big-but-boundable side — cap it by document frequency
+    (the boilerplate_ngrams pattern) or swap in a bloom filter of the
+    vocab; the join stays the same plan."""
+    docs = load(spark, sf_dir, "documents")
+    big = docs.select(
+        "doc_id", "lang", F.explode(shingles_col(n=2)).alias("bg")
+    )
+    vocab = (
+        big.filter(F.col("doc_id") % _OOV_REF_MOD == 0).select("bg").distinct()
+    )
+    scored = (
+        big.join(vocab.withColumn("__known", F.lit(True)), "bg", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_big"),
+            F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    bucket = F.least(
+        F.lit(_OOV_BUCKETS - 1),
+        F.expr(f"(n_oov * {_OOV_BUCKETS}) div n_big"),
+    ).cast("int")
+    return (
+        scored.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_big").cast("bigint").alias("n_bigrams"),
+            F.sum("n_oov").cast("bigint").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing: greedy fixed-budget concatenation within hash buckets.
 # ---------------------------------------------------------------------------
 
