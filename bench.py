@@ -105,6 +105,7 @@ HEADLINE = [
     "cdc_incremental_stats",
     "split_leakage_safe",
     "quality_oov_bigrams",
+    "dedup_substring_rewrite",
 ]
 
 

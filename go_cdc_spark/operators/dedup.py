@@ -915,6 +915,143 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(non_reps, "doc_id", "left_anti")
 
 
+# ---------------------------------------------------------------------------
+# Cross-document exact-substring dedup WITH corpus rewrite — the public
+# "deduplicating training data" method (Lee et al. 2022, arXiv:2107.06499)
+# re-expressed relationally: find word spans shared verbatim across
+# documents, keep ONE canonical occurrence, excise every other, and
+# reassemble the cleaned text. Detection-only siblings already exist
+# (dedup_winnow fingerprints, quality_repeated_spans intra-doc); this is
+# the operator that actually RETURNS the deduplicated corpus.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5  # span granularity in words (suffix-array 50-token analog,
+#              scaled to the fixture's short documents)
+
+def _span_rewrite_oracle() -> str:
+    from .curation import _sql_shingles
+
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(range(1, len(s) + 1)) - 1 AS pos, unnest(s) AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+),
+grams AS (
+    SELECT doc_id, unnest(range(1, len(g) + 1)) - 1 AS spos, unnest(g) AS gram
+    FROM (SELECT doc_id, {_sql_shingles(_SPAN_K)} AS g FROM documents
+          WHERE len(string_split(text, ' ')) >= {_SPAN_K})
+),
+dup AS (
+    SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+occ AS (
+    SELECT g.doc_id, g.spos,
+           ROW_NUMBER() OVER (PARTITION BY g.gram
+                              ORDER BY g.doc_id, g.spos) AS rn
+    FROM grams g JOIN dup USING (gram)
+),
+drops AS (
+    SELECT DISTINCT doc_id, unnest(range(spos, spos + {_SPAN_K})) AS pos
+    FROM occ WHERE rn > 1
+),
+kept AS (
+    SELECT w.doc_id, w.pos, w.word
+    FROM words w LEFT JOIN drops d ON w.doc_id = d.doc_id AND w.pos = d.pos
+    WHERE d.doc_id IS NULL
+),
+clean AS (
+    SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(string_split(d.text, ' ')) - COALESCE(c.n_kept, 0) AS BIGINT)
+           AS n_removed,
+       COALESCE(c.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN clean c USING (doc_id)
+WHERE len(string_split(d.text, ' ')) - COALESCE(c.n_kept, 0) > 0
+"""
+
+
+@query("dedup_substring_rewrite", oracle=_span_rewrite_oracle())
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup with corpus rewrite: every
+    {_SPAN_K}-word span appearing verbatim in ≥2 documents keeps its
+    CANONICAL occurrence (first by (doc_id, start)) and is excised
+    everywhere else; surviving words reassemble in order. Returns the
+    changed documents with before/removed word counts and the cleaned
+    text — the operator that actually produces the deduplicated corpus,
+    where dedup_winnow / quality_repeated_spans only detect.
+
+    Semantics, stated exactly: a word is removed iff some duplicated
+    {_SPAN_K}-gram occurrence covering it is not that gram's canonical
+    occurrence. Overlapping duplicated spans union naturally (position
+    sets, no interval merge needed); a document that is one big
+    duplicated span of an earlier document rewrites to empty — the
+    exact-dup limit case.
+
+    Scale shape: words and grams explode map-side (the shared shingle
+    expression); duplicated-gram detection is one count-distinct
+    aggregate keyed by the gram (hot boilerplate grams are absorbed by
+    map-side partials); the canonical window runs only over DUPLICATED
+    occurrences (bounded by duplicate mass, not corpus size); drop
+    positions explode K-wide from those occurrences only. The rewrite
+    aggregation shuffles surviving (pos, word) pairs once, keyed by
+    doc — at 100 TB, partition docs by id so the final groupBy is
+    co-located with the word explode. Suffix arrays (Lee et al.'s
+    structure) find variable-length spans; fixed-K grams find every
+    span of length ≥ K wordwise-identically, the standard relational
+    trade."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nwords = F.size(F.split("text", " "))
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    grams = docs.filter(nwords >= _SPAN_K).select(
+        "doc_id", F.posexplode(shingles_col(n=_SPAN_K)).alias("spos", "gram")
+    )
+    dup = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("nd")
+    ).filter(F.col("nd") >= 2).select("gram")
+    w = Window.partitionBy("gram").orderBy("doc_id", "spos")
+    noncanon = (
+        grams.join(dup, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+    )
+    drops = noncanon.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("spos"), F.col("spos") + F.lit(_SPAN_K - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = words.join(drops, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        docs.select("doc_id", nwords.cast("bigint").alias("n_words"))
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .filter(F.col("n_removed") > 0)
+    )
+
+
 _LEAKAGE_HOLDOUT_PCT = 10  # mirrors text.py's split_train_holdout
 
 _LEAKAGE_ORACLE = f"""
