@@ -109,6 +109,141 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRIORITY_K = 100
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+# select raw-corpus documents whose hashed n-gram feature distribution
+# looks like a trusted target slice. DSIR scores each document by the
+# log-likelihood ratio of target vs raw bag-of-hashed-ngrams models and
+# resamples by that importance weight. The in-engine, log-free analog
+# scores by the EXACT integer cross-difference
+#
+#     delta_b = t_b * R - r_b * T      (per hashed feature bucket b)
+#     score(doc) = sum over doc tokens of delta_bucket(token)
+#
+# where t_b/r_b are target/raw token counts in bucket b and T/R the
+# slice totals. sign(delta_b) == sign(t_b/T - r_b/R), so the score is a
+# per-token-rescaled version of DSIR's probability-difference classifier
+# on hashed features — monotone in "target-likeness" — while staying in
+# BIGINT arithmetic that both engines compute bit-identically (a log
+# ratio would drift in libm). Selection = top-K score with doc_id
+# tie-break: the deterministic counterpart of DSIR's importance draw.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256  # hashed feature space (DSIR uses 10k at web scale)
+_DSIR_REF_MOD = 7  # trusted target slice: doc_id % 7 == 0 (the house
+#                    stand-in for "Wikipedia", same as quality_oov_bigrams)
+_DSIR_K = 150
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+bt AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(concat('dsir', tok)), 1, 4))
+                AS BIGINT) % {_DSIR_BUCKETS} AS b
+    FROM toks
+),
+counts AS (
+    SELECT b,
+           CAST(SUM(CASE WHEN doc_id % {_DSIR_REF_MOD} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS t_b,
+           CAST(SUM(CASE WHEN doc_id % {_DSIR_REF_MOD} <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS r_b
+    FROM bt GROUP BY b
+),
+tot AS (
+    SELECT CAST(SUM(t_b) AS BIGINT) AS t_tot,
+           CAST(SUM(r_b) AS BIGINT) AS r_tot
+    FROM counts
+),
+w AS (
+    SELECT b, t_b * r_tot - r_b * t_tot AS delta
+    FROM counts CROSS JOIN tot
+),
+scored AS (
+    SELECT bt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(delta) AS BIGINT) AS score
+    FROM bt JOIN w USING (b)
+    WHERE bt.doc_id % {_DSIR_REF_MOD} <> 0
+    GROUP BY bt.doc_id
+)
+SELECT doc_id, n_tokens, score,
+       CAST(score AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS score_per_token
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+
+@query("sample_importance_dsir", oracle=_DSIR_ORACLE)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling toward a trusted target slice over hashed
+    unigram features (DSIR analog, see section comment): score every
+    raw document by the exact integer cross-difference classifier and
+    keep the {_DSIR_K} most target-like (score desc, doc_id tie-break).
+
+    Scale shape: tokens explode map-side; the feature model is ONE
+    aggregation to {_DSIR_BUCKETS} rows (conditional partial counts fold
+    map-side, so the shuffle carries buckets × partitions rows, not
+    tokens) and the totals are a 1-row broadcast over it. Scoring joins
+    each token to the {_DSIR_BUCKETS}-row weight table — broadcast hash
+    join, no corpus shuffle — then aggregates by doc_id (partial sums
+    map-side; the explode keeps tokens of one document in one partition
+    so the partial collapses most of the volume). Selection is
+    ``orderBy().limit(k)`` → TakeOrderedAndProject: k rows per
+    partition reach the driver merge, no global sort. Overflow audit:
+    |delta| ≤ max(t_b·R, r_b·T) and |score| ≤ n_tokens·max|delta|; at
+    2^63 that bounds corpora to ~10^9 scored tokens per side at this
+    bucket count — past that, swap the two products and the score sum
+    to DECIMAL(38,0) (same plan, wider buffers)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    bt = toks.select(
+        "doc_id", (_hash16("dsir", "tok") % _DSIR_BUCKETS).alias("b")
+    )
+    is_ref = F.col("doc_id") % _DSIR_REF_MOD == 0
+    counts = bt.groupBy("b").agg(
+        F.sum(F.when(is_ref, 1).otherwise(0)).cast("bigint").alias("t_b"),
+        F.sum(F.when(~is_ref, 1).otherwise(0)).cast("bigint").alias("r_b"),
+    )
+    tot = counts.agg(
+        F.sum("t_b").cast("bigint").alias("t_tot"),
+        F.sum("r_b").cast("bigint").alias("r_tot"),
+    )
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (F.col("t_b") * F.col("r_tot") - F.col("r_b") * F.col("t_tot")).alias(
+            "delta"
+        ),
+    )
+    scored = (
+        bt.filter(~is_ref)
+        .join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("delta").cast("bigint").alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_DSIR_K)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score",
+            (F.col("score").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "score_per_token"
+            ),
+        )
+    )
+
+
+
 _PRIORITY_ORACLE = f"""
 SELECT doc_id, n_chars,
        CAST(n_chars AS DOUBLE)
