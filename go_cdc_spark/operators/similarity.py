@@ -1982,3 +1982,172 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (Achlioptas ±1 sketches):
+# reduce the 64-d embeddings to r-d sign-projection sketches BEFORE the
+# expensive similarity stages. Unlike the LSH routes (which quantize to
+# bits), the reduced vectors stay real-valued, so downstream cosine
+# math is unchanged — only 4x/2x cheaper and 4x/2x smaller on the wire.
+# The ±1 matrix (no 1/sqrt(r) scaling: cosine is scale-invariant) is
+# derived once from a pinned numpy stream and embedded as literals in
+# both engines, exactly like _HYPERPLANES.
+# ---------------------------------------------------------------------------
+
+_RP_MAX_DIMS = 32
+_RP_REDUCE_DIMS = 16  # width exposed by embed_rp_reduce's output
+_RP_SIGNS: list[list[float]] = np.where(
+    np.random.RandomState(13).standard_normal((_RP_MAX_DIMS, DIM)) >= 0, 1.0, -1.0
+).tolist()
+
+
+def _rp_col(j: int) -> Column:
+    return dot_col("embedding", _plane_lit(j, _RP_SIGNS))
+
+
+def _sql_rp(j: int) -> str:
+    return _sql_dot("embedding", _sql_plane(j, _RP_SIGNS))
+
+
+def _sql_rp_vec(r: int) -> str:
+    return "[" + ", ".join(_sql_rp(j) for j in range(r)) + "]"
+
+
+_RP_REDUCE_ORACLE = f"""
+WITH rp AS (SELECT vec_id, {_sql_rp_vec(_RP_REDUCE_DIMS)} AS rv FROM embeddings),
+long AS (
+  SELECT vec_id, gs.dim AS dim, rv[gs.dim + 1] AS value
+  FROM rp CROSS JOIN (SELECT unnest(range({_RP_REDUCE_DIMS})) AS dim) gs
+)
+SELECT vec_id, CAST(dim AS INTEGER) AS dim, CAST(value AS DOUBLE) AS value
+FROM long ORDER BY vec_id, dim
+"""
+
+
+@query("embed_rp_reduce", oracle=_RP_REDUCE_ORACLE)
+def embed_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_RP_REDUCE_DIMS}-d random-projection sketch of every embedding,
+    emitted in long (vec_id, dim, value) form — nested outputs are not
+    hash-comparable, and the long form is also the layout a feature
+    store ingests.
+
+    Scale shape: pure map — each sketch dim is one zip_with/aggregate
+    fold against a literal ±1 row (the plan ships the matrix as
+    constants, broadcast for free); no shuffle anywhere except the
+    output ordering (which a sink would drop). At 100 TB this is the
+    stage you run FIRST so every downstream pair computation (near-dup
+    blocking, ANN, clustering) folds {_RP_REDUCE_DIMS} doubles instead
+    of {DIM}."""
+    emb = load(spark, sf_dir, "embeddings")
+    sketch = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_rp_col(j) for j in range(_RP_REDUCE_DIMS)])
+        ).alias("dim", "value"),
+    )
+    return sketch.select(
+        "vec_id", F.col("dim").cast("int").alias("dim"), "value"
+    ).orderBy("vec_id", "dim")
+
+
+def _rp_topk(spark: SparkSession, sf_dir: str, r: int) -> DataFrame:
+    """Exact cosine top-k in the r-d sketch space (query split + window
+    shape identical to sim_topk, so the plans differ only in fold
+    width)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(*[_rp_col(j) for j in range(r)]).alias("rv")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("rv").alias("qv"),
+        norm_col("rv").alias("q_norm"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("rv").alias("cv"),
+        norm_col("rv").alias("c_norm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_from(dot_col("qv", "cv"), "q_norm", "c_norm").alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+
+
+def _sql_rp_topk(r: int) -> str:
+    return f"""(
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, c.cand_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_cosine("q.qv", "c.cv")} DESC,
+                                       c.cand_id) AS rn
+    FROM (SELECT vec_id AS query_id, {_sql_rp_vec(r)} AS qv
+          FROM embeddings WHERE vec_id < {N_QUERIES}) q
+    CROSS JOIN (SELECT vec_id AS cand_id, {_sql_rp_vec(r)} AS cv
+                FROM embeddings WHERE vec_id >= {N_QUERIES}) c
+  ) t WHERE rn <= {TOP_K}
+)"""
+
+
+def _rp_recall_oracle() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT 'rp{r}' AS route,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM exact e
+        JOIN {_sql_rp_topk(r)} a
+          ON e.query_id = a.query_id AND e.cand_id = a.cand_id) AS hits
+  FROM (SELECT 1)"""
+        for r in (16, 32)
+    )
+    return f"""
+WITH exact AS (SELECT query_id, cand_id FROM ({_TOPK_ORACLE}) t),
+expected AS (SELECT CAST(COUNT(*) AS BIGINT) AS expected FROM exact),
+arms AS ({arms})
+SELECT route, hits, expected,
+       CAST(hits AS DOUBLE) / CAST(expected AS DOUBLE) AS recall
+FROM arms CROSS JOIN expected
+"""
+
+
+@query("embed_rp_recall", oracle=_rp_recall_oracle())
+def embed_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of exact cosine search run in the r-d sketch
+    space (r = 16, 32) against the full-{DIM}-d ground truth
+    (sim_topk) — the measured answer to "how much similarity signal
+    does the cheap sketch keep?", the same runs-vs-works conversion
+    ann_recall_at_k applies to the ANN routes. Johnson-Lindenstrauss
+    predicts monotone recall in r; the two widths pin the measured
+    curve so the width knob is chosen from data, not folklore.
+
+    Scale shape: each arm is sim_topk's plan at a narrower fold; the
+    recall join intersects |Q|×k pair sets (broadcast-sized). Ties
+    break by cand_id in both engines — hash-exact output."""
+    exact = sim_topk(spark, sf_dir).select("query_id", "cand_id")
+    expected = exact.agg(F.count(F.lit(1)).cast("long").alias("expected"))
+    arms = []
+    for r in (16, 32):
+        ann = _rp_topk(spark, sf_dir, r)
+        arms.append(
+            exact.join(ann, ["query_id", "cand_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+            .select(F.lit(f"rp{r}").alias("route"), "hits")
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.crossJoin(F.broadcast(expected)).select(
+        "route",
+        "hits",
+        "expected",
+        (F.col("hits").cast("double") / F.col("expected").cast("double")).alias(
+            "recall"
+        ),
+    )
