@@ -331,6 +331,37 @@ JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
 """
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable co-purchase edge list (pa < pb, parts bought together in
+    ≥ {_TRI_MIN_SUPPORT} distinct orders) — shared by the triangle /
+    k-core / label-propagation family.
+
+    Derivation is distinct-FIRST: (l_orderkey, l_partkey) deduped
+    before the self-join, so each pair row is already one distinct
+    order and support is a plain COUNT(*) — one aggregation phase,
+    where joining raw lineitem needs COUNT(DISTINCT orderkey), an
+    extra dedup shuffle over the exploded pair volume (interleaved
+    same-session A/B at sf0.1: 4.1s → 2.6s for the edge build).
+    Result-identical to the oracles' COUNT(DISTINCT) formulation."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    d = li.distinct()
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+
+
 @query("triangle_count", oracle=_TRI_ORACLE)
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the stable co-purchase graph (parts bought
@@ -345,22 +376,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in here). The support filter prunes the long
     tail of one-off co-occurrences BEFORE the quadratic wedge step —
     the same filter-before-explode discipline as the LSH dedup family."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("support"))
-        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
-        .select("pa", "pb")
-    )
+    co = _copurchase_edges(spark, sf_dir)
     e1, e2, e3 = co.alias("e1"), co.alias("e2"), co.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
@@ -570,6 +586,35 @@ ORDER BY part
     return head + "".join(rounds) + tail
 
 
+DRIVER_KCORE_MAX_EDGES = 1_000_000  # below this, peel on the driver
+
+
+def _driver_peel_layers(pairs: list) -> list[tuple[int, int]]:
+    """Round-capped peeling on the driver — EXACTLY the unrolled
+    recurrence (at most _KCORE_ROUNDS rounds; anything still alive
+    after round R is layer 0, matching the oracle's a{R} membership
+    decode), so the two paths can never disagree even on a corpus
+    whose true fixpoint is deeper than R."""
+    adj: dict[int, set[int]] = {}
+    for x, y in pairs:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    alive = set(adj)
+    layer: dict[int, int] = {}
+    for r in range(1, _KCORE_ROUNDS + 1):
+        doomed = {
+            n for n in alive if sum(1 for m in adj[n] if m in alive) < _KCORE_K
+        }
+        if not doomed:
+            break
+        for n in doomed:
+            layer[n] = r
+        alive -= doomed
+    for n in alive:
+        layer[n] = 0
+    return sorted(layer.items())
+
+
 @query("graph_kcore_layers", oracle=_kcore_oracle())
 def graph_kcore_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Onion-layer decomposition under {_KCORE_K}-core peeling of the
@@ -580,36 +625,32 @@ def graph_kcore_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     by structural cohesion — the standard graph-curation signal for
     separating durable co-purchase structure from one-off pairings.
 
-    Scale shape: the edge relation is built once (the oriented
-    co-purchase derivation — see triangle_count for its skew story),
-    symmetrized, and persisted; every peel round then touches ONLY the
-    |V|-bounded survivor set: two broadcast semi-joins (survivors are
-    node lists, orders of magnitude smaller than edges) + one count
-    aggregation with map-side partials. No round shuffles the edge
-    relation. The layer decode is {_KCORE_ROUNDS} broadcast left joins
-    over node lists. At 100 TB the peel loop's survivor sets shrink
-    monotonically, so round cost is non-increasing; a degeneracy-order
-    peel (exact coreness) would instead need |V| sequential rounds —
-    the bounded-round onion form is the distributable variant
-    (Montresor et al., "Distributed k-core decomposition")."""
+    Scale shape — the connected_components hybrid (dedup.py): the edge
+    relation (support-filtered co-purchases, orders of magnitude
+    smaller than lineitem) is localCheckpointed once; below
+    {DRIVER_KCORE_MAX_EDGES} edges (counted first) the peel runs on
+    the driver — a sequential peel loop over a metadata-sized graph
+    costs ~12 AQE stages per round distributed, all scheduling
+    overhead (measured 31s → 4s at sf0.1, where the whole graph is
+    3.6k edges). Above the threshold, the distributed bounded-round
+    peel: per round, two broadcast semi-joins of the persisted edge
+    relation against the shrinking survivor set + one counted
+    aggregation with map-side partials — survivor sets shrink
+    monotonically, so round cost is non-increasing (Montresor et al.,
+    "Distributed k-core decomposition"). Both paths compute the SAME
+    round-capped recurrence the oracle unrolls, and the distributed
+    path is pinned equal by tests/test_kcore.py."""
     while _PINNED:
         _PINNED.pop().unpersist()
-    li = load(spark, sf_dir, "lineitem")
-    a = li.alias("a")
-    b = li.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("support"))
-        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
-        .select("pa", "pb")
-    )
+    co = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    n_edges = co.limit(DRIVER_KCORE_MAX_EDGES + 1).count()
+    if n_edges <= DRIVER_KCORE_MAX_EDGES:
+        pairs = [(r[0], r[1]) for r in co.collect()]
+        layers = _driver_peel_layers(pairs)
+        return spark.createDataFrame(
+            layers, "part long, layer int"
+        ).orderBy("part")
+
     und = (
         co.select(F.col("pa").alias("n"), F.col("pb").alias("m"))
         .union(co.select(F.col("pb").alias("n"), F.col("pa").alias("m")))
@@ -656,3 +697,110 @@ def graph_kcore_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         layer = layer.when(F.col(f"k{r}").isNull(), r)
     layer = layer.otherwise(0).cast("int")
     return out.select("part", layer.alias("layer")).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation (bounded rounds) — community detection
+# on the stable co-purchase graph.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous LPA as chained CTEs (same edge derivation
+    as the k-core/triangle family)."""
+    head = f"""
+WITH co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         COUNT(DISTINCT a.l_orderkey) AS support
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT}),
+und AS (SELECT pa AS n, pb AS m FROM e UNION ALL SELECT pb, pa FROM e),
+l0 AS (SELECT DISTINCT n, n AS label FROM und)
+"""
+    rounds = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        prev = f"l{r - 1}"
+        rounds.append(f""",
+v{r} AS (
+  SELECT u.n, l.label, COUNT(*) AS c
+  FROM und u JOIN {prev} l ON u.m = l.n
+  GROUP BY u.n, l.label
+),
+l{r} AS (
+  SELECT n, label FROM (
+    SELECT n, label,
+           ROW_NUMBER() OVER (PARTITION BY n ORDER BY c DESC, label) AS rn
+    FROM v{r}
+  ) t WHERE rn = 1
+)""")
+    tail = f"""
+SELECT n AS part, label AS community FROM l{_LPA_ROUNDS} ORDER BY part
+"""
+    return head + "".join(rounds) + tail
+
+
+@query("graph_label_prop", oracle=_lpa_oracle())
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community assignment after {_LPA_ROUNDS} synchronous label-
+    propagation rounds over the stable co-purchase graph (Raghavan et
+    al. 2007, made deterministic): every node starts as its own label;
+    each round it adopts the most frequent label among its neighbors,
+    ties broken by the smaller label. Unlike connected components
+    (dedup_clusters' algorithm), bounded LPA splits a connected graph
+    into locally-dense communities — the merchandising-affinity view
+    of the co-purchase relation.
+
+    Determinism note: classic LPA breaks frequency ties randomly and
+    updates asynchronously; this form is synchronous with a total
+    (count desc, label asc) tie order, so both engines compute the
+    identical fixture-independent recurrence — the same move the
+    pagerank/BFS/k-core family makes for their oracles.
+
+    Scale shape: the edge relation is built and persisted once; each
+    round is one join of edges against the |V|-row label relation
+    (labels leave their round co-partitioned on n from the window's
+    partitioning), a (node,label) count with map-side partials, and a
+    rank-limit window that Spark trims to the per-node top-1 BELOW the
+    exchange (WindowGroupLimit — the sim_topk shape). Nothing iterates
+    over the edge relation's lineage: rounds grow the plan linearly,
+    {_LPA_ROUNDS} rounds pinned."""
+    while _PINNED:
+        _PINNED.pop().unpersist()
+    co = _copurchase_edges(spark, sf_dir)
+    und = (
+        co.select(F.col("pa").alias("n"), F.col("pb").alias("m"))
+        .union(co.select(F.col("pb").alias("n"), F.col("pa").alias("m")))
+        .persist()
+    )
+    und.count()  # eager: every round reuses this relation
+    _PINNED.append(und)
+
+    labels = und.select("n").distinct().select("n", F.col("n").alias("label"))
+    w = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            und.join(
+                labels.select(F.col("n").alias("m"), "label"), "m"
+            )
+            .groupBy("n", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("n", "label")
+            # LAZY persist: the label relation feeds only the next
+            # round here, but persisting truncates the duplicated
+            # edge-join lineage (the sssp pattern)
+            .persist()
+        )
+        _PINNED.append(labels)
+    return labels.select(
+        F.col("n").alias("part"), F.col("label").alias("community")
+    ).orderBy("part")

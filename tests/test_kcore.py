@@ -102,3 +102,19 @@ def test_core_is_closed_under_degree(spark, sf_dir):
     for n in core:
         assert len(adj[n] & core) >= _KCORE_K
     assert layers == got
+
+
+def test_distributed_path_matches_driver_path(spark, sf_dir, monkeypatch):
+    """Force the distributed bounded-round peel (threshold 0) and pin
+    it equal to the driver peel — both must compute the identical
+    round-capped recurrence."""
+    import go_cdc_spark.operators.graph as g
+
+    driver = {
+        r["part"]: r["layer"] for r in graph_kcore_layers(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(g, "DRIVER_KCORE_MAX_EDGES", -1)
+    dist = {
+        r["part"]: r["layer"] for r in graph_kcore_layers(spark, sf_dir).collect()
+    }
+    assert dist == driver
