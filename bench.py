@@ -106,6 +106,12 @@ HEADLINE = [
     "split_leakage_safe",
     "quality_oov_bigrams",
     "dedup_substring_rewrite",
+    # round-8 surface
+    "sample_importance_dsir",
+    "graph_kcore_layers",
+    "graph_label_prop",
+    "embed_rp_reduce",
+    "embed_rp_recall",
 ]
 
 

@@ -17,7 +17,7 @@ import pytest
 # default applyInPandasWithState path (test_stateful.py) is fully
 # exercised here regardless.
 #
-# Round-stamped (r02, r03, r04, r05, r06, r07-2026-08-15): the container image cannot
+# Round-stamped (r02, r03, r04, r05, r06, r07, r08-2026-08-15): the container image cannot
 # change — no pip/apt, no network, and google.protobuf's runtime needs
 # generated C-descriptor modules that cannot be hand-vendored. This is
 # the documented permanent answer unless the driver image grows the
