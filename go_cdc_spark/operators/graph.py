@@ -322,7 +322,7 @@ WITH co AS (
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
 ),
-e AS (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT})
+e AS MATERIALIZED (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT})
 SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
        CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM e e1
@@ -547,18 +547,25 @@ _KCORE_ROUNDS = 6
 
 
 def _kcore_oracle() -> str:
-    """Unrolled peeling as chained CTEs + one left-join layer decode."""
+    """Unrolled peeling as chained CTEs + one left-join layer decode.
+
+    ``und`` is referenced by every peel round, so it is declared
+    MATERIALIZED — DuckDB otherwise inlines the CTE per reference and
+    recomputes the lineitem self-join up to 12×, which made the sf0.1
+    oracle run minutes instead of seconds."""
     head = f"""
-WITH co AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-         COUNT(DISTINCT a.l_orderkey) AS support
-  FROM lineitem a
-  JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
+WITH und AS MATERIALIZED (
+  WITH co AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+           COUNT(DISTINCT a.l_orderkey) AS support
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ),
+  e AS (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT})
+  SELECT pa AS n, pb AS m FROM e UNION ALL SELECT pb, pa FROM e
 ),
-e AS (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT}),
-und AS (SELECT pa AS n, pb AS m FROM e UNION ALL SELECT pb, pa FROM e),
 a0 AS (SELECT DISTINCT n FROM und)
 """
     rounds = []
@@ -709,18 +716,21 @@ _LPA_ROUNDS = 3
 
 def _lpa_oracle() -> str:
     """Unrolled synchronous LPA as chained CTEs (same edge derivation
-    as the k-core/triangle family)."""
+    as the k-core/triangle family; ``und`` MATERIALIZED for the same
+    per-reference re-inlining reason as _kcore_oracle)."""
     head = f"""
-WITH co AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-         COUNT(DISTINCT a.l_orderkey) AS support
-  FROM lineitem a
-  JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
+WITH und AS MATERIALIZED (
+  WITH co AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+           COUNT(DISTINCT a.l_orderkey) AS support
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ),
+  e AS (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT})
+  SELECT pa AS n, pb AS m FROM e UNION ALL SELECT pb, pa FROM e
 ),
-e AS (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT}),
-und AS (SELECT pa AS n, pb AS m FROM e UNION ALL SELECT pb, pa FROM e),
 l0 AS (SELECT DISTINCT n, n AS label FROM und)
 """
     rounds = []
