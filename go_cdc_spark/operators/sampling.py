@@ -55,6 +55,8 @@ def _hash16(tag: str, key: str = "doc_id") -> Column:
     )
 
 
+_PINNED: list = []  # previous invocation's cached relations (graph.py pattern)
+
 _PPS_RATE = 2500  # per-10000 inclusion rate at the maximum weight (25%)
 
 _PPS_ORACLE = f"""
@@ -198,6 +200,8 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^63 that bounds corpora to ~10^9 scored tokens per side at this
     bucket count — past that, swap the two products and the score sum
     to DECIMAL(38,0) (same plan, wider buffers)."""
+    while _PINNED:  # bound the cache: at most one invocation live
+        _PINNED.pop().unpersist()
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -209,7 +213,12 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = bt.groupBy("b").agg(
         F.sum(F.when(is_ref, 1).otherwise(0)).cast("bigint").alias("t_b"),
         F.sum(F.when(~is_ref, 1).otherwise(0)).cast("bigint").alias("r_b"),
-    )
+    # LAZY persist: both `tot` and `w` derive from counts; without it
+    # the totals' broadcast re-runs the corpus-proportional token scan
+    # (3 corpus passes where 2 suffice — visible as a third Scan
+    # parquet in EXPLAIN.md before this pin)
+    ).persist()
+    _PINNED.append(counts)
     tot = counts.agg(
         F.sum("t_b").cast("bigint").alias("t_tot"),
         F.sum("r_b").cast("bigint").alias("r_tot"),
