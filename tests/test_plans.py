@@ -360,3 +360,35 @@ def test_new_ann_routes_keep_partial_topk(spark, sf_dir):
         exchange = re.search(r"Exchange hashpartitioning\(query_id", plan)
         assert partial and exchange, f"{name}: pushdown missing:\n{plan[:1200]}"
         assert exchange.start() < partial.start(), name
+
+
+def test_dsir_weight_table_broadcast_and_topk_bounded(spark, sf_dir):
+    """DSIR's 256-row weight model must reach the token stream as a
+    BroadcastHashJoin (never a shuffle of the corpus tokens), and the
+    selection must compile to TakeOrderedAndProject (k rows per
+    partition to the driver merge, no global sort)."""
+    plan = _physical(QUERIES["sample_importance_dsir"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # doc scoring keeps a map-side partial before the doc_id exchange
+    exchange = plan.index("Exchange hashpartitioning(doc_id")
+    assert "HashAggregate" in plan[exchange:], "no map-side partial sum"
+
+
+def test_rp_reduce_is_pure_map(spark, sf_dir):
+    """The sketch projection must not shuffle anything except the
+    output ordering: no hash-partitioned exchange, no join — the ±1
+    matrix lives in the plan as literals."""
+    plan = _physical(QUERIES["embed_rp_reduce"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan
+    assert "aggregate(zip_with" in plan  # the literal-plane fold
+
+
+def test_lpa_vote_topk_is_window_group_limit(spark, sf_dir):
+    """Each LPA round's per-node top-1 vote must keep the rank-limit
+    pushdown (Partial WindowGroupLimit below the exchange), the
+    sim_topk shape — losing it shuffles every (node, label) vote."""
+    plan = _physical(QUERIES["graph_label_prop"](spark, sf_dir))
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 1, Partial", plan), plan
