@@ -599,3 +599,128 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.height").alias("height"),
     )
     return media.mapInPandas(resize_batches, _RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (average hash): near-duplicate detection
+# that survives re-encoding and light noise, which byte-exact dedup
+# (md5 over the payload) by construction cannot. Real decodable images
+# (PPM/BMP/PNG) take the classic aHash-64: block-mean downsample to
+# 8x8 gray, threshold each cell against the 64-cell mean, pack 64 bits
+# MSB-first. Undecodable payloads (the synthetic fixture's 16 md5
+# bytes) take the byte-level analog — aHash-16 over the raw bytes as a
+# 4x4 "image" — which is exactly expressible in SQL, so the registered
+# query carries a FULL hash-checked oracle while the real-image path
+# is proven on genuine pixel data in tests/test_multimodal_real.py
+# (noise-invariance + discrimination), the media_features split.
+# ---------------------------------------------------------------------------
+
+
+def ahash64(img: np.ndarray) -> int:
+    """Average hash of a decoded image (h, w[, ch]) -> 64-bit int.
+    Block-mean 8x8 downsample (integer cell edges i*h//8), grayscale by
+    channel mean, strict > against the global cell mean."""
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    cells = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            r0, r1 = i * h // 8, max((i + 1) * h // 8, i * h // 8 + 1)
+            c0, c1 = j * w // 8, max((j + 1) * w // 8, j * w // 8 + 1)
+            cells[i, j] = a[r0:r1, c0:c1].mean()
+    m = cells.mean()
+    bits = (cells > m).astype(np.uint64).ravel()
+    out = np.uint64(0)
+    for b in bits:
+        out = np.uint64(out << np.uint64(1)) | b
+    return int(out)
+
+
+def _bytes_ahash16(payload: bytes) -> int:
+    """Byte-level aHash for undecodable payloads: bit i = (16 * byte_i
+    > sum(bytes)), packed MSB-first — integer arithmetic only, so the
+    SQL oracle reproduces it exactly."""
+    n = len(payload)
+    if n == 0:
+        return 0
+    total = sum(payload)
+    out = 0
+    for i, b in enumerate(payload[:16]):
+        if b * n > total:
+            out |= 1 << (15 - i)
+    return out
+
+
+def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: decode-if-possible, hash accordingly."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+            decoded = None
+            for dec in (decode_ppm, decode_bmp, decode_png):
+                got = dec(payload)
+                if got is not None:
+                    decoded = got[2]
+                    break
+            if decoded is not None:
+                rows.append((doc_id, ahash64(decoded), "image"))
+            else:
+                rows.append((doc_id, _bytes_ahash16(payload), "bytes"))
+        yield pd.DataFrame(rows, columns=["doc_id", "phash", "hash_kind"])
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("hash_kind", T.StringType()),
+    ]
+)
+
+_PHASH_ORACLE = """
+WITH m AS (
+    SELECT doc_id, md5(text) AS hx FROM documents
+), by AS (
+    SELECT doc_id, i,
+           16 * (strpos('0123456789abcdef', substring(hx, 2 * i - 1, 1)) - 1)
+             + (strpos('0123456789abcdef', substring(hx, 2 * i, 1)) - 1) AS b
+    FROM m, (SELECT unnest(range(1, 17)) AS i)
+), tot AS (
+    SELECT doc_id, SUM(b) AS total FROM by GROUP BY doc_id
+), h AS (
+    SELECT by.doc_id,
+           CAST(SUM(CASE WHEN b * 16 > total
+                    THEN CAST(1 AS BIGINT) << (16 - i) ELSE 0 END)
+                AS BIGINT) AS phash
+    FROM by JOIN tot USING (doc_id)
+    GROUP BY by.doc_id
+)
+SELECT phash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_doc_id
+FROM h
+GROUP BY phash
+"""
+
+
+@query("media_phash_dedup", oracle=_PHASH_ORACLE)
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-duplicate buckets over the media column: group by
+    average-hash, deterministic survivor (min doc_id) — the dedup_exact
+    contract lifted from byte identity to PIXEL identity-up-to-noise.
+
+    Scale shape: hashing is one mapInPandas pass (bytes cross the
+    JVM↔Python boundary once per Arrow batch; output is 3 scalar
+    columns), then a count/min aggregation keyed by the 64-bit hash
+    with map-side partials — the skew-immune dedup_exact plan. A
+    hamming-tolerant variant bands the 64-bit hash into 4×16-bit keys
+    exactly like dedup_simhash_banded; the bucket form here is the
+    exact-perceptual-match tier."""
+    media = with_media(load(spark, sf_dir, "documents")).select("doc_id", "media")
+    hashed = media.mapInPandas(phash_batches, _PHASH_SCHEMA)
+    return hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )

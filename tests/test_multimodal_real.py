@@ -295,3 +295,66 @@ def test_real_bytes_through_spark_map_in_pandas(spark, ppm_img):
     assert out[1].byte_mean == pytest.approx(float(ppm_img.mean()))
     assert out[2].decode_status == "wav"
     assert out[3].decode_status == "stubbed"
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (aHash) over real pixels
+# ---------------------------------------------------------------------------
+
+
+def test_ahash_known_image():
+    """Hand-checkable hash: left half dark, right half bright → the
+    right 4 columns of every 8x8 row are above the mean."""
+    from go_cdc_spark.operators.multimodal import ahash64
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:, 8:] = 255
+    h = ahash64(img)
+    expect_row = 0b00001111
+    expect = 0
+    for _ in range(8):
+        expect = (expect << 8) | expect_row
+    assert h == expect
+
+
+def test_ahash_noise_invariance_and_discrimination(ppm_img):
+    """aHash survives light noise and re-encoding (BMP vs PPM of the
+    same pixels) but separates structurally different images — the
+    property byte-exact dedup lacks."""
+    from go_cdc_spark.operators.multimodal import ahash64, decode_bmp, decode_ppm
+
+    rng = np.random.RandomState(3)
+    base = (rng.rand(32, 32, 3) * 128).astype(np.uint8)
+    base[:16, :16] += 100  # strong OFF-CENTER structure dwarfing the noise
+    noisy = base.copy()
+    noise = rng.randint(-3, 4, size=base.shape)
+    noisy = np.clip(base.astype(int) + noise, 0, 255).astype(np.uint8)
+    assert ahash64(base) == ahash64(noisy)
+
+    # same pixels, different container → same hash (md5 differs!)
+    _, _, via_ppm = decode_ppm(encode_ppm(base))
+    _, _, via_bmp = decode_bmp(make_bmp(base))
+    assert ahash64(via_ppm) == ahash64(via_bmp)
+
+    different = base[::-1, ::-1].copy()  # flipped structure
+    assert ahash64(base) != ahash64(different)
+
+
+def test_phash_batches_real_and_fallback(ppm_img):
+    """The mapInPandas body routes decodable payloads to aHash-64
+    ('image') and opaque payloads to the byte-level aHash-16
+    ('bytes')."""
+    from go_cdc_spark.operators.multimodal import (
+        _bytes_ahash16,
+        ahash64,
+        phash_batches,
+    )
+
+    ppm_bytes = encode_ppm(ppm_img)
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "media": [ppm_bytes, bytes(range(16))]}
+    )
+    out = pd.concat(list(phash_batches(iter([pdf]))))
+    got = {r.doc_id: (r.phash, r.hash_kind) for r in out.itertuples()}
+    assert got[1] == (ahash64(ppm_img), "image")
+    assert got[2] == (_bytes_ahash16(bytes(range(16))), "bytes")
