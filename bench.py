@@ -112,6 +112,7 @@ HEADLINE = [
     "graph_label_prop",
     "embed_rp_reduce",
     "embed_rp_recall",
+    "media_phash_dedup",
 ]
 
 

@@ -62,7 +62,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import curation, dedup, sampling, text
+from .operators import curation, dedup, multimodal, sampling, text
 from .operators.shards import shard_manifest, write_training_shards
 from .tables import load
 
@@ -88,6 +88,7 @@ _KNOWN_KINDS = (
     "pii_redact",
     "dedup_exact",
     "dedup_near",
+    "dedup_phash",
     "dedup_paragraphs",
     "sample_stratified",
     "sample_pps",
@@ -150,6 +151,11 @@ def _apply_stage(spark: SparkSession, kind: str, params: dict, sf_dir: str) -> D
         return docs.join(keep, "doc_id", "left_semi")
     if kind == "dedup_near":
         keep = dedup.dedup_survivors(spark, sf_dir).select("doc_id")
+        return docs.join(keep, "doc_id", "left_semi")
+    if kind == "dedup_phash":
+        keep = multimodal.media_phash_dedup(spark, sf_dir).select(
+            F.col("keep_doc_id").alias("doc_id")
+        )
         return docs.join(keep, "doc_id", "left_semi")
     if kind == "dedup_paragraphs":
         rew = curation.dedup_paragraphs(spark, sf_dir).select(

@@ -161,3 +161,28 @@ def test_cli_legacy_form_maps_to_sync(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         main([str(tmp_path / "nope.toml")])
+
+
+def test_dedup_phash_stage(spark, tmp_path):
+    """Perceptual-duplicate stage keeps one doc per phash bucket (the
+    fixture media derives from text, so identical text ⇒ identical
+    payload ⇒ same bucket; min doc_id survives)."""
+    df = spark.createDataFrame(
+        [(1, "same body text", "en", "s", 14),
+         (2, "same body text", "en", "s", 14),
+         (3, "a different document", "en", "s", 20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = tmp_path / "src"
+    df.write.parquet(str(src / "documents.parquet"))
+    rec = tmp_path / "r.toml"
+    rec.write_text(
+        f'[corpus]\ninput = "{src}"\noutput = "{tmp_path}/out"\n'
+        '[[stage]]\nkind = "dedup_phash"\n'
+    )
+    manifest = run_recipe(spark, str(rec))
+    kept = {
+        r["doc_id"] for r in load(spark, manifest[0]["path"], "documents").collect()
+    }
+    assert 1 in kept and 3 in kept
+    assert 2 not in kept  # duplicate payload, higher doc_id
