@@ -635,7 +635,11 @@ def ahash64(img: np.ndarray) -> int:
     out = np.uint64(0)
     for b in bits:
         out = np.uint64(out << np.uint64(1)) | b
-    return int(out)
+    v = int(out)
+    # two's-complement fold into BIGINT range (the simhash convention):
+    # a set MSB otherwise infers a pandas uint64 column, which Arrow
+    # refuses to convert to the LongType the schema declares
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def _bytes_ahash16(payload: bytes) -> int:
@@ -668,7 +672,9 @@ def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows.append((doc_id, ahash64(decoded), "image"))
             else:
                 rows.append((doc_id, _bytes_ahash16(payload), "bytes"))
-        yield pd.DataFrame(rows, columns=["doc_id", "phash", "hash_kind"])
+        out = pd.DataFrame(rows, columns=["doc_id", "phash", "hash_kind"])
+        out["phash"] = out["phash"].astype("int64")
+        yield out
 
 
 _PHASH_SCHEMA = T.StructType(

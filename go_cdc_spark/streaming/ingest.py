@@ -155,12 +155,24 @@ def compact_batches(spark: SparkSession, path: str, keep_last: int = 1) -> int:
 
 
 class DedupIngest:
-    """foreachBatch consumer: dedup against history, append survivors."""
+    """foreachBatch consumer: dedup against history, append survivors.
+
+    Subclasses swap the fingerprint derivation (``_with_fp``) and the
+    two schemas — see :class:`MediaDedupIngest` for the perceptual
+    (phash) twin over binary media streams."""
+
+    fp_schema = FP_SCHEMA
+    doc_schema = DOC_SCHEMA
+    query_name = "dedup_ingest"
 
     def __init__(self, spark: SparkSession, corpus_path: str, fp_path: str) -> None:
         self.spark = spark
         self.corpus_path = corpus_path
         self.fp_path = fp_path
+
+    def _with_fp(self, batch: DataFrame) -> DataFrame:
+        """Batch rows + an `fp` column (exact: md5 of the text)."""
+        return batch.withColumn("fp", F.md5("text"))
 
     def _known(self, before_batch: int | None = None) -> DataFrame:
         if os.path.exists(self.fp_path):
@@ -173,17 +185,17 @@ class DedupIngest:
                 # (possibly partially written) prior attempt
                 df = df.filter(F.col("batch") < before_batch)
             return df
-        return self.spark.createDataFrame([], FP_SCHEMA)
+        return self.spark.createDataFrame([], self.fp_schema)
 
     def corpus(self) -> DataFrame:
         if os.path.exists(self.corpus_path):
             return self.spark.read.parquet(self.corpus_path).drop("batch")
-        return self.spark.createDataFrame([], DOC_SCHEMA)
+        return self.spark.createDataFrame([], self.doc_schema)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         migrate_legacy_flat(self.corpus_path)
         migrate_legacy_flat(self.fp_path)
-        fp = batch.withColumn("fp", F.md5("text"))
+        fp = self._with_fp(batch)
         # within-batch survivor: min doc_id per fingerprint (deterministic)
         w_min = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         batch_first = fp.join(w_min, ["fp", "doc_id"])  # first occurrences only
@@ -195,7 +207,7 @@ class DedupIngest:
             self._known(before_batch=batch_id), "fp", "left_anti"
         ).localCheckpoint(eager=True)
         # deterministic per-batch dirs + overwrite = replay-idempotent
-        novel.select(*[f.name for f in DOC_SCHEMA.fields]).write.mode(
+        novel.select(*[f.name for f in self.doc_schema.fields]).write.mode(
             "overwrite"
         ).parquet(f"{self.corpus_path}/batch={batch_id}")
         novel.select("fp", "doc_id").write.mode("overwrite").parquet(
@@ -204,12 +216,58 @@ class DedupIngest:
 
     def start(self, docs_stream: DataFrame, checkpoint_dir: str):
         return (
-            docs_stream.writeStream.queryName("dedup_ingest")
+            docs_stream.writeStream.queryName(self.query_name)
             .option("checkpointLocation", checkpoint_dir)
             .foreachBatch(self.process_batch)
             .trigger(availableNow=True)
             .start()
         )
+
+
+MEDIA_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("fp", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
+
+MEDIA_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("kind", T.StringType()),
+    ]
+)
+
+
+class MediaDedupIngest(DedupIngest):
+    """Cross-batch PERCEPTUAL dedup of a media stream: the streaming
+    twin of operators/multimodal.media_phash_dedup, exactly as
+    DedupIngest twins dedup_exact. The fingerprint is the average hash
+    (aHash-64 for decodable images, the byte-level aHash-16 analog for
+    opaque payloads — see multimodal.phash_batches), so a re-encoded or
+    lightly-noised copy of an already-ingested image is dropped even
+    though its bytes (and md5) differ.
+
+    Everything else — strictly-earlier-batch novelty, deterministic
+    per-batch overwrite dirs, legacy-layout migration, the
+    localCheckpoint pin before the two sink writes — is inherited
+    verbatim from DedupIngest, so the crash-replay contract proven for
+    the text form holds here unchanged. Per batch, bytes cross to
+    Python once (Arrow batches) to hash; the store joins on (fp LONG)
+    and never carries media bytes."""
+
+    fp_schema = MEDIA_FP_SCHEMA
+    doc_schema = MEDIA_DOC_SCHEMA
+    query_name = "media_dedup_ingest"
+
+    def _with_fp(self, batch: DataFrame) -> DataFrame:
+        from ..operators.multimodal import _PHASH_SCHEMA, phash_batches
+
+        hashes = batch.select("doc_id", "media").mapInPandas(
+            phash_batches, _PHASH_SCHEMA
+        ).select("doc_id", F.col("phash").alias("fp"))
+        return batch.join(hashes, "doc_id")
 
 
 def read_docs_stream(

@@ -304,3 +304,98 @@ def test_legacy_flat_neardup_store_migrates(spark, tmp_path):
     )
     ing.process_batch(batch, 0)
     assert sorted(r.doc_id for r in ing.corpus().collect()) == [1, 3]
+
+
+def _write_media_segment(spark, tmp_path, watch_dir, name, rows):
+    """Write one parquet file carrying binary media into the watched
+    dir (file streams want bare files: write to scratch, move the part
+    file in)."""
+    import shutil
+    from pathlib import Path
+
+    from go_cdc_spark.streaming.ingest import MEDIA_DOC_SCHEMA
+
+    scratch = tmp_path / f"_scratch_{name}"
+    spark.createDataFrame(
+        [(i, bytearray(b), k) for i, b, k in rows], MEDIA_DOC_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(str(scratch))
+    part = next(Path(scratch).glob("part-*.parquet"))
+    Path(watch_dir).mkdir(parents=True, exist_ok=True)
+    shutil.move(str(part), str(Path(watch_dir) / f"{name}.parquet"))
+
+
+def test_media_dedup_ingest_perceptual_cross_batch(spark, tmp_path):
+    """A re-encoded / noised copy of an already-ingested image is
+    dropped across batches even though its BYTES (and md5) differ —
+    the perceptual contract the exact-fp ingest cannot give."""
+    import numpy as np
+
+    from go_cdc_spark.operators.multimodal import encode_png, encode_ppm
+    from go_cdc_spark.streaming.ingest import MEDIA_DOC_SCHEMA, MediaDedupIngest
+    from tests.test_multimodal_real import make_bmp
+
+    rng = np.random.RandomState(11)
+    img_a = (rng.rand(32, 32, 3) * 120).astype(np.uint8)
+    img_a[:16, :16] += 120  # off-center structure
+    noisy_a = np.clip(
+        img_a.astype(int) + rng.randint(-2, 3, size=img_a.shape), 0, 255
+    ).astype(np.uint8)
+    img_b = img_a[::-1, ::-1].copy()  # structurally different
+    img_c = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    img_c[16:, :] //= 4
+
+    seg = tmp_path / "media"
+    _write_media_segment(spark, tmp_path, seg, "seg1", [
+        (10, encode_ppm(img_a), "image"),
+        (11, encode_png(noisy_a), "image"),   # within-batch perceptual dup of 10
+        (12, encode_ppm(img_b), "image"),
+    ])
+    _write_media_segment(spark, tmp_path, seg, "seg2", [
+        (20, make_bmp(img_a), "image"),       # cross-batch dup: same pixels, BMP container
+        (21, encode_ppm(img_c), "image"),
+    ])
+    ing = MediaDedupIngest(spark, str(tmp_path / "corpus"), str(tmp_path / "fps"))
+    stream = (
+        spark.readStream.schema(MEDIA_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(seg))
+    )
+    ing.start(stream, str(tmp_path / "ckpt")).awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in ing.corpus().collect())
+    assert kept == [10, 12, 21]
+    # the store carries LONG fingerprints, never media bytes
+    fps = spark.read.parquet(str(tmp_path / "fps"))
+    assert set(fps.columns) >= {"fp", "doc_id"}
+    assert "media" not in fps.columns
+    assert dict(fps.dtypes)["fp"] == "bigint"
+
+
+def test_media_dedup_ingest_replay_is_idempotent(spark, tmp_path):
+    """Replaying a committed batch id (crash between sink writes and
+    checkpoint commit) rewrites the identical per-batch dirs — the
+    inherited DedupIngest contract, exercised through the media path."""
+    import numpy as np
+
+    from go_cdc_spark.operators.multimodal import encode_ppm
+    from go_cdc_spark.streaming.ingest import MediaDedupIngest
+
+    rng = np.random.RandomState(7)
+    img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    batch = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img)), "image")],
+        "doc_id long, media binary, kind string",
+    )
+    ing = MediaDedupIngest(spark, str(tmp_path / "corpus"), str(tmp_path / "fps"))
+    ing.process_batch(batch, 0)
+    first = sorted(
+        (r["doc_id"], r["fp"])
+        for r in spark.read.parquet(str(tmp_path / "fps")).collect()
+    )
+    ing.process_batch(batch, 0)  # replay
+    again = sorted(
+        (r["doc_id"], r["fp"])
+        for r in spark.read.parquet(str(tmp_path / "fps")).collect()
+    )
+    assert first == again
+    kept = [r["doc_id"] for r in ing.corpus().collect()]
+    assert kept == [1]
