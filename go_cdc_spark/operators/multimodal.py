@@ -730,3 +730,112 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("doc_id").alias("keep_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hamming-tolerant perceptual near-dup pairs: the banded tier above the
+# exact-bucket dedup (the dedup_simhash_banded move applied to aHash).
+# Pigeonhole: a pair within hamming h must agree on at least one of
+# h+1 disjoint bands, so banding is LOSSLESS for the radius it is
+# sized for — candidates come from band-key self-joins, never an
+# all-pairs scan. Fixture path: 16-bit hashes, 2×8-bit bands, verify
+# hamming ≤ 1 (lossless). Real images use the same helper at 64-bit /
+# 4×16-bit / hamming ≤ 3 (tests measure recall 1.0 by construction and
+# the false-candidate rate on genuine pixels).
+# ---------------------------------------------------------------------------
+
+_PHASH_BAND_BITS = 8
+_PHASH_N_BANDS = 2
+_PHASH_MAX_HAMMING = 1
+
+
+def phash_banded_pairs(
+    hashed: DataFrame,
+    n_bands: int = _PHASH_N_BANDS,
+    band_bits: int = _PHASH_BAND_BITS,
+    max_hamming: int = _PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """(doc_id, phash) → verified near-dup pairs (doc_a, doc_b,
+    hamming ≤ max_hamming). Lossless iff n_bands > max_hamming.
+
+    Scale shape: one self-join per band keyed by the band value (hot
+    buckets — flat/monochrome images — get the dedup_simhash_banded
+    hub valve at production scale), a distinct over the candidate
+    union, and an XOR-popcount verify on candidates only."""
+    mask = (1 << band_bits) - 1
+    pairs = None
+    for j in range(n_bands):
+        key = F.shiftrightunsigned(F.col("phash"), j * band_bits).bitwiseAND(
+            F.lit(mask)
+        )
+        b = hashed.select("doc_id", "phash", key.alias("band"))
+        a_, b_ = b.alias("a"), b.alias("b")
+        cand = a_.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        pairs = cand if pairs is None else pairs.union(cand)
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_PHASH_H_CTES = """
+m AS (
+    SELECT doc_id, md5(text) AS hx FROM documents
+), by AS (
+    SELECT doc_id, i,
+           16 * (strpos('0123456789abcdef', substring(hx, 2 * i - 1, 1)) - 1)
+             + (strpos('0123456789abcdef', substring(hx, 2 * i, 1)) - 1) AS b
+    FROM m, (SELECT unnest(range(1, 17)) AS i)
+), tot AS (
+    SELECT doc_id, SUM(b) AS total FROM by GROUP BY doc_id
+), h AS MATERIALIZED (
+    SELECT by.doc_id,
+           CAST(SUM(CASE WHEN b * 16 > total
+                    THEN CAST(1 AS BIGINT) << (16 - i) ELSE 0 END)
+                AS BIGINT) AS phash
+    FROM by JOIN tot USING (doc_id)
+    GROUP BY by.doc_id
+)
+""".strip()
+
+_PHASH_BANDED_ORACLE = f"""
+WITH {_PHASH_H_CTES},
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.phash AS ha, b.phash AS hb
+    FROM h a JOIN h b
+      ON a.doc_id < b.doc_id AND a.phash // 256 = b.phash // 256
+    UNION
+    SELECT a.doc_id, b.doc_id, a.phash, b.phash
+    FROM h a JOIN h b
+      ON a.doc_id < b.doc_id AND a.phash % 256 = b.phash % 256
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_PHASH_MAX_HAMMING}
+"""
+
+
+@query("media_phash_banded", oracle=_PHASH_BANDED_ORACLE)
+def media_phash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-dup pairs (hamming ≤ {_PHASH_MAX_HAMMING}) over
+    the media column via {_PHASH_N_BANDS}×{_PHASH_BAND_BITS}-bit band
+    blocking — lossless for this radius by pigeonhole, so the output
+    is exactly the pairs an all-pairs hamming scan would find, at
+    band-bucket-join cost."""
+    media = with_media(load(spark, sf_dir, "documents")).select("doc_id", "media")
+    hashed = media.mapInPandas(phash_batches, _PHASH_SCHEMA).select(
+        "doc_id", "phash"
+    )
+    return phash_banded_pairs(hashed)
