@@ -113,6 +113,7 @@ HEADLINE = [
     "embed_rp_reduce",
     "embed_rp_recall",
     "media_phash_dedup",
+    "media_phash_banded",
 ]
 
 
