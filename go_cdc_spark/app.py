@@ -38,6 +38,7 @@ from .sources.snapshot import (
     snapshot_all,
 )
 from .streaming.pipeline import StreamingMaterializer, read_changelog_stream
+from .streaming.scd2 import Scd2Materializer
 from .streaming.restart import RestartPolicy, run_with_restart
 from .streaming.txn_gate import ReadCommittedGate
 
@@ -149,7 +150,10 @@ class Engine:
                 # under read_committed the GATE owns the A21 watermark
                 # (it must cap below withheld rows); the materializer
                 # then must not advance it independently
-                self.tables[(holder.id, snap.schema, snap.table)] = StreamingMaterializer(
+                mat_cls = (
+                    Scd2Materializer if holder.config.history else StreamingMaterializer
+                )
+                self.tables[(holder.id, snap.schema, snap.table)] = mat_cls(
                     self.spark,
                     snapshot=typed,
                     keys=holder.source.get_table_primary_keys(snap.schema, snap.table),
@@ -384,8 +388,33 @@ class Engine:
         }
 
     def read_table(self, source_id: int, schema: str, table: str):
-        """Queryable current state of a synced table (tombstones hidden)."""
-        return self.tables[(source_id, schema, table)].read_table()
+        """Queryable current state of a synced table (tombstones hidden).
+        Same contract whether the table is materialized flat or as SCD2
+        history (``history = true``) — proven equal in
+        tests/test_scd2_stream.py."""
+        mat = self.tables[(source_id, schema, table)]
+        if isinstance(mat, Scd2Materializer):
+            return mat.current()
+        return mat.read_table()
+
+    def _history_mat(self, source_id: int, schema: str, table: str) -> Scd2Materializer:
+        mat = self.tables[(source_id, schema, table)]
+        if not isinstance(mat, Scd2Materializer):
+            raise ValueError(
+                f"{schema}.{table} is materialized flat; set history = true "
+                "on its source to keep SCD2 versions"
+            )
+        return mat
+
+    def read_history(self, source_id: int, schema: str, table: str):
+        """All row versions with validity-position intervals
+        (``__valid_from_pos`` / ``__valid_to_pos``, NULL = open)."""
+        return self._history_mat(source_id, schema, table).history()
+
+    def read_table_asof(self, source_id: int, schema: str, table: str, pos: str):
+        """Time travel: the table as it stood at changelog position
+        ``pos`` (interval containment over the SCD2 history)."""
+        return self._history_mat(source_id, schema, table).asof(pos)
 
     def quarantine_path(self, source_name: str) -> str:
         return os.path.join(self.config.state_dir, "quarantine", source_name)

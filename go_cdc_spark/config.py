@@ -82,6 +82,10 @@ class SourceConfig:
     # micro-batch with the max_by hash aggregate instead of the window
     # sort (see operators.cdc.cdc_collapse skew_robust)
     skew_robust: bool = False
+    # maintain SCD2 version history instead of flat current state
+    # (streaming/scd2.py): read_table() still serves current rows;
+    # Engine.read_history / read_table_asof expose time travel
+    history: bool = False
     # dead-letter quarantine (streaming/dlq.py): one extra per-source
     # stream captures malformed/invalid changelog events with a reason
     # and the raw line into <state_dir>/quarantine/<name>; without it

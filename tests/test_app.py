@@ -612,3 +612,82 @@ driver = "{DERBY_DRIVER}"
     assert ("derbysrc", None, None) in rows
     assert rows[("derbysrc", "APP", "WIDGETS")].sync_type == "full"
     conn.close()
+
+
+def test_engine_history_time_travel(spark, tmp_path):
+    """`history = true` materializes SCD2 versions engine-wide:
+    read_table still serves current rows, read_history exposes the
+    closed intervals, and read_table_asof answers at any changelog
+    position. A flat source rejects the history reads loudly."""
+    seg_dir = tmp_path / "changelog"
+    seg_dir.mkdir()
+    cfg = f"""
+[engine]
+meta_path      = "{tmp_path}/meta"
+state_dir      = "{tmp_path}/state"
+checkpoint_dir = "{tmp_path}/ckpt"
+
+[[source]]
+id        = 1
+name      = "dev"
+type      = "parquet"
+path      = "{SF}"
+changelog = "{seg_dir}"
+history   = true
+[source.primary_keys]
+region = ["r_regionkey"]
+[source.rules.global]
+include_tables = ["region"]
+"""
+    cfg_path = tmp_path / "config.toml"
+    cfg_path.write_text(cfg)
+
+    engine = Engine(load_config(str(cfg_path)), spark=spark)
+    engine.init_sources()
+    snaps = engine.full_sync()
+    p = int({s.table: s.pos for s in snaps[1]}["region"])
+    events = [
+        _event(p + 1, "update", {"r_regionkey": "2", "r_name": "ASIA-v2"}),
+        _event(p + 2, "update", {"r_regionkey": "2", "r_name": "ASIA-v3"}),
+        _event(p + 3, "delete", None, {"r_regionkey": "0", "r_name": "AFRICA"}),
+    ]
+    with open(seg_dir / "seg0.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    engine.incremental_sync()
+
+    cur = {r.r_regionkey: r.r_name for r in engine.read_table(1, "main", "region").collect()}
+    assert cur[2] == "ASIA-v3"
+    assert 0 not in cur  # deleted
+
+    hist = engine.read_history(1, "main", "region")
+    versions = [
+        (r["r_name"], r["__valid_to_pos"])
+        for r in hist.filter("r_regionkey = 2").orderBy("__valid_from_pos").collect()
+    ]
+    names = [v[0] for v in versions]
+    assert names[-2:] == ["ASIA-v2", "ASIA-v3"]
+    assert versions[-1][1] is None  # open interval = current
+    assert all(v[1] is not None for v in versions[:-1])
+
+    # time travel: between the two updates, v2 was live; before both,
+    # the snapshot row was
+    asof_v2 = {
+        r.r_regionkey: r.r_name
+        for r in engine.read_table_asof(1, "main", "region", str(p + 1).zfill(12)).collect()
+    }
+    assert asof_v2[2] == "ASIA-v2"
+    assert asof_v2[0] == "AFRICA"  # not yet deleted at p+1
+    asof_snap = {
+        r.r_regionkey: r.r_name
+        for r in engine.read_table_asof(1, "main", "region", str(p).zfill(12)).collect()
+    }
+    assert asof_snap[2] not in ("ASIA-v2", "ASIA-v3")
+
+    # flat sources refuse the history API loudly
+    flat_cfg = _write_config(tmp_path, seg_dir)
+    flat = Engine(load_config(flat_cfg), spark=spark)
+    flat.init_sources()
+    flat.full_sync()
+    with pytest.raises(ValueError, match="history = true"):
+        flat.read_history(1, "main", "region")
