@@ -643,9 +643,11 @@ def ahash64(img: np.ndarray) -> int:
 
 
 def _bytes_ahash16(payload: bytes) -> int:
-    """Byte-level aHash for undecodable payloads: bit i = (16 * byte_i
-    > sum(bytes)), packed MSB-first — integer arithmetic only, so the
-    SQL oracle reproduces it exactly."""
+    """Byte-level aHash for undecodable payloads: bit i set iff byte_i
+    exceeds the payload mean — compared as ``byte_i * len > sum(bytes)``
+    (exact integers, no float mean), first 16 bytes, packed MSB-first.
+    For the 16-byte fixture payloads this is the SQL oracle's
+    ``b * 16 > total`` literally."""
     n = len(payload)
     if n == 0:
         return 0
