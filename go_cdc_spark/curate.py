@@ -40,13 +40,12 @@ fused lazy plan:
 - each stage re-plans against real (post-filter) statistics instead of
   compounding selectivity estimates through nine operators.
 
-Stage knobs: the decision logic is the REGISTERED operator functions
-(c4_quality_filter, dedup_exact, dedup_survivors, sample_* …), called
-as-is so recipe behavior can never drift from the oracle-checked
-surface; their thresholds are module constants, so a recipe that needs
-different thresholds changes them in one place for both the recipe and
-the contract. Stage-local knobs (language list, shard count) are
-recipe parameters.
+Stage knobs: each stage's decision logic is the SAME df-level core the
+registered operator calls (c4_flags, stratified_filter, pps_filter,
+dsir_select, dedup_exact, dedup_survivors, media_phash_dedup …), so
+recipe behavior cannot drift from the oracle-checked surface; recipe
+parameters (thresholds, rates, k, bucket counts, shard count, language
+list) default to the registered constants and override per stage.
 
 Parity note: the reference (go-cdc) has no curation surface; this is
 the LLM-pipeline composition layer over SURVEY.md §2.B operators.
@@ -130,9 +129,14 @@ def _apply_stage(spark: SparkSession, kind: str, params: dict, sf_dir: str) -> D
             raise ValueError("lang_keep needs langs = [...]")
         return docs.filter(F.col("lang").isin(list(langs)))
     if kind == "c4_quality":
-        keep = curation.c4_quality_filter(spark, sf_dir).filter(
-            F.col("keep") == 1
-        ).select("doc_id")
+        keep = curation.c4_flags(
+            docs,
+            min_words=int(params.get("min_words", curation.C4_MIN_WORDS)),
+            max_word_len=int(params.get("max_word_len", curation.C4_MAX_WORD_LEN)),
+            min_stop_ratio=float(
+                params.get("min_stop_ratio", curation.C4_MIN_STOP_RATIO)
+            ),
+        ).filter(F.col("keep") == 1).select("doc_id")
         return docs.join(keep, "doc_id", "left_semi")
     if kind == "pii_redact":
         red = curation.pii_redact(spark, sf_dir).select(
@@ -169,18 +173,30 @@ def _apply_stage(spark: SparkSession, kind: str, params: dict, sf_dir: str) -> D
             .select(*DOC_COLUMNS)
         )
     if kind == "sample_stratified":
-        keep = text.sample_stratified(spark, sf_dir).select("doc_id")
+        rates = {
+            str(k_): int(v) for k_, v in (params.get("rates") or {"en": 10}).items()
+        }
+        keep = text.stratified_filter(
+            docs, rates=rates, default_rate=int(params.get("default_rate", 30))
+        ).select("doc_id")
         return docs.join(keep, "doc_id", "left_semi")
     if kind == "sample_pps":
-        keep = sampling.sample_weighted_pps(spark, sf_dir).select("doc_id")
+        keep = sampling.pps_filter(
+            docs,
+            rate_per_10000=int(params.get("rate_per_10000", sampling._PPS_RATE)),
+        ).select("doc_id")
         return docs.join(keep, "doc_id", "left_semi")
     if kind == "sample_dsir":
         # resample raw docs toward the trusted slice; the slice itself
         # (the target definition) always survives
-        picked = sampling.sample_importance_dsir(spark, sf_dir).select("doc_id")
-        target = docs.filter(
-            F.col("doc_id") % sampling._DSIR_REF_MOD == 0
+        ref_mod = int(params.get("ref_mod", sampling._DSIR_REF_MOD))
+        picked = sampling.dsir_select(
+            docs,
+            k=int(params.get("k", sampling._DSIR_K)),
+            ref_mod=ref_mod,
+            buckets=int(params.get("buckets", sampling._DSIR_BUCKETS)),
         ).select("doc_id")
+        target = docs.filter(F.col("doc_id") % ref_mod == 0).select("doc_id")
         keep = picked.union(target).distinct()
         return docs.join(keep, "doc_id", "left_semi")
     raise ValueError(f"unknown stage kind {kind!r}")  # pragma: no cover

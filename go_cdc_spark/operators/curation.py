@@ -690,14 +690,24 @@ def c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the combined keep decision. Everything is one codegen
     projection over the corpus; the over-long-token rule is a
     regexp_count on the raw text, not a per-word array pass."""
-    docs = load(spark, sf_dir, "documents")
+    return c4_flags(load(spark, sf_dir, "documents"))
+
+
+def c4_flags(
+    docs: DataFrame,
+    min_words: int = C4_MIN_WORDS,
+    max_word_len: int = C4_MAX_WORD_LEN,
+    min_stop_ratio: float = C4_MIN_STOP_RATIO,
+) -> DataFrame:
+    """df-level C4 core (thresholds are the recipe knobs; the
+    registered query fixes them at the module constants)."""
     n_words = F.size(words_col()).cast("long")
-    too_short = F.when(n_words < C4_MIN_WORDS, 1).otherwise(0)
+    too_short = F.when(n_words < min_words, 1).otherwise(0)
     has_long_word = F.when(
-        F.regexp_count("text", F.lit(f"[^ ]{{{C4_MAX_WORD_LEN + 1},}}")) > 0, 1
+        F.regexp_count("text", F.lit(f"[^ ]{{{max_word_len + 1},}}")) > 0, 1
     ).otherwise(0)
     stop_ratio = marker_hits("en").cast("double") / F.size(words_col())
-    low_stopword = F.when(stop_ratio < C4_MIN_STOP_RATIO, 1).otherwise(0)
+    low_stopword = F.when(stop_ratio < min_stop_ratio, 1).otherwise(0)
     base = docs.select(
         "doc_id",
         n_words.alias("n_words"),

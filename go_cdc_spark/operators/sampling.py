@@ -70,6 +70,31 @@ WHERE CAST(concat('0x', substr(md5(concat('pps', CAST(doc_id AS VARCHAR))), 1, 4
 """
 
 
+def pps_filter(docs: DataFrame, rate_per_10000: int = _PPS_RATE) -> DataFrame:
+    """df-level PPS core (rate is the recipe knob; the registered query
+    fixes it at {_PPS_RATE}): include each document with probability
+    (rate/10000)·(n_chars/max_chars)."""
+    w_max = docs.agg(F.max("n_chars").alias("w_max"))
+    u = _hash16("pps")
+    return (
+        docs.crossJoin(F.broadcast(w_max))
+        .filter(
+            u * F.lit(10000) * F.col("w_max")
+            < F.lit(rate_per_10000 * 65536) * F.col("n_chars")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            (
+                (F.lit(rate_per_10000) * F.col("n_chars")).cast("double")
+                / (F.lit(10000) * F.col("w_max")).cast("double")
+            ).alias("incl_prob"),
+        )
+    )
+
+
 @query("sample_weighted_pps", oracle=_PPS_ORACLE)
 def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probability-proportional-to-size Bernoulli sampling: include each
@@ -87,26 +112,7 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin — no driver round-trip, no shuffle of the corpus. At
     100 TB this is scan → filter, embarrassingly parallel.
     """
-    docs = load(spark, sf_dir, "documents")
-    w_max = docs.agg(F.max("n_chars").alias("w_max"))
-    u = _hash16("pps")
-    return (
-        docs.crossJoin(F.broadcast(w_max))
-        .filter(
-            u * F.lit(10000) * F.col("w_max")
-            < F.lit(_PPS_RATE * 65536) * F.col("n_chars")
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "n_chars",
-            (
-                (F.lit(_PPS_RATE) * F.col("n_chars")).cast("double")
-                / (F.lit(10000) * F.col("w_max")).cast("double")
-            ).alias("incl_prob"),
-        )
-    )
+    return pps_filter(load(spark, sf_dir, "documents"))
 
 
 _PRIORITY_K = 100
@@ -179,37 +185,23 @@ LIMIT {_DSIR_K}
 """
 
 
-@query("sample_importance_dsir", oracle=_DSIR_ORACLE)
-def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Importance resampling toward a trusted target slice over hashed
-    unigram features (DSIR analog, see section comment): score every
-    raw document by the exact integer cross-difference classifier and
-    keep the {_DSIR_K} most target-like (score desc, doc_id tie-break).
-
-    Scale shape: tokens explode map-side; the feature model is ONE
-    aggregation to {_DSIR_BUCKETS} rows (conditional partial counts fold
-    map-side, so the shuffle carries buckets × partitions rows, not
-    tokens) and the totals are a 1-row broadcast over it. Scoring joins
-    each token to the {_DSIR_BUCKETS}-row weight table — broadcast hash
-    join, no corpus shuffle — then aggregates by doc_id (partial sums
-    map-side; the explode keeps tokens of one document in one partition
-    so the partial collapses most of the volume). Selection is
-    ``orderBy().limit(k)`` → TakeOrderedAndProject: k rows per
-    partition reach the driver merge, no global sort. Overflow audit:
-    |delta| ≤ max(t_b·R, r_b·T) and |score| ≤ n_tokens·max|delta|; at
-    2^63 that bounds corpora to ~10^9 scored tokens per side at this
-    bucket count — past that, swap the two products and the score sum
-    to DECIMAL(38,0) (same plan, wider buffers)."""
+def dsir_select(
+    docs: DataFrame,
+    k: int = _DSIR_K,
+    ref_mod: int = _DSIR_REF_MOD,
+    buckets: int = _DSIR_BUCKETS,
+) -> DataFrame:
+    """df-level DSIR core (k / ref_mod / buckets are the recipe knobs;
+    the registered query fixes them at the module constants)."""
     while _PINNED:  # bound the cache: at most one invocation live
         _PINNED.pop().unpersist()
-    docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
     bt = toks.select(
-        "doc_id", (_hash16("dsir", "tok") % _DSIR_BUCKETS).alias("b")
+        "doc_id", (_hash16("dsir", "tok") % buckets).alias("b")
     )
-    is_ref = F.col("doc_id") % _DSIR_REF_MOD == 0
+    is_ref = F.col("doc_id") % ref_mod == 0
     counts = bt.groupBy("b").agg(
         F.sum(F.when(is_ref, 1).otherwise(0)).cast("bigint").alias("t_b"),
         F.sum(F.when(~is_ref, 1).otherwise(0)).cast("bigint").alias("r_b"),
@@ -240,7 +232,7 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.orderBy(F.col("score").desc(), "doc_id")
-        .limit(_DSIR_K)
+        .limit(k)
         .select(
             "doc_id",
             "n_tokens",
@@ -250,6 +242,30 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("sample_importance_dsir", oracle=_DSIR_ORACLE)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling toward a trusted target slice over hashed
+    unigram features (DSIR analog, see section comment): score every
+    raw document by the exact integer cross-difference classifier and
+    keep the {_DSIR_K} most target-like (score desc, doc_id tie-break).
+
+    Scale shape: tokens explode map-side; the feature model is ONE
+    aggregation to {_DSIR_BUCKETS} rows (conditional partial counts fold
+    map-side, so the shuffle carries buckets × partitions rows, not
+    tokens) and the totals are a 1-row broadcast over it. Scoring joins
+    each token to the {_DSIR_BUCKETS}-row weight table — broadcast hash
+    join, no corpus shuffle — then aggregates by doc_id (partial sums
+    map-side; the explode keeps tokens of one document in one partition
+    so the partial collapses most of the volume). Selection is
+    ``orderBy().limit(k)`` → TakeOrderedAndProject: k rows per
+    partition reach the driver merge, no global sort. Overflow audit:
+    |delta| ≤ max(t_b·R, r_b·T) and |score| ≤ n_tokens·max|delta|; at
+    2^63 that bounds corpora to ~10^9 scored tokens per side at this
+    bucket count — past that, swap the two products and the score sum
+    to DECIMAL(38,0) (same plan, wider buffers)."""
+    return dsir_select(load(spark, sf_dir, "documents"))
 
 
 

@@ -361,13 +361,24 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash of the stable key, NOT rand() — reproducible across runs,
     engines, and retried tasks, which is what makes corpus ablations
     comparable. Map-side only: a filter, no shuffle, no state."""
-    docs = load(spark, sf_dir, "documents")
+    return stratified_filter(load(spark, sf_dir, "documents"))
+
+
+def stratified_filter(
+    docs: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_rate: int = 30,
+) -> DataFrame:
+    """df-level stratified core (per-language percent rates are the
+    recipe knobs; the registered query fixes en=10 / default=30)."""
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.lit("doc"), F.col("doc_id").cast("string"))), 1, 4), 16, 10)
         .cast("long")
         % 100
     )
-    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(30))
+    rate = F.lit(default_rate)
+    for lang, r in (rates if rates is not None else {"en": 10}).items():
+        rate = F.when(F.col("lang") == lang, F.lit(int(r))).otherwise(rate)
     return docs.filter(bucket < rate).select("doc_id", "lang", "source")
 
 

@@ -186,3 +186,35 @@ def test_dedup_phash_stage(spark, tmp_path):
     }
     assert 1 in kept and 3 in kept
     assert 2 not in kept  # duplicate payload, higher doc_id
+
+
+def test_stage_knobs_override_defaults(spark, sf_dir, tmp_path):
+    """Recipe parameters flow into the shared df-level cores: a halved
+    PPS rate keeps (weakly) fewer docs, a doubled DSIR k keeps more,
+    and stratified rates change the language mix."""
+    def run_one(body, out):
+        rec = tmp_path / f"{out}.toml"
+        rec.write_text(
+            f'[corpus]\ninput = "{sf_dir}"\noutput = "{tmp_path}/{out}"\n' + body
+        )
+        return run_recipe(spark, str(rec))[0]
+
+    pps_hi = run_one('[[stage]]\nkind = "sample_pps"\n', "pps_hi")
+    pps_lo = run_one(
+        '[[stage]]\nkind = "sample_pps"\nrate_per_10000 = 500\n', "pps_lo"
+    )
+    assert pps_lo["rows_out"] < pps_hi["rows_out"]
+
+    dsir_small = run_one('[[stage]]\nkind = "sample_dsir"\nk = 5\n', "dsir_s")
+    dsir_big = run_one('[[stage]]\nkind = "sample_dsir"\nk = 40\n', "dsir_b")
+    assert dsir_big["rows_out"] - dsir_small["rows_out"] == 35
+
+    strat = run_one(
+        '[[stage]]\nkind = "sample_stratified"\ndefault_rate = 100\n'
+        '[stage.rates]\nen = 0\n',
+        "strat",
+    )
+    out_langs = {
+        r["lang"] for r in load(spark, strat["path"], "documents").collect()
+    }
+    assert "en" not in out_langs and out_langs  # en zeroed, others full
