@@ -114,6 +114,7 @@ HEADLINE = [
     "embed_rp_recall",
     "media_phash_dedup",
     "media_phash_banded",
+    "media_phash_survivors",
 ]
 
 

@@ -88,6 +88,7 @@ _KNOWN_KINDS = (
     "dedup_exact",
     "dedup_near",
     "dedup_phash",
+    "dedup_phash_near",
     "dedup_paragraphs",
     "sample_stratified",
     "sample_pps",
@@ -160,6 +161,9 @@ def _apply_stage(spark: SparkSession, kind: str, params: dict, sf_dir: str) -> D
         keep = multimodal.media_phash_dedup(spark, sf_dir).select(
             F.col("keep_doc_id").alias("doc_id")
         )
+        return docs.join(keep, "doc_id", "left_semi")
+    if kind == "dedup_phash_near":
+        keep = multimodal.media_phash_survivors(spark, sf_dir).select("doc_id")
         return docs.join(keep, "doc_id", "left_semi")
     if kind == "dedup_paragraphs":
         rew = curation.dedup_paragraphs(spark, sf_dir).select(

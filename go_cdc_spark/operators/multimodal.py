@@ -841,3 +841,58 @@ def media_phash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "phash"
     )
     return phash_banded_pairs(hashed)
+
+
+_PHASH_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE {_PHASH_H_CTES},
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.phash AS ha, b.phash AS hb
+    FROM h a JOIN h b
+      ON a.doc_id < b.doc_id AND a.phash // 256 = b.phash // 256
+    UNION
+    SELECT a.doc_id, b.doc_id, a.phash, b.phash
+    FROM h a JOIN h b
+      ON a.doc_id < b.doc_id AND a.phash % 256 = b.phash % 256
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_PHASH_MAX_HAMMING}
+),
+sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+members AS (
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN members m ON d.doc_id = m.doc_id
+WHERE m.doc_id IS NULL OR m.doc_id = m.cluster_id
+"""
+
+
+@query("media_phash_survivors", oracle=_PHASH_SURVIVORS_ORACLE)
+def media_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptually-deduped corpus: connected components over the
+    verified hamming-≤{_PHASH_MAX_HAMMING} pairs, keep each class's min
+    doc_id, untouched docs survive as singletons — the dedup_survivors
+    contract lifted to pixel space, completing the phash family
+    (buckets → pairs → survivors). CC runs through the shared hybrid
+    (driver union-find under the counted edge threshold, distributed
+    min-label + pointer doubling above it — operators/dedup.py)."""
+    from .dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = media_phash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    members = connected_components(pairs, "doc_a", "doc_b")
+    non_reps = members.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(non_reps, "doc_id", "left_anti")

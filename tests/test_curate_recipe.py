@@ -218,3 +218,22 @@ def test_stage_knobs_override_defaults(spark, sf_dir, tmp_path):
         r["lang"] for r in load(spark, strat["path"], "documents").collect()
     }
     assert "en" not in out_langs and out_langs  # en zeroed, others full
+
+
+def test_dedup_phash_near_stage(spark, sf_dir, tmp_path):
+    """The near-dup stage keeps exactly the survivor set (cluster min +
+    singletons) — weakly smaller than the exact-bucket stage's keep."""
+    from go_cdc_spark.operators.multimodal import media_phash_survivors
+
+    rec = tmp_path / "r.toml"
+    rec.write_text(
+        f'[corpus]\ninput = "{sf_dir}"\noutput = "{tmp_path}/out"\n'
+        '[[stage]]\nkind = "dedup_phash_near"\n'
+    )
+    manifest = run_recipe(spark, str(rec))
+    kept = {
+        r["doc_id"] for r in load(spark, manifest[0]["path"], "documents").collect()
+    }
+    expect = {r["doc_id"] for r in media_phash_survivors(spark, sf_dir).collect()}
+    assert kept == expect
+    assert manifest[0]["rows_out"] <= manifest[0]["rows_in"]
