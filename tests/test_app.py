@@ -691,3 +691,69 @@ include_tables = ["region"]
     flat.full_sync()
     with pytest.raises(ValueError, match="history = true"):
         flat.read_history(1, "main", "region")
+
+
+def test_history_composes_with_read_committed(spark, tmp_path):
+    """history = true + read_committed = true: the txn gate buffers an
+    open transaction's row; once its commit arrives, the release flows
+    into the SCD2 materializer — so the version only appears in history
+    AFTER the commit, and asof-reads before the row's position never
+    see it."""
+    seg_dir = tmp_path / "changelog"
+    seg_dir.mkdir()
+    cfg = f"""
+[engine]
+meta_path      = "{tmp_path}/meta"
+state_dir      = "{tmp_path}/state"
+checkpoint_dir = "{tmp_path}/ckpt"
+
+[[source]]
+id        = 1
+name      = "dev"
+type      = "parquet"
+path      = "{SF}"
+changelog = "{seg_dir}"
+history   = true
+read_committed = true
+[source.primary_keys]
+region = ["r_regionkey"]
+[source.rules.global]
+include_tables = ["region"]
+"""
+    (tmp_path / "config.toml").write_text(cfg)
+    engine = Engine(load_config(str(tmp_path / "config.toml")), spark=spark)
+    engine.init_sources()
+    snaps = engine.full_sync()
+    p = int({s.table: s.pos for s in snaps[1]}["region"])
+
+    def ev(pos, op, data, txn):
+        e = _event(pos, op, data)
+        e["txn_id"] = txn
+        return e
+
+    with open(seg_dir / "seg0.json", "w") as f:
+        f.write(json.dumps(
+            ev(p + 1, "update", {"r_regionkey": "2", "r_name": "ASIA-v2"}, "tx1")
+        ) + "\n")
+    engine.incremental_sync()
+    # open txn: no new version anywhere — current, history, or asof
+    assert {
+        r["r_name"] for r in engine.read_history(1, "main", "region")
+        .filter("r_regionkey = 2").collect()
+    } == {"ASIA"}
+
+    with open(seg_dir / "seg1.json", "w") as f:
+        f.write(json.dumps(ev(p + 2, "commit", None, "tx1")) + "\n")
+    engine.incremental_sync()
+    cur = {r.r_regionkey: r.r_name for r in engine.read_table(1, "main", "region").collect()}
+    assert cur[2] == "ASIA-v2"
+    hist_names = [
+        r["r_name"] for r in engine.read_history(1, "main", "region")
+        .filter("r_regionkey = 2").orderBy("__valid_from_pos").collect()
+    ]
+    assert hist_names == ["ASIA", "ASIA-v2"]
+    asof_before = {
+        r.r_regionkey: r.r_name
+        for r in engine.read_table_asof(1, "main", "region", str(p).zfill(12)).collect()
+    }
+    assert asof_before[2] == "ASIA"
