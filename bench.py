@@ -115,6 +115,9 @@ HEADLINE = [
     "media_phash_dedup",
     "media_phash_banded",
     "media_phash_survivors",
+    # round-8 late surface (this continuation)
+    "resample_gapfill",
+    "resample_interp_linear",
 ]
 
 

@@ -1,0 +1,224 @@
+"""Time-series resampling over the event stream: dense hourly grids
+with gap-filling (forward-fill and linear interpolation).
+
+A CDC-replicated events table is irregular by nature — hours with no
+events simply have no rows — while every downstream consumer of a
+time series (anomaly scoring, forecasting, dashboard sparklines)
+wants a DENSE, regular grid. These operators materialize that grid:
+
+- ``resample_gapfill`` — hourly (event_type, hour) cells over the full
+  observed span, zero-count gaps made explicit, and the last observed
+  hourly value carried forward (the "staircase" fill used for
+  state-like series).
+- ``resample_interp_linear`` — the same grid with interior gaps
+  linearly interpolated between the surrounding observations (the fill
+  used for rate-like series); leading/trailing gaps stay NULL because
+  there is nothing to anchor them to.
+
+Scale shape (100 TB): the raw event scan is touched exactly once, by
+one hash aggregation with map-side partials — everything after that
+operates on the GRID, whose size is |event types| × |hours in span|
+(bounded by calendar time, not data volume; a 3-year span is ~26k
+hours per type). The grid build is a 1-row bounds aggregate exploded
+through ``sequence()`` cross-joined with the distinct type list, the
+grid⋈agg join broadcasts the aggregated side (row count ≤ grid cells
+by construction), and the fill windows partition per event type over
+calendar-bounded partitions. No window ever runs over raw events.
+
+Cross-engine exactness: hourly values are decimal-accumulated sums
+(order-independent) cast to double via the established VARCHAR-hop
+pattern (operators/relational.py `dsum`); the interpolation formula is
+the same IEEE double expression tree on both engines over identical
+inputs, so results hash-match bit-exactly.
+
+Parity note: derived analytic surface (SURVEY.md §2.B); the reference
+(go-cdc) replicates the events table but has no analytic surface on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import query
+from ..tables import load
+from .relational import DEC
+
+def _w_back():
+    """Forward-fill window: everything up to and including this hour.
+
+    Built lazily — WindowSpec construction needs a live SparkContext,
+    so it cannot run at module import.
+    """
+    return (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
+def _w_fwd():
+    """Interpolation's look-ahead window: this hour onward."""
+    return (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+
+def _dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hour, n_events, hour_value) over the dense hourly grid.
+
+    ``n_events`` is 0 for gap cells; ``hour_value`` is NULL there (the
+    exact-decimal sum of ``value`` elsewhere). Shared by both resample
+    queries.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    # ONE pass over the raw events; everything downstream is grid-sized.
+    agg = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("hour_value"),
+    )
+    bounds = ev.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(hours)
+    # agg's row count ≤ grid cells (types × span hours) by construction,
+    # so it is always broadcast-safe regardless of raw event volume.
+    return grid.join(F.broadcast(agg), ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "hour_value",
+    )
+
+
+_GRID_SQL = f"""
+ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value FROM events
+),
+agg AS (
+  SELECT event_type, hour, COUNT(*) AS n_events,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS hour_value
+  FROM ev GROUP BY event_type, hour
+),
+b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM ev),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+),
+grid AS (
+  SELECT t.event_type, h.hour
+  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN hours h
+),
+dense AS (
+  SELECT g.event_type, g.hour,
+         COALESCE(a.n_events, 0) AS n_events,
+         a.hour_value
+  FROM grid g
+  LEFT JOIN agg a ON g.event_type = a.event_type AND g.hour = a.hour
+)
+"""
+
+_GAPFILL_ORACLE = f"""
+WITH {_GRID_SQL}
+SELECT event_type, hour, n_events, hour_value,
+       last_value(hour_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM dense
+ORDER BY event_type, hour
+"""
+
+
+@query("resample_gapfill", oracle=_GAPFILL_ORACLE)
+def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with explicit zero-count gaps and
+    forward-filled values (staircase fill).
+    """
+    dense = _dense_grid(spark, sf_dir)
+    return dense.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "hour_value",
+        F.last("hour_value", ignorenulls=True).over(_w_back()).alias("filled_value"),
+    ).orderBy("event_type", "hour")
+
+
+# Linear interpolation: observed cells keep their value; interior gaps
+# take prev + (next - prev) * elapsed/gap with hour distances as exact
+# small-integer doubles (identical IEEE expression tree both engines).
+_INTERP_ORACLE = f"""
+WITH {_GRID_SQL},
+anchored AS (
+  SELECT event_type, hour, n_events, hour_value,
+         last_value(hour_value IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN hour_value IS NOT NULL THEN hour END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+         first_value(hour_value IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN hour_value IS NOT NULL THEN hour END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM dense
+)
+SELECT event_type, hour, n_events, hour_value,
+       CASE
+         WHEN hour_value IS NOT NULL THEN hour_value
+         WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+           prev_v + (next_v - prev_v)
+                  * (CAST(date_diff('hour', prev_h, hour) AS DOUBLE)
+                     / CAST(date_diff('hour', prev_h, next_h) AS DOUBLE))
+         ELSE NULL
+       END AS interp_value
+FROM anchored
+ORDER BY event_type, hour
+"""
+
+
+@query("resample_interp_linear", oracle=_INTERP_ORACLE)
+def resample_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with interior gaps linearly interpolated
+    between the surrounding observations; boundary gaps stay NULL.
+    """
+    dense = _dense_grid(spark, sf_dir)
+    obs_hour = F.when(F.col("hour_value").isNotNull(), F.col("hour"))
+    anchored = dense.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "hour_value",
+        F.last("hour_value", ignorenulls=True).over(_w_back()).alias("prev_v"),
+        F.last(obs_hour, ignorenulls=True).over(_w_back()).alias("prev_h"),
+        F.first("hour_value", ignorenulls=True).over(_w_fwd()).alias("next_v"),
+        F.first(obs_hour, ignorenulls=True).over(_w_fwd()).alias("next_h"),
+    )
+    # Hour distances: exact small integers in double; the divide/multiply/
+    # add tree is written in the same shape as the oracle so both engines
+    # execute the identical IEEE operation sequence.
+    elapsed = (
+        F.col("hour").cast("long") - F.col("prev_h").cast("long")
+    ).cast("double") / F.lit(3600.0)
+    gap = (
+        F.col("next_h").cast("long") - F.col("prev_h").cast("long")
+    ).cast("double") / F.lit(3600.0)
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (elapsed / gap)
+    return anchored.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "hour_value",
+        F.when(F.col("hour_value").isNotNull(), F.col("hour_value"))
+        .when(F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), interp)
+        .alias("interp_value"),
+    ).orderBy("event_type", "hour")

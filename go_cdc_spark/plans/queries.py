@@ -20,6 +20,7 @@ from ..operators import (  # noqa: F401  (registers on import)
     skew,
     stats,
     text,
+    timeseries,
     tpch,
     tpch_supply,
 )

@@ -1,0 +1,79 @@
+"""Resample/gap-fill spec tests beyond the oracle hash-check: exact
+fill semantics on a constructed gap pattern (interior, leading, and
+trailing gaps; multi-event hours)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from go_cdc_spark.operators.timeseries import (
+    resample_gapfill,
+    resample_interp_linear,
+)
+
+
+def _h(hour: int, minute: int = 15) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, hour, minute)
+
+
+def _write_events(spark, tmp_path) -> str:
+    # type 'a': hour 0 holds TWO events (4.0 + 6.0), hours 1-2 are an
+    # interior gap, hour 3 closes with 7.0.
+    # type 'b': leading gap at hour 0, observations at hours 1-2,
+    # trailing gap at hour 3 (span is global, so b inherits a's bounds).
+    rows = [
+        (1, _h(0, 10), 100, "a", 4.0, "{}"),
+        (2, _h(0, 50), 101, "a", 6.0, "{}"),
+        (3, _h(3), 102, "a", 7.0, "{}"),
+        (4, _h(1), 103, "b", 2.0, "{}"),
+        (5, _h(2), 104, "b", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _by_key(rows, col):
+    return {(r["event_type"], r["hour"].hour): r[col] for r in rows}
+
+
+def test_gapfill_staircase(spark, tmp_path):
+    rows = resample_gapfill(spark, _write_events(spark, tmp_path)).collect()
+    assert len(rows) == 8  # 2 types x 4-hour global span, gaps explicit
+    n = _by_key(rows, "n_events")
+    assert n == {
+        ("a", 0): 2, ("a", 1): 0, ("a", 2): 0, ("a", 3): 1,
+        ("b", 0): 0, ("b", 1): 1, ("b", 2): 1, ("b", 3): 0,
+    }
+    hv = _by_key(rows, "hour_value")
+    assert hv[("a", 0)] == 10.0  # multi-event hour sums, not picks
+    assert hv[("a", 1)] is None  # gap cells stay NULL in the raw column
+    filled = _by_key(rows, "filled_value")
+    assert [filled[("a", h)] for h in range(4)] == [10.0, 10.0, 10.0, 7.0]
+    # leading gap has no anchor; trailing gap carries the last value
+    assert [filled[("b", h)] for h in range(4)] == [None, 2.0, 5.0, 5.0]
+
+
+def test_interp_linear_interior_only(spark, tmp_path):
+    rows = resample_interp_linear(spark, _write_events(spark, tmp_path)).collect()
+    v = _by_key(rows, "interp_value")
+    # 10.0 -> 7.0 across a 3-hour gap: exact thirds land on 9 and 8
+    assert [v[("a", h)] for h in range(4)] == [10.0, 9.0, 8.0, 7.0]
+    # boundary gaps stay NULL (nothing to anchor the line to)
+    assert [v[("b", h)] for h in range(4)] == [None, 2.0, 5.0, None]
+
+
+def test_grid_is_calendar_dense(spark, tmp_path):
+    """Every (type, hour) cell of the global span appears exactly once."""
+    out = resample_gapfill(spark, _write_events(spark, tmp_path))
+    cells = [(r["event_type"], r["hour"]) for r in out.collect()]
+    assert len(cells) == len(set(cells))
+    hours = sorted({h for _, h in cells})
+    deltas = {
+        (b - a).total_seconds() for a, b in zip(hours, hours[1:])
+    }
+    assert deltas == {3600.0}
