@@ -814,3 +814,106 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("n").alias("part"), F.col("label").alias("community")
     ).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: Jaccard over common neighbors of NON-adjacent pairs.
+# The classic "parts frequently bought alongside the same companions but
+# never (stably) together" recommender signal, and the fourth consumer
+# of the shared co-purchase edge derivation.
+
+_LP_TOPK = 20
+
+
+def _linkpred_oracle() -> str:
+    return f"""
+WITH co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         COUNT(DISTINCT a.l_orderkey) AS support
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS MATERIALIZED (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT}),
+und AS (
+  SELECT pa AS src, pb AS dst FROM e
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM e
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+cand AS (
+  SELECT e1.dst AS pa, e2.dst AS pb, COUNT(*) AS cn
+  FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT c.pa, c.pb, c.cn
+  FROM cand c LEFT JOIN e ON e.pa = c.pa AND e.pb = c.pb
+  WHERE e.pa IS NULL
+)
+SELECT n.pa, n.pb, CAST(n.cn AS BIGINT) AS cn,
+       CAST(n.cn AS DOUBLE)
+         / CAST(da.deg + db.deg - n.cn AS DOUBLE) AS jaccard
+FROM nonadj n
+JOIN deg da ON da.src = n.pa
+JOIN deg db ON db.src = n.pb
+ORDER BY jaccard DESC, n.pa, n.pb
+LIMIT {_LP_TOPK}
+"""
+
+
+@query("graph_link_prediction", oracle=_linkpred_oracle())
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_LP_TOPK} predicted links of the stable co-purchase graph:
+    non-adjacent part pairs ranked by neighbor-set Jaccard
+    cn / (deg_a + deg_b − cn).
+
+    Scale shape: candidate pairs come from the SAME oriented wedge
+    enumeration as triangle_count (per-center neighbor pairs, e1.dst <
+    e2.dst — each unordered pair once), so the volume is Σ_v deg(v)²
+    over the support-filtered graph, with the filter-before-explode
+    discipline bounding the hub tail; at production scale the hub
+    valve is a per-center degree cap (the simhash band-cap pattern).
+    Existing edges leave by anti-join BEFORE the degree joins, and the
+    final ranking is one TakeOrderedAndProject (no global sort).
+
+    Cross-engine exactness: cn and degrees are exact BIGINTs; jaccard
+    is ONE double division of identical integers, and the (jaccard
+    DESC, pa, pb) order is total, so the top-k cutoff is deterministic
+    on both engines.
+    """
+    co = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = co.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        co.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1, e2 = und.alias("e1"), und.alias("e2")
+    cand = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .groupBy(F.col("e1.dst").alias("pa"), F.col("e2.dst").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonadj = cand.join(co, ["pa", "pb"], "left_anti")
+    scored = (
+        nonadj.join(
+            deg.select(F.col("src").alias("pa"), F.col("deg").alias("deg_a")), "pa"
+        )
+        .join(
+            deg.select(F.col("src").alias("pb"), F.col("deg").alias("deg_b")), "pb"
+        )
+        .select(
+            "pa",
+            "pb",
+            "cn",
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard"), "pa", "pb").limit(_LP_TOPK)
