@@ -370,6 +370,13 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle, keyed by centroid_id — at 100 TB make nlist ~ sqrt(N)
     so cells stay executor-sized, and raise nprobe for recall.
     """
+    return _ivf_topk(spark, sf_dir, nprobe=1)
+
+
+def _coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse assignment (vec_id, embedding, centroid_id, rn) —
+    ONE subtree shared by the sim_ivf family and the IVF-PQ
+    composition; ann_recall_at_k pins it so six arms assign once."""
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "__enorm", norm_col("embedding")
     )
@@ -382,25 +389,40 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc(cosine_from(dot_col("embedding", "cent_emb"), "__enorm", "__cnorm")),
         F.asc("centroid_id"),
     )
-    cell = (
+    return (
         emb.crossJoin(F.broadcast(cent))
         .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        .select("vec_id", "embedding", "centroid_id", "rn")
     )
-    q = cell.filter(F.col("vec_id") < N_QUERIES).select(
+
+
+def _ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 1,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """IVF search core: queries probe their ``nprobe`` nearest cells
+    over a (shareable) coarse assignment; candidates live in their
+    rn=1 cell. The registered sim_ivf / sim_ivf_nprobe2 pin the oracle
+    knobs; ann_recall_at_k passes a pinned ``assign``."""
+    if assign is None:
+        assign = _coarse_assign(spark, sf_dir)
+    q = assign.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= nprobe)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         "centroid_id",
         norm_col("embedding").alias("q_norm"),
     )
-    c = cell.filter(F.col("vec_id") >= N_QUERIES).select(
+    c = assign.filter((F.col("vec_id") >= N_QUERIES) & (F.col("rn") == 1)).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         "centroid_id",
         norm_col("embedding").alias("c_norm"),
     )
-    scored = q.join(c, "centroid_id").select(
+    scored = F.broadcast(q).join(c, "centroid_id").select(
         "query_id",
         "cand_id",
         cosine_from(dot_col("q_emb", "c_emb"), "q_norm", "c_norm").alias("cosine"),
@@ -450,48 +472,7 @@ def sim_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplies only the (broadcast-small) query side by nprobe; the
     corpus side still assigns map-side and shuffles once on
     centroid_id."""
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "__enorm", norm_col("embedding")
-    )
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("cent_emb"),
-        F.col("__enorm").alias("__cnorm"),
-    )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.desc(cosine_from(dot_col("embedding", "cent_emb"), "__enorm", "__cnorm")),
-        F.asc("centroid_id"),
-    )
-    assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(aw))
-        .select("vec_id", "embedding", "centroid_id", "rn")
-    )
-    q = assign.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= _IVF_NPROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "centroid_id",
-        norm_col("embedding").alias("q_norm"),
-    )
-    c = assign.filter((F.col("vec_id") >= N_QUERIES) & (F.col("rn") == 1)).select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("c_emb"),
-        "centroid_id",
-        norm_col("embedding").alias("c_norm"),
-    )
-    scored = F.broadcast(q).join(c, "centroid_id").select(
-        "query_id",
-        "cand_id",
-        cosine_from(dot_col("q_emb", "c_emb"), "q_norm", "c_norm").alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "cand_id", "cosine", "rank")
-    )
+    return _ivf_topk(spark, sf_dir, nprobe=_IVF_NPROBE)
 
 
 # --- multi-table, occupancy-adaptive LSH for near-dup blocking -------------
@@ -1547,6 +1528,15 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PQ twin of the trained-codebook memo: cent1 is a pure function of
+# (corpus version, k) — M×k rows of subdim arrays, driver-tiny — and
+# is consumed by sim_pq_codes, _pq_adc_topk, AND the IVF-PQ composition
+# (three trainings of the identical pipeline per ann_recall_at_k run
+# without it). Same sanctioned-artifact contract as _TRAINED_MEMO:
+# values are bit-exact collected rows, so oracle hashes are unchanged.
+_PQ_MEMO: dict[tuple, tuple] = {}
+
+
 def _pq_fit(
     spark: SparkSession, sf_dir: str, k: int = _PQ_K
 ) -> tuple[DataFrame, DataFrame]:
@@ -1557,6 +1547,8 @@ def _pq_fit(
     queries pin the oracle's {_PQ_K}; tools/pq_recall_curve.py sweeps
     it and COVERAGE.md records the measured recall-vs-k curve)."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    version = _corpus_version(sf_dir)
+    memo = _PQ_MEMO.get((sf_dir, k, version))
     subs = emb.select(
         "vec_id",
         F.explode(
@@ -1575,6 +1567,8 @@ def _pq_fit(
     ).select(
         "vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub")
     ).withColumn("__snorm", norm_col("sub"))
+    if memo is not None:
+        return subs, spark.createDataFrame(memo[1], memo[0])
 
     seeds = subs.filter(F.col("vec_id") < k).select(
         "s",
@@ -1607,19 +1601,20 @@ def _pq_fit(
             lambda st: st["value"],
         ).alias("cent")
     ).withColumn("__bnorm", norm_col("cent"))
-    return subs, cent1
+    hit = (cent1.schema, cent1.collect())
+    for stale in [mk for mk in _PQ_MEMO if mk[:2] == (sf_dir, k)]:
+        del _PQ_MEMO[stale]
+    _PQ_MEMO[(sf_dir, k, version)] = hit
+    return subs, spark.createDataFrame(hit[1], hit[0])
 
 
-def _pq_adc_topk(
-    spark: SparkSession, sf_dir: str, k: int = _PQ_K, n_queries: int = N_QUERIES
+def _pq_recon(
+    spark: SparkSession, sf_dir: str, k: int = _PQ_K
 ) -> DataFrame:
-    """PQ search: candidates are represented ONLY by their codes —
-    each is reconstructed as the concatenation of its per-subspace
-    codewords, and ranked by cosine(query, reconstruction) (equivalent
-    to asymmetric-distance computation: dot(q, recon) decomposes into
-    per-subspace codeword dots). Same shape as sim_topk with the
-    reconstruction join in front: codes ⋈ broadcast codebook, then
-    broadcast queries × map-side cosine → per-query top-k window."""
+    """(vec_id, recon) PQ reconstructions of the whole corpus: codes ⋈
+    broadcast codebook, subspaces reassembled in order — the subtree
+    shared by the ADC search and the IVF-PQ composition (ann_recall
+    pins it so both arms reconstruct once)."""
     subs, cent1 = _pq_fit(spark, sf_dir, k=k)
     aw = Window.partitionBy("vec_id", "s").orderBy(
         F.desc(cosine_from(dot_col("sub", "cent"), "__snorm", "__bnorm")),
@@ -1631,7 +1626,7 @@ def _pq_adc_topk(
         .filter(F.col("rn") == 1)
         .select("vec_id", "s", "code_id")
     )
-    recon = (
+    return (
         codes.join(F.broadcast(cent1.drop("__bnorm")), ["s", "code_id"])
         .groupBy("vec_id")
         .agg(
@@ -1643,6 +1638,24 @@ def _pq_adc_topk(
             ).alias("recon")
         )
     )
+
+
+def _pq_adc_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _PQ_K,
+    n_queries: int = N_QUERIES,
+    recon: DataFrame | None = None,
+) -> DataFrame:
+    """PQ search: candidates are represented ONLY by their codes —
+    each is reconstructed as the concatenation of its per-subspace
+    codewords, and ranked by cosine(query, reconstruction) (equivalent
+    to asymmetric-distance computation: dot(q, recon) decomposes into
+    per-subspace codeword dots). Same shape as sim_topk with the
+    reconstruction join in front: codes ⋈ broadcast codebook, then
+    broadcast queries × map-side cosine → per-query top-k window."""
+    if recon is None:
+        recon = _pq_recon(spark, sf_dir, k=k)
     queries = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < n_queries)
@@ -1692,6 +1705,115 @@ pq_ann AS (
 )"""
 
 
+# --- IVF-PQ: the composed production ANN route ----------------------------
+# Coarse quantizer prunes the candidate set (nprobe=2 cells per query);
+# PQ asymmetric-distance scoring ranks WITHIN the probed cells, so the
+# search touches codes, never raw candidate vectors. This is the
+# standard FAISS IVFPQ composition (Jégou et al., TPAMI 2011), minus
+# residual encoding: we PQ-encode raw vectors, not (vec − centroid)
+# residuals, because the residual subtraction would reintroduce
+# engine-ordered float arithmetic into the trained codebook. The
+# residual variant is the documented production upgrade — same plan
+# shape, one extra broadcast join against the coarse centroids.
+
+_IVF_PQ_ORACLE = f"""
+WITH {_PQ_CTES},
+{_RECALL_PQ_SEARCH},
+ivf_cent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings
+             WHERE vec_id < {N_CENTROIDS}),
+ivf_assign AS (
+  SELECT vec_id, embedding, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY {_sql_cosine("embedding", "cent_emb")} DESC,
+                                     centroid_id) AS rn
+  FROM embeddings CROSS JOIN ivf_cent
+),
+ivf_q AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+          FROM ivf_assign WHERE vec_id < {N_QUERIES} AND rn <= {_IVF_NPROBE}),
+ivf_c AS (
+  SELECT a.vec_id AS cand_id, r.recon AS c_emb, a.centroid_id
+  FROM ivf_assign a JOIN pq_recon r ON r.vec_id = a.vec_id
+  WHERE a.vec_id >= {N_QUERIES} AND a.rn = 1
+),
+ivf_scored AS (
+  SELECT query_id, cand_id, {_sql_cosine("q_emb", "c_emb")} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {_sql_cosine("q_emb", "c_emb")} DESC,
+                                     cand_id) AS rn
+  FROM ivf_q JOIN ivf_c USING (centroid_id)
+)
+SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank
+FROM ivf_scored WHERE rn <= {TOP_K}
+"""
+
+
+@query("sim_ivf_pq", oracle=_IVF_PQ_ORACLE)
+def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(nprobe={_IVF_NPROBE}) coarse pruning + PQ asymmetric-distance
+    scoring: queries probe their {_IVF_NPROBE} nearest cells, and
+    candidates inside those cells are ranked by cosine(query,
+    PQ-reconstruction) — the candidate's raw vector is never read at
+    search time, only its {_PQ_M}-byte code.
+
+    Scale shape: the coarse assignment is a broadcast argmax (zero
+    corpus shuffle), PQ training/encoding shuffles codebook-sized
+    relations only (see sim_pq_codes), the reconstruction join is
+    codes ⋈ broadcast codebook, and the search is one equi-join on
+    centroid_id with the broadcast-small probed query side — at 100 TB
+    the inverted lists are the partitioning, and memory holds M-byte
+    codes instead of DIM floats (16× compression here, 64-to-4)."""
+    return _ivf_pq_topk(spark, sf_dir)
+
+
+def _ivf_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _PQ_K,
+    n_queries: int = N_QUERIES,
+    assign: DataFrame | None = None,
+    recon: DataFrame | None = None,
+) -> DataFrame:
+    """Parametrizable IVF-PQ core (``k`` = per-subspace codebook size,
+    the recall knob; ``n_queries`` widens the evaluation query set).
+    The registered ``sim_ivf_pq`` pins the oracle's knobs;
+    tools/pq_recall_curve.py sweeps this directly, and ann_recall_at_k
+    passes pinned ``assign``/``recon`` so its arms share them."""
+    if assign is None:
+        assign = _coarse_assign(spark, sf_dir)
+    if recon is None:
+        recon = _pq_recon(spark, sf_dir, k=k)
+    q = assign.filter(
+        (F.col("vec_id") < n_queries) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "centroid_id",
+        norm_col("embedding").alias("q_norm"),
+    )
+    c = (
+        assign.filter((F.col("vec_id") >= n_queries) & (F.col("rn") == 1))
+        .select(F.col("vec_id").alias("cand_id"), "centroid_id")
+        .join(recon.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .select(
+            "cand_id",
+            "centroid_id",
+            F.col("recon").alias("c_emb"),
+            norm_col("recon").alias("c_norm"),
+        )
+    )
+    scored = F.broadcast(q).join(c, "centroid_id").select(
+        "query_id",
+        "cand_id",
+        cosine_from(dot_col("q_emb", "c_emb"), "q_norm", "c_norm").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def _recall_oracle() -> str:
     routes = {
         "lsh_ann": f"(SELECT query_id, cand_id FROM ({_LSH_ORACLE}) t)",
@@ -1699,6 +1821,7 @@ def _recall_oracle() -> str:
         "ivf": f"(SELECT query_id, cand_id FROM ({_IVF_ORACLE}) t)",
         "ivf_nprobe2": f"(SELECT query_id, cand_id FROM ({_IVF_NPROBE2_ORACLE}) t)",
         "pq_adc": "(SELECT query_id, cand_id FROM pq_ann)",
+        "ivf_pq": f"(SELECT query_id, cand_id FROM ({_IVF_PQ_ORACLE}) t)",
     }
     arms = "\nUNION ALL\n".join(
         f"""SELECT '{name}' AS route,
@@ -1741,12 +1864,22 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets (and therefore recall) are deterministic and hash-exact."""
     exact = sim_topk(spark, sf_dir).select("query_id", "cand_id")
     expected = exact.agg(F.count(F.lit(1)).cast("long").alias("expected"))
+    # shared artifacts, LAZY-pinned (work still happens inside the one
+    # timed action): the coarse assignment feeds three arms and the PQ
+    # reconstruction two — without the pins each arm re-evaluates its
+    # own copy of the identical subtree (measured 1.9s -> 6s+ when the
+    # sixth arm landed; the pins restore arm-count-linear cost)
+    assign = _coarse_assign(spark, sf_dir).localCheckpoint(eager=False)
+    recon = _pq_recon(spark, sf_dir).localCheckpoint(eager=False)
     routes = {
-        "lsh_ann": sim_lsh_ann,
-        "lsh_multiprobe": sim_lsh_multiprobe,
-        "ivf": sim_ivf,
-        "ivf_nprobe2": sim_ivf_nprobe2,
-        "pq_adc": _pq_adc_topk,
+        "lsh_ann": lambda s, d: sim_lsh_ann(s, d),
+        "lsh_multiprobe": lambda s, d: sim_lsh_multiprobe(s, d),
+        "ivf": lambda s, d: _ivf_topk(s, d, nprobe=1, assign=assign),
+        "ivf_nprobe2": lambda s, d: _ivf_topk(
+            s, d, nprobe=_IVF_NPROBE, assign=assign
+        ),
+        "pq_adc": lambda s, d: _pq_adc_topk(s, d, recon=recon),
+        "ivf_pq": lambda s, d: _ivf_pq_topk(s, d, assign=assign, recon=recon),
     }
     arms = []
     for name, fn in routes.items():

@@ -23,10 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+import go_cdc_spark.plans.queries  # noqa: E402,F401  (safe import order:
+# the package __init__ resolves the operator-module cycle; importing
+# similarity directly first trips dedup->curation->similarity)
 from go_cdc_spark.operators.similarity import (  # noqa: E402
     _PQ_M,
     _PQ_SUBDIM,
     TOP_K,
+    _ivf_pq_topk,
     _pq_adc_topk,
     cosine_from,
     dot_col,
@@ -80,22 +84,23 @@ def main() -> None:
     ks = [int(a) for a in args] or [8, 32, 64, 128]
     spark = get_spark("pq-recall-curve")
     print(
-        f"{'sf':>8} {'k':>4} {'codebook_bytes':>14} {'recall@5':>9}  hits/expected"
+        f"{'sf':>8} {'k':>4} {'codebook_bytes':>14} {'route':>7} {'recall@5':>9}  hits/expected"
         f"  (nq={nq})"
     )
     for sf in SFS:
         exact = exact_pairs(spark, sf, nq)
         for k in ks:
-            ann = {
-                (r.query_id, r.cand_id)
-                for r in _pq_adc_topk(spark, sf, k=k, n_queries=nq).collect()
-            }
-            hits = len(exact & ann)
             nbytes = _PQ_M * k * _PQ_SUBDIM * 8
-            print(
-                f"{os.path.basename(sf):>8} {k:>4} {nbytes:>14}"
-                f" {hits / len(exact):>9.3f}  {hits}/{len(exact)}"
-            )
+            for route, fn in (("pq_adc", _pq_adc_topk), ("ivf_pq", _ivf_pq_topk)):
+                ann = {
+                    (r.query_id, r.cand_id)
+                    for r in fn(spark, sf, k=k, n_queries=nq).collect()
+                }
+                hits = len(exact & ann)
+                print(
+                    f"{os.path.basename(sf):>8} {k:>4} {nbytes:>14}"
+                    f" {route:>7} {hits / len(exact):>9.3f}  {hits}/{len(exact)}"
+                )
 
 
 if __name__ == "__main__":
