@@ -118,6 +118,10 @@ HEADLINE = [
     # round-8 late surface (this continuation)
     "resample_gapfill",
     "resample_interp_linear",
+    "graph_link_prediction",
+    "sim_ivf_pq",
+    "corpus_zipf",
+    "corpus_heaps",
 ]
 
 

@@ -827,3 +827,164 @@ def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * msym).cast("long").alias("symbols_after"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level distributional diagnostics: Zipf rank-frequency and
+# Heaps vocabulary growth — the two summary curves a corpus report
+# leads with (skewed-token health check before training; a corpus whose
+# freq×rank collapses or whose vocab growth flatlines early is usually
+# boilerplate- or dedup-damaged).
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 50
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM tok WHERE LENGTH(token) > 0 GROUP BY token
+),
+total AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freq),
+top AS (
+  SELECT token, freq FROM freq
+  ORDER BY freq DESC, token LIMIT {_ZIPF_TOP}
+),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INTEGER) AS rank,
+         token, freq
+  FROM top
+)
+SELECT r.rank, r.token, r.freq,
+       CAST(r.freq * r.rank AS BIGINT) AS freq_x_rank,
+       CAST(CAST(SUM(r.freq) OVER (ORDER BY r.rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_share
+FROM ranked r CROSS JOIN total t
+ORDER BY r.rank
+"""
+
+
+@query("corpus_zipf", oracle=_ZIPF_ORACLE)
+def corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_ZIPF_TOP} rank-frequency table with the Zipf product
+    freq×rank (≈ constant under Zipf's law) and the cumulative corpus
+    share held by the top ranks.
+
+    Scale shape: ONE aggregation over the exploded token stream
+    (map-side partials fold the hot-token skew before the exchange),
+    then a TakeOrderedAndProject cuts the vocabulary to {_ZIPF_TOP}
+    rows — the rank/cumsum window runs on that tiny relation, never on
+    the vocabulary. Counts and products are exact BIGINTs; cum_share
+    is one double division of exact longs."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.length("token") > 0
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq").cast("long").alias("total"))
+    top = freq.orderBy(F.desc("freq"), "token").limit(_ZIPF_TOP)
+    w = Window.orderBy(F.desc("freq"), "token")
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("int"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "freq",
+            (F.col("freq") * F.col("rank")).cast("long").alias("freq_x_rank"),
+            (
+                F.sum("freq").over(cum).cast("long").cast("double")
+                / F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+# doc-count checkpoints for the vocabulary growth curve; prefixes are
+# by doc_id so the curve is deterministic and oracle-replayable (a
+# random ordering would measure the same asymptote but not hash-match)
+_HEAPS_CAPS = (16, 64, 256, 1024, 4096)
+
+_HEAPS_ORACLE = f"""
+WITH caps AS (SELECT CAST(UNNEST([{", ".join(map(str, _HEAPS_CAPS))}]) AS BIGINT) AS n_cap),
+tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+tok2 AS (SELECT doc_id, token FROM tok WHERE LENGTH(token) > 0),
+first AS (SELECT token, MIN(doc_id) AS first_doc FROM tok2 GROUP BY token),
+doccnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok2 GROUP BY doc_id),
+vocab AS (
+  SELECT c.n_cap, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM first f JOIN caps c ON f.first_doc < c.n_cap
+  GROUP BY c.n_cap
+),
+toks AS (
+  SELECT c.n_cap, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(d.n_tok) AS BIGINT) AS tokens_total
+  FROM doccnt d JOIN caps c ON d.doc_id < c.n_cap
+  GROUP BY c.n_cap
+)
+SELECT t.n_cap, t.n_docs, t.tokens_total, v.vocab,
+       CAST(v.vocab AS DOUBLE) / CAST(t.tokens_total AS DOUBLE) AS ttr
+FROM toks t JOIN vocab v USING (n_cap)
+ORDER BY t.n_cap
+"""
+
+
+@query("corpus_heaps", oracle=_HEAPS_ORACLE)
+def corpus_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-token count (and
+    type-token ratio) at doc-id-prefix checkpoints {_HEAPS_CAPS} —
+    sub-linear growth is healthy; early flattening flags a repetitive
+    or over-deduplicated corpus.
+
+    Scale shape: the corpus is scanned ONCE into two small aggregates —
+    per-token first-occurrence doc (vocabulary-sized) and per-doc token
+    count (doc-count-sized); every checkpoint is then answered from
+    those aggregates via a broadcast join against the literal
+    checkpoint list, so adding checkpoints costs nothing corpus-side.
+    Checkpoints beyond the corpus measure the whole corpus (doc_id < n
+    is simply all docs), keeping one fixed query across SFs."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    first = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    doccnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    caps = spark.createDataFrame(
+        [(int(n),) for n in _HEAPS_CAPS], "n_cap long"
+    )
+    vocab = (
+        first.join(F.broadcast(caps), F.col("first_doc") < F.col("n_cap"))
+        .groupBy("n_cap")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    toks = (
+        doccnt.join(F.broadcast(caps), F.col("doc_id") < F.col("n_cap"))
+        .groupBy("n_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+        )
+    )
+    return (
+        toks.join(vocab, "n_cap")
+        .select(
+            "n_cap",
+            "n_docs",
+            "tokens_total",
+            "vocab",
+            (
+                F.col("vocab").cast("double")
+                / F.col("tokens_total").cast("double")
+            ).alias("ttr"),
+        )
+        .orderBy("n_cap")
+    )
