@@ -122,6 +122,9 @@ HEADLINE = [
     "sim_ivf_pq",
     "corpus_zipf",
     "corpus_heaps",
+    "embed_covariance",
+    "embed_pca_power",
+    "embed_whiten",
 ]
 
 

@@ -11,6 +11,7 @@ from ..operators import (  # noqa: F401  (registers on import)
     dedup,
     graph,
     layout,
+    linalg,
     multimodal,
     quality,
     relational,

@@ -392,3 +392,50 @@ def test_lpa_vote_topk_is_window_group_limit(spark, sf_dir):
     sim_topk shape — losing it shuffles every (node, label) vote."""
     plan = _physical(QUERIES["graph_label_prop"](spark, sf_dir))
     assert re.search(r"WindowGroupLimit .*row_number\(\), 1, Partial", plan), plan
+
+
+def test_resample_grid_join_is_broadcast(spark, sf_dir):
+    """The dense-grid left join must broadcast the aggregated side
+    (row count <= grid cells by construction) and keep a map-side
+    partial HashAggregate below the (event_type, hour) exchange —
+    the raw event stream must never be shuffled row-by-row."""
+    plan = _physical(QUERIES["resample_gapfill"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    exchange = plan.index("Exchange hashpartitioning(event_type")
+    assert "HashAggregate" in plan[exchange:], "no map-side partial agg"
+
+
+def test_corpus_zipf_cuts_vocab_with_take_ordered(spark, sf_dir):
+    """The top-50 cut must compile to TakeOrderedAndProject (k rows per
+    partition to a driver merge) — a global Sort of the vocabulary
+    would be the scale killer the design avoids."""
+    plan = _physical(QUERIES["corpus_zipf"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+
+
+def test_link_prediction_ranking_is_take_ordered(spark, sf_dir):
+    """Top-k prediction ranking: TakeOrderedAndProject, no global sort
+    of the candidate pairs; existing edges leave via a hash anti-join."""
+    plan = _physical(QUERIES["graph_link_prediction"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    assert "LeftAnti" in plan, "existing-edge exclusion is not an anti-join"
+
+
+def test_covariance_partials_fold_before_exchange(spark, sf_dir):
+    """The dim-pair Gram aggregation must keep its map-side partial:
+    the exchange carries dim^2 x partitions partial sums, never the
+    exploded product rows."""
+    plan = _physical(QUERIES["embed_covariance"](spark, sf_dir))
+    exchange = plan.index("Exchange hashpartitioning(i")
+    assert "HashAggregate" in plan[exchange:], "no map-side partial agg"
+
+
+def test_whiten_is_broadcast_map_only(spark, sf_dir):
+    """Whitening: dim-row stats broadcast back onto the element stream;
+    the corpus itself must not shuffle (no SortMergeJoin, no exchange
+    keyed by vec_id)."""
+    plan = _physical(QUERIES["embed_whiten"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning(vec_id" not in plan
