@@ -46,7 +46,6 @@ from pyspark.sql.window import Window
 
 from ..plans.registry import query
 from ..tables import load
-from .dedup import BUCKET_PAIR_CAP as _BUCKET_PAIR_CAP
 
 DIM = 64
 N_QUERIES = 8  # query set = vec_id < 8 (deterministic, tiny → broadcast)
@@ -109,6 +108,15 @@ def _sql_dot(a: str, b: str) -> str:
 
 def _sql_cosine(a: str, b: str) -> str:
     return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+# Imported AFTER the cosine helpers on purpose: dedup's module-level
+# oracle build imports curation, which imports the helpers above from
+# this (then partially initialized) module. With the import up top,
+# `import go_cdc_spark.operators.similarity` as the FIRST package
+# touch dies in the cycle (measured: every direct-import tool hit it);
+# here, everything curation needs is already bound.
+from .dedup import BUCKET_PAIR_CAP as _BUCKET_PAIR_CAP  # noqa: E402
 
 
 def _plane_lit(j: int, planes: list[list[float]] | None = None) -> Column:

@@ -23,9 +23,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-import go_cdc_spark.plans.queries  # noqa: E402,F401  (safe import order:
-# the package __init__ resolves the operator-module cycle; importing
-# similarity directly first trips dedup->curation->similarity)
 from go_cdc_spark.operators.similarity import (  # noqa: E402
     _PQ_M,
     _PQ_SUBDIM,
