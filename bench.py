@@ -125,6 +125,7 @@ HEADLINE = [
     "embed_covariance",
     "embed_pca_power",
     "embed_whiten",
+    "sim_ivf_pq_residual",
 ]
 
 

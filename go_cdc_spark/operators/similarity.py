@@ -119,6 +119,29 @@ def _sql_cosine(a: str, b: str) -> str:
 from .dedup import BUCKET_PAIR_CAP as _BUCKET_PAIR_CAP  # noqa: E402
 
 
+
+def _sql_cosine_safe(a: str, b: str) -> str:
+    """_sql_cosine with a zero-norm guard: a zero residual (candidate
+    exactly equal to its coarse centroid — guaranteed to exist in any
+    corpus with duplicated vectors) has no cosine; 0/0 is an ANSI error
+    in Spark and a NaN with engine-specific ordering in DuckDB. Map it
+    to -2.0 (below every real cosine) so assignment falls through to
+    the deterministic code_id tie-break identically in both engines."""
+    return (
+        f"(CASE WHEN sqrt({_sql_dot(a, a)}) > 0.0 AND sqrt({_sql_dot(b, b)}) > 0.0 "
+        f"THEN {_sql_cosine(a, b)} ELSE -2.0 END)"
+    )
+
+
+def cosine_from_safe(dot: Column, na: Column | str, nb: Column | str) -> Column:
+    """Spark twin of _sql_cosine_safe over precomputed norms."""
+    if isinstance(na, str):
+        na = F.col(na)
+    if isinstance(nb, str):
+        nb = F.col(nb)
+    return F.when((na > 0.0) & (nb > 0.0), dot / (na * nb)).otherwise(F.lit(-2.0))
+
+
 def _plane_lit(j: int, planes: list[list[float]] | None = None) -> Column:
     return F.array(*[F.lit(v) for v in (planes or _HYPERPLANES)[j]])
 
@@ -1822,6 +1845,86 @@ def _ivf_pq_topk(
     )
 
 
+_PQ_RES_CTES = f"""
+icent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings
+          WHERE vec_id < {N_CENTROIDS}),
+iassign AS (
+  SELECT vec_id, embedding, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY {_sql_cosine("embedding", "cent_emb")} DESC,
+                                     centroid_id) AS rn
+  FROM embeddings CROSS JOIN icent
+),
+res AS (
+  SELECT a.vec_id, a.centroid_id,
+         list_transform(list_zip(a.embedding, ic.cent_emb),
+                        p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS rv
+  FROM iassign a JOIN icent ic ON ic.centroid_id = a.centroid_id
+  WHERE a.rn = 1 AND a.vec_id >= {N_QUERIES}
+),
+rsub AS (
+  SELECT vec_id, sp.s AS s,
+         rv[(sp.s * {_PQ_SUBDIM} + 1):((sp.s + 1) * {_PQ_SUBDIM})] AS sub
+  FROM res, (SELECT unnest(range(0, {_PQ_M})) AS s) sp
+),
+rseed AS (SELECT s, vec_id AS code_id, sub AS cent FROM rsub
+          WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + {_PQ_K}),
+ra1 AS (
+  SELECT x.vec_id, x.s, x.sub, p.code_id,
+         ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.s
+                            ORDER BY {_sql_cosine_safe("x.sub", "p.cent")} DESC,
+                                     p.code_id) AS rn
+  FROM rsub x JOIN rseed p ON x.s = p.s
+),
+ru1 AS (
+  SELECT s, code_id, d.dim,
+         CAST(SUM(CAST(floor(CAST(sub[d.dim] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS value
+  FROM ra1, (SELECT unnest(range(1, {_PQ_SUBDIM} + 1)) AS dim) d
+  WHERE rn = 1
+  GROUP BY s, code_id, d.dim
+),
+rc1 AS (SELECT s, code_id, list(value ORDER BY dim) AS cent FROM ru1 GROUP BY s, code_id),
+ra2 AS (
+  SELECT x.vec_id, x.s, p.code_id,
+         ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.s
+                            ORDER BY {_sql_cosine_safe("x.sub", "p.cent")} DESC,
+                                     p.code_id) AS rn
+  FROM rsub x JOIN rc1 p ON x.s = p.s
+),
+rrecon AS (
+  SELECT c.vec_id, flatten(list(b.cent ORDER BY c.s)) AS recon
+  FROM (SELECT vec_id, s, code_id FROM ra2 WHERE rn = 1) c
+  JOIN rc1 b ON c.s = b.s AND c.code_id = b.code_id
+  GROUP BY c.vec_id
+),
+reconf AS (
+  SELECT rr.vec_id, rs.centroid_id,
+         list_transform(list_zip(ic.cent_emb, rr.recon),
+                        p -> CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE)) AS femb
+  FROM rrecon rr
+  JOIN res rs ON rs.vec_id = rr.vec_id
+  JOIN icent ic ON ic.centroid_id = rs.centroid_id
+)"""
+
+_IVF_PQ_RES_ORACLE = f"""
+WITH {_PQ_RES_CTES},
+rq AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+       FROM iassign WHERE vec_id < {N_QUERIES} AND rn <= {_IVF_NPROBE}),
+rcand AS (SELECT vec_id AS cand_id, femb AS c_emb, centroid_id FROM reconf),
+rscored AS (
+  SELECT query_id, cand_id, {_sql_cosine("q_emb", "c_emb")} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {_sql_cosine("q_emb", "c_emb")} DESC,
+                                     cand_id) AS rn
+  FROM rq JOIN rcand USING (centroid_id)
+)
+SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank
+FROM rscored WHERE rn <= {TOP_K}
+"""
+
+
+
 def _recall_oracle() -> str:
     routes = {
         "lsh_ann": f"(SELECT query_id, cand_id FROM ({_LSH_ORACLE}) t)",
@@ -1830,6 +1933,7 @@ def _recall_oracle() -> str:
         "ivf_nprobe2": f"(SELECT query_id, cand_id FROM ({_IVF_NPROBE2_ORACLE}) t)",
         "pq_adc": "(SELECT query_id, cand_id FROM pq_ann)",
         "ivf_pq": f"(SELECT query_id, cand_id FROM ({_IVF_PQ_ORACLE}) t)",
+        "ivf_pq_res": f"(SELECT query_id, cand_id FROM ({_IVF_PQ_RES_ORACLE}) t)",
     }
     arms = "\nUNION ALL\n".join(
         f"""SELECT '{name}' AS route,
@@ -1888,6 +1992,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "pq_adc": lambda s, d: _pq_adc_topk(s, d, recon=recon),
         "ivf_pq": lambda s, d: _ivf_pq_topk(s, d, assign=assign, recon=recon),
+        "ivf_pq_res": lambda s, d: _ivf_pq_res_topk(s, d, assign=assign),
     }
     arms = []
     for name, fn in routes.items():
@@ -2292,3 +2397,206 @@ def embed_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# --- residual IVF-PQ: the full FAISS IVFPQ formulation ---------------------
+# PQ encodes (vector − its coarse centroid) instead of the raw vector:
+# residuals within one cell are centered near the origin, so the SAME
+# codebook budget spends its codewords on the fine structure the coarse
+# quantizer can't express. Scoring reconstructs candidate ≈ centroid +
+# residual-recon and ranks by cosine(raw query, reconstruction) — the
+# metric is unchanged, only the encoding error shrinks.
+#
+# Two determinism constraints shape the knobs:
+# - residual arithmetic (subtract, add back) is element-wise double
+#   ops — deterministic in both engines, so the whole pipeline stays
+#   hash-exact;
+# - the coarse centroids (vec_id < N_CENTROIDS) have IDENTICALLY ZERO
+#   residuals, and a zero vector has no cosine (0/0 = NaN, which the
+#   two engines ORDER differently). Seeds therefore come from the
+#   candidate range [N_QUERIES, N_QUERIES + k), and only candidates
+#   (vec_id ≥ N_QUERIES, never exactly equal to their centroid) are
+#   encoded — queries search with their raw vectors.
+
+def _pq_fit_res(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _PQ_K,
+    n_queries: int = N_QUERIES,
+    assign: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Residual-PQ training: (residual subvectors, trained codebook,
+    residual relation) after one Lloyd round on (vector − centroid)
+    residuals of the CANDIDATE set. Seeds come from the first k
+    candidates — the coarse centroids' own residuals are identically
+    zero and have no cosine. Codebook memoized per (corpus, k) like
+    the raw-vector fit."""
+    if assign is None:
+        assign = _coarse_assign(spark, sf_dir)
+    cent = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb"))
+    )
+    res = (
+        assign.filter((F.col("rn") == 1) & (F.col("vec_id") >= n_queries))
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with(
+                "embedding",
+                "cent_emb",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("rv"),
+        )
+    )
+    subs = res.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("rv", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sub"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select(
+        "vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub")
+    ).withColumn("__snorm", norm_col("sub"))
+
+    version = _corpus_version(sf_dir)
+    memo = _PQ_MEMO.get((sf_dir, ("res", k, n_queries), version))
+    if memo is not None:
+        return subs, spark.createDataFrame(memo[1], memo[0]), res
+
+    seeds = subs.filter(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + k)
+    ).select(
+        "s",
+        F.col("vec_id").alias("code_id"),
+        F.col("sub").alias("cent"),
+        F.col("__snorm").alias("__bnorm"),
+    )
+    aw = Window.partitionBy("vec_id", "s").orderBy(
+        F.desc(cosine_from_safe(dot_col("sub", "cent"), "__snorm", "__bnorm")),
+        F.asc("code_id"),
+    )
+    assigned = (
+        subs.join(F.broadcast(seeds), "s")
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("s", "code_id", "sub")
+    )
+    ex = assigned.select(
+        "s", "code_id", F.posexplode("sub").alias("pos", "val")
+    ).select("s", "code_id", (F.col("pos") + 1).alias("dim"), "val")
+    q = F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast("long")
+    upd = ex.groupBy("s", "code_id", "dim").agg(
+        (
+            F.sum(q).cast("double") / F.lit(1000000.0) / F.count(F.lit(1)).cast("double")
+        ).alias("value")
+    )
+    cent1 = upd.groupBy("s", "code_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "value"))),
+            lambda st: st["value"],
+        ).alias("cent")
+    ).withColumn("__bnorm", norm_col("cent"))
+    hit = (cent1.schema, cent1.collect())
+    mk = (sf_dir, ("res", k, n_queries), version)
+    for stale in [s for s in _PQ_MEMO if s[:2] == mk[:2]]:
+        del _PQ_MEMO[stale]
+    _PQ_MEMO[mk] = hit
+    return subs, spark.createDataFrame(hit[1], hit[0]), res
+
+
+def _ivf_pq_res_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _PQ_K,
+    n_queries: int = N_QUERIES,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """Residual IVF-PQ search core (see sim_ivf_pq_residual)."""
+    if assign is None:
+        assign = _coarse_assign(spark, sf_dir)
+    subs, cent1, res = _pq_fit_res(
+        spark, sf_dir, k=k, n_queries=n_queries, assign=assign
+    )
+    caw = Window.partitionBy("vec_id", "s").orderBy(
+        F.desc(cosine_from_safe(dot_col("sub", "cent"), "__snorm", "__bnorm")),
+        F.asc("code_id"),
+    )
+    codes = (
+        subs.join(F.broadcast(cent1), "s")
+        .withColumn("rn", F.row_number().over(caw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code_id")
+    )
+    rrecon = (
+        codes.join(F.broadcast(cent1.drop("__bnorm")), ["s", "code_id"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "cent"))),
+                    lambda st: st["cent"],
+                )
+            ).alias("recon")
+        )
+    )
+    cent = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb"))
+    )
+    reconf = (
+        rrecon.join(res.select("vec_id", "centroid_id"), "vec_id")
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            "centroid_id",
+            F.zip_with(
+                "cent_emb", "recon", lambda x, y: x.cast("double") + y.cast("double")
+            ).alias("c_emb"),
+        )
+        .withColumn("c_norm", norm_col("c_emb"))
+    )
+    q = assign.filter(
+        (F.col("vec_id") < n_queries) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "centroid_id",
+        norm_col("embedding").alias("q_norm"),
+    )
+    scored = F.broadcast(q).join(reconf, "centroid_id").select(
+        "query_id",
+        "cand_id",
+        cosine_from(dot_col("q_emb", "c_emb"), "q_norm", "c_norm").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+@query("sim_ivf_pq_residual", oracle=_IVF_PQ_RES_ORACLE)
+def sim_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (the full FAISS IVFPQ): PQ codebook trained on
+    (vector − coarse centroid) residuals, candidates reconstructed as
+    centroid + residual-recon, ranked by cosine(raw query,
+    reconstruction) within the nprobe={_IVF_NPROBE} probed cells.
+
+    Same plan shape as sim_ivf_pq plus two element-wise zip_with maps
+    (residual subtract at encode, centroid add at reconstruct) and one
+    broadcast join against the nlist-row centroid table — the encoding
+    improvement is free at the plan level. Recall vs the plain-vector
+    composition is measured in ann_recall_at_k."""
+    return _ivf_pq_res_topk(spark, sf_dir)

@@ -27,6 +27,7 @@ from go_cdc_spark.operators.similarity import (  # noqa: E402
     _PQ_M,
     _PQ_SUBDIM,
     TOP_K,
+    _ivf_pq_res_topk,
     _ivf_pq_topk,
     _pq_adc_topk,
     cosine_from,
@@ -88,7 +89,11 @@ def main() -> None:
         exact = exact_pairs(spark, sf, nq)
         for k in ks:
             nbytes = _PQ_M * k * _PQ_SUBDIM * 8
-            for route, fn in (("pq_adc", _pq_adc_topk), ("ivf_pq", _ivf_pq_topk)):
+            for route, fn in (
+                ("pq_adc", _pq_adc_topk),
+                ("ivf_pq", _ivf_pq_topk),
+                ("ivf_pq_res", _ivf_pq_res_topk),
+            ):
                 ann = {
                     (r.query_id, r.cand_id)
                     for r in fn(spark, sf, k=k, n_queries=nq).collect()
