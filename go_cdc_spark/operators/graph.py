@@ -883,7 +883,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     DESC, pa, pb) order is total, so the top-k cutoff is deterministic
     on both engines.
     """
-    co = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # LAZY pin (bench honesty contract: no real work at build time) —
+    # the edge relation feeds the wedge join, the degree agg, and the
+    # anti-join, so the pin still truncates the tripled lineage, it
+    # just materializes inside the first action.
+    co = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     und = co.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
         co.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
