@@ -126,6 +126,8 @@ HEADLINE = [
     "embed_pca_power",
     "embed_whiten",
     "sim_ivf_pq_residual",
+    "anomaly_mad",
+    "rfm_segments",
 ]
 
 

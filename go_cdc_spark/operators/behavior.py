@@ -409,3 +409,235 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(row).cast("double")).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection: median / MAD instead of mean / stddev.
+# The z-score flags its own causes — one extreme day inflates the
+# stddev and masks the others (masking); the median absolute deviation
+# has a 50% breakdown point, so the modified z-score
+# 0.6745·(x − med)/MAD (Iglewicz–Hoaglin) stays calibrated no matter
+# how wild the outliers are. Cross-engine exactness rides the proven
+# percentile equivalence: Spark's exact `percentile` and DuckDB's
+# `quantile_cont` are bit-identical (verify notes), and everything
+# else is one shared double expression tree.
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS x
+    FROM events GROUP BY event_type, day
+),
+med AS (
+    SELECT event_type, quantile_cont(x, 0.5) AS med
+    FROM daily GROUP BY event_type
+),
+dev AS (
+    SELECT d.event_type, d.day, d.x, m.med, abs(d.x - m.med) AS adev
+    FROM daily d JOIN med m ON m.event_type = d.event_type
+),
+mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.x AS daily_value,
+       CASE WHEN md.mad > 0.0
+            THEN 0.6745 * (d.x - d.med) / md.mad ELSE 0.0 END AS mad_score,
+       CASE WHEN md.mad > 0.0
+                 AND abs(0.6745 * (d.x - d.med) / md.mad) > 3.5
+            THEN 1 ELSE 0 END AS is_outlier
+FROM dev d JOIN mad md ON md.event_type = d.event_type
+ORDER BY d.event_type, d.day
+"""
+
+
+@query("anomaly_mad", oracle=_MAD_ORACLE)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly detection: modified z-score
+    0.6745·(x − median)/MAD per event type, outliers above the
+    Iglewicz–Hoaglin 3.5 threshold — the masking-proof twin of
+    anomaly_zscore (one wild day cannot hide the others by inflating
+    the spread; MAD has a 50% breakdown point where stddev has 0%).
+
+    Scale shape: one raw-event aggregation (map-side partials) into
+    the calendar-bounded daily relation; both percentile passes and
+    the joins run on |types|×|days| rows only. A constant series
+    (MAD = 0) scores 0 instead of dividing by zero."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("x", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type", "day", "x", "med", F.abs(F.col("x") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    score = F.lit(0.6745) * (F.col("x") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("x").alias("daily_value"),
+            F.when(F.col("mad") > 0.0, score).otherwise(F.lit(0.0)).alias("mad_score"),
+            F.when((F.col("mad") > 0.0) & (F.abs(score) > 3.5), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_outlier"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation: the classic marketing-analytics cut of a
+# replicated orders table — recency / frequency / monetary quartile
+# scores concatenated into a 3-digit segment (444 = best customers,
+# 111 = churned low-value). Thresholds are exact percentiles (the
+# proven quantile_cont parity); bucketing is pure comparison, so the
+# whole segmentation is deterministic cross-engine.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS a FROM orders),
+cust AS (
+    SELECT o_custkey AS c_custkey,
+           date_diff('day', MAX(CAST(o_orderdate AS DATE)), anchor.a)
+             AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+                AS DOUBLE) AS monetary
+    FROM orders CROSS JOIN anchor
+    GROUP BY o_custkey, anchor.a
+),
+q AS (
+    SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r1,
+           quantile_cont(CAST(recency_days AS DOUBLE), 0.5)  AS r2,
+           quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r3,
+           quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f1,
+           quantile_cont(CAST(frequency AS DOUBLE), 0.5)  AS f2,
+           quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f3,
+           quantile_cont(monetary, 0.25) AS m1,
+           quantile_cont(monetary, 0.5)  AS m2,
+           quantile_cont(monetary, 0.75) AS m3
+    FROM cust
+)
+SELECT c.c_custkey, CAST(c.recency_days AS BIGINT) AS recency_days,
+       c.frequency, c.monetary,
+       CAST(CASE WHEN CAST(c.recency_days AS DOUBLE) <= q.r1 THEN 4
+                 WHEN CAST(c.recency_days AS DOUBLE) <= q.r2 THEN 3
+                 WHEN CAST(c.recency_days AS DOUBLE) <= q.r3 THEN 2
+                 ELSE 1 END AS INTEGER) AS r_score,
+       CAST(CASE WHEN CAST(c.frequency AS DOUBLE) <= q.f1 THEN 1
+                 WHEN CAST(c.frequency AS DOUBLE) <= q.f2 THEN 2
+                 WHEN CAST(c.frequency AS DOUBLE) <= q.f3 THEN 3
+                 ELSE 4 END AS INTEGER) AS f_score,
+       CAST(CASE WHEN c.monetary <= q.m1 THEN 1
+                 WHEN c.monetary <= q.m2 THEN 2
+                 WHEN c.monetary <= q.m3 THEN 3
+                 ELSE 4 END AS INTEGER) AS m_score,
+       CAST(100 * (CASE WHEN CAST(c.recency_days AS DOUBLE) <= q.r1 THEN 4
+                        WHEN CAST(c.recency_days AS DOUBLE) <= q.r2 THEN 3
+                        WHEN CAST(c.recency_days AS DOUBLE) <= q.r3 THEN 2
+                        ELSE 1 END)
+            + 10 * (CASE WHEN CAST(c.frequency AS DOUBLE) <= q.f1 THEN 1
+                         WHEN CAST(c.frequency AS DOUBLE) <= q.f2 THEN 2
+                         WHEN CAST(c.frequency AS DOUBLE) <= q.f3 THEN 3
+                         ELSE 4 END)
+            + (CASE WHEN c.monetary <= q.m1 THEN 1
+                    WHEN c.monetary <= q.m2 THEN 2
+                    WHEN c.monetary <= q.m3 THEN 3
+                    ELSE 4 END) AS INTEGER) AS segment
+FROM cust c CROSS JOIN q
+ORDER BY c.c_custkey
+"""
+
+
+@query("rfm_segments", oracle=_RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of every ordering customer: recency (days
+    since last order, anchored at the corpus max date so the query is
+    reproducible), frequency (order count), monetary (exact-decimal
+    lifetime total) — each quartile-scored 1..4 against exact
+    percentile thresholds, concatenated into the classic 3-digit
+    segment (recency inverted: recent = high score).
+
+    Scale shape: one orders aggregation keyed by custkey (map-side
+    partials), one 9-value percentile aggregate broadcast back, pure
+    comparison bucketing — no second pass over orders, no window over
+    customers."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        "o_totalprice",
+    )
+    anchor = orders.agg(F.max("od").alias("a"))
+    cust = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey", "a")
+        .agg(
+            F.max("od").alias("last_od"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.datediff("a", "last_od").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    q = cust.agg(
+        F.percentile(F.col("recency_days").cast("double"), F.lit(0.25)).alias("r1"),
+        F.percentile(F.col("recency_days").cast("double"), F.lit(0.5)).alias("r2"),
+        F.percentile(F.col("recency_days").cast("double"), F.lit(0.75)).alias("r3"),
+        F.percentile(F.col("frequency").cast("double"), F.lit(0.25)).alias("f1"),
+        F.percentile(F.col("frequency").cast("double"), F.lit(0.5)).alias("f2"),
+        F.percentile(F.col("frequency").cast("double"), F.lit(0.75)).alias("f3"),
+        F.percentile("monetary", F.lit(0.25)).alias("m1"),
+        F.percentile("monetary", F.lit(0.5)).alias("m2"),
+        F.percentile("monetary", F.lit(0.75)).alias("m3"),
+    )
+    rd = F.col("recency_days").cast("double")
+    fq = F.col("frequency").cast("double")
+    r_score = (
+        F.when(rd <= F.col("r1"), 4)
+        .when(rd <= F.col("r2"), 3)
+        .when(rd <= F.col("r3"), 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(fq <= F.col("f1"), 1)
+        .when(fq <= F.col("f2"), 2)
+        .when(fq <= F.col("f3"), 3)
+        .otherwise(4)
+    )
+    m_score = (
+        F.when(F.col("monetary") <= F.col("m1"), 1)
+        .when(F.col("monetary") <= F.col("m2"), 2)
+        .when(F.col("monetary") <= F.col("m3"), 3)
+        .otherwise(4)
+    )
+    return (
+        cust.crossJoin(F.broadcast(q))
+        .select(
+            "c_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            r_score.cast("int").alias("r_score"),
+            f_score.cast("int").alias("f_score"),
+            m_score.cast("int").alias("m_score"),
+            (r_score * 100 + f_score * 10 + m_score).cast("int").alias("segment"),
+        )
+        .orderBy("c_custkey")
+    )
