@@ -128,6 +128,8 @@ HEADLINE = [
     "sim_ivf_pq_residual",
     "anomaly_mad",
     "rfm_segments",
+    "basket_rules",
+    "orders_pareto",
 ]
 
 

@@ -641,3 +641,215 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules over co-purchase baskets: the scoring step of
+# classic market-basket mining (Agrawal-Srikant support/confidence
+# plus lift). copurchase_pairs reports raw co-occurrence counts; this
+# turns them into directed rules a->b ranked by lift — the measure
+# that separates "bought together because both are popular" from a
+# real association.
+# ---------------------------------------------------------------------------
+
+_RULES_TOP = 30
+_RULES_MIN_SUPPORT = 2
+
+_BASKET_ORACLE = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM d),
+item AS (
+  SELECT l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS s FROM d GROUP BY l_partkey
+),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS s_ab
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_RULES_MIN_SUPPORT}
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, s_ab FROM pair
+  UNION ALL
+  SELECT pb, pa, s_ab FROM pair
+)
+SELECT r.antecedent, r.consequent, r.s_ab AS pair_support,
+       CAST(r.s_ab AS DOUBLE) / CAST(ia.s AS DOUBLE) AS confidence,
+       CAST(r.s_ab * n.n_orders AS DOUBLE)
+         / CAST(ia.s * ic.s AS DOUBLE) AS lift
+FROM rules r
+JOIN item ia ON ia.part = r.antecedent
+JOIN item ic ON ic.part = r.consequent
+CROSS JOIN n
+ORDER BY lift DESC, antecedent, consequent
+LIMIT {_RULES_TOP}
+"""
+
+
+@query("basket_rules", oracle=_BASKET_ORACLE)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_RULES_TOP} directed association rules a→b over order
+    baskets, ranked by lift = P(ab)/(P(a)P(b)) with support ≥
+    {_RULES_MIN_SUPPORT} orders; confidence = support(ab)/support(a).
+
+    Scale shape: the distinct-first basket derivation (one aggregation
+    phase — the co-purchase family's measured win), one item-support
+    aggregation, the support-filtered pair self-join, then broadcast
+    joins of the pair relation against the item supports and one
+    TakeOrderedAndProject. Counts and cross-products are exact
+    BIGINTs; confidence and lift are each ONE double division of exact
+    integers, so ranking is deterministic cross-engine."""
+    d = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = d.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    item = d.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= _RULES_MIN_SUPPORT)
+    )
+    rules = pair.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "s_ab"
+    ).unionByName(
+        pair.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "s_ab"
+        )
+    )
+    ia = item.select(F.col("part").alias("antecedent"), F.col("s").alias("s_a"))
+    ic = item.select(F.col("part").alias("consequent"), F.col("s").alias("s_c"))
+    return (
+        rules.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s_ab").alias("pair_support"),
+            (F.col("s_ab").cast("double") / F.col("s_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("s_ab") * F.col("n_orders")).cast("double")
+                / (F.col("s_a") * F.col("s_c")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(_RULES_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (Pareto / Lorenz curve): what share of revenue
+# the top-k% of customers hold, answered by exact spend-percentile
+# thresholds so the whole curve costs one aggregation pass over the
+# customer relation — no global sort, no full-relation cumsum window.
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH cust AS (
+    SELECT o_custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS spend_dec,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+                AS DOUBLE) AS spend
+    FROM orders GROUP BY o_custkey
+),
+total AS (
+    SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+                AS DOUBLE) AS total
+    FROM orders
+),
+qs AS (
+    SELECT quantile_cont(spend, 0.9) AS q1, quantile_cont(spend, 0.8) AS q2,
+           quantile_cont(spend, 0.7) AS q3, quantile_cont(spend, 0.6) AS q4,
+           quantile_cont(spend, 0.5) AS q5, quantile_cont(spend, 0.4) AS q6,
+           quantile_cont(spend, 0.3) AS q7, quantile_cont(spend, 0.2) AS q8,
+           quantile_cont(spend, 0.1) AS q9, MIN(spend) AS q10
+    FROM cust
+),
+decile AS (
+    SELECT CAST(d.k AS INTEGER) AS decile,
+           CASE d.k WHEN 1 THEN qs.q1 WHEN 2 THEN qs.q2 WHEN 3 THEN qs.q3
+                    WHEN 4 THEN qs.q4 WHEN 5 THEN qs.q5 WHEN 6 THEN qs.q6
+                    WHEN 7 THEN qs.q7 WHEN 8 THEN qs.q8 WHEN 9 THEN qs.q9
+                    ELSE qs.q10 END AS threshold
+    FROM (SELECT unnest(range(1, 11)) AS k) d CROSS JOIN qs
+)
+SELECT d.decile, d.threshold,
+       CAST(COUNT(*) FILTER (c.spend >= d.threshold) AS BIGINT)
+           AS customers_above,
+       CAST(CAST(SUM(c.spend_dec) FILTER (c.spend >= d.threshold) AS VARCHAR)
+            AS DOUBLE) / t.total AS revenue_share
+FROM decile d CROSS JOIN cust c CROSS JOIN total t
+GROUP BY d.decile, d.threshold, t.total
+ORDER BY d.decile
+"""
+
+
+@query("orders_pareto", oracle=_PARETO_ORACLE)
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration curve: for each spend decile threshold
+    (exact percentiles of per-customer lifetime spend), the customer
+    count at-or-above it and their share of total revenue — the
+    "do 20% of customers drive 80% of revenue" answer as data.
+
+    Scale shape: per-customer spend is one orders aggregation
+    (map-side partials); the 10-threshold row broadcasts back over the
+    customer relation (10× row growth folded by partial aggregation) —
+    no global sort and no full-relation cumulative window, which is
+    what makes the curve computable over a customer dimension too
+    large to single-partition. Shares are exact-decimal sums (the
+    spend column rides along in decimal form precisely so conditional
+    revenue sums stay order-independent) with one double division."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("spend_dec")
+    ).select(
+        "o_custkey", "spend_dec", F.col("spend_dec").cast("double").alias("spend")
+    )
+    total = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total")
+    )
+    qs = cust.agg(
+        *[
+            F.percentile("spend", F.lit(round(1 - k / 10, 1))).alias(f"q{k}")
+            for k in range(1, 10)
+        ],
+        F.min("spend").alias("q10"),
+    )
+    decile = qs.select(
+        F.posexplode(
+            F.array(*[F.struct(F.col(f"q{k}").alias("t")) for k in range(1, 11)])
+        ).alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("decile"),
+        F.col("x.t").alias("threshold"),
+    )
+    hit = F.col("spend") >= F.col("threshold")
+    return (
+        cust.crossJoin(F.broadcast(decile))
+        .crossJoin(F.broadcast(total))
+        .groupBy("decile", "threshold", "total")
+        .agg(
+            F.count(F.when(hit, F.lit(1))).alias("customers_above"),
+            (
+                F.sum(F.when(hit, F.col("spend_dec"))).cast("double")
+                / F.col("total")
+            ).alias("revenue_share"),
+        )
+        .select("decile", "threshold", "customers_above", "revenue_share")
+        .orderBy("decile")
+    )

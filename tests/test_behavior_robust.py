@@ -87,3 +87,51 @@ def test_rfm_widely_separated_quartiles(spark, tmp_path):
     assert rows[4]["recency_days"] == 27
     assert rows[1]["frequency"] == 40
     assert rows[1]["monetary"] == 40 * 1000.0
+
+
+def _write_lineitem(spark, tmp_path, baskets) -> str:
+    rows = [(ok, pk) for ok, parts in baskets for pk in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_basket_rules_exact_scores(spark, tmp_path):
+    """10 baskets: {a,b} x4, {a} x4, {a,c} x2 -> hand-computable
+    support/confidence/lift for every direction."""
+    from go_cdc_spark.operators.behavior import basket_rules
+
+    a, b, c = 1, 2, 3
+    baskets = [(i, [a, b]) for i in range(4)]
+    baskets += [(10 + i, [a]) for i in range(4)]
+    baskets += [(20 + i, [a, c]) for i in range(2)]
+    sf = _write_lineitem(spark, tmp_path, baskets)
+    rows = {(r["antecedent"], r["consequent"]): r
+            for r in basket_rules(spark, sf).collect()}
+    # s_a=10, s_b=4, s_c=2, s_ab=4, s_ac=2, n=10
+    assert rows[(a, b)]["pair_support"] == 4
+    assert rows[(a, b)]["confidence"] == 4 / 10
+    assert rows[(b, a)]["confidence"] == 1.0
+    assert rows[(a, b)]["lift"] == 4 * 10 / (10 * 4)  # = 1.0
+    assert rows[(c, a)]["confidence"] == 1.0
+    assert rows[(a, c)]["lift"] == 2 * 10 / (10 * 2)
+    # pair (b, c) never co-occurs: no rule in either direction
+    assert (b, c) not in rows and (c, b) not in rows
+
+
+def test_pareto_interpolated_top_decile(spark, tmp_path):
+    """Spends [1,1,1,7]: the 0.9-quantile threshold interpolates to
+    5.2, so the top decile holds exactly the 7-spend customer and 70%
+    of revenue; the last decile always covers everyone."""
+    from go_cdc_spark.operators.behavior import orders_pareto
+
+    custs = [(1, 5, 1, 7.0), (2, 5, 1, 1.0), (3, 5, 1, 1.0), (4, 5, 1, 1.0)]
+    sf = _write_orders(spark, tmp_path, custs)
+    rows = {r["decile"]: r for r in orders_pareto(spark, sf).collect()}
+    assert rows[1]["customers_above"] == 1
+    assert rows[1]["revenue_share"] == 0.7
+    assert rows[10]["customers_above"] == 4
+    assert rows[10]["revenue_share"] == 1.0
+    shares = [rows[k]["revenue_share"] for k in range(1, 11)]
+    assert shares == sorted(shares)  # Lorenz curve is monotone
