@@ -654,9 +654,24 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RULES_TOP = 30
 _RULES_MIN_SUPPORT = 2
+# Skew valve: a basket of m items contributes m(m-1)/2 pairs, so ONE
+# pathological mega-basket (bulk order, ETL glitch) goes quadratic —
+# measured: a 10%-mass hot order took the probe from 4.9s to 39s.
+# Mega-baskets also carry no associational signal (they co-occur with
+# everything), so standard practice drops them from the mining
+# universe entirely; supports and n are counted over the SAME capped
+# universe so confidence/lift stay internally consistent. TPC-H
+# baskets hold <= 7 items, so the cap is invisible at every driver SF
+# (oracle results unchanged) — it exists for the hot tail.
+_RULES_MAX_BASKET = 64
 
 _BASKET_ORACLE = f"""
-WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH d0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ok AS (
+  SELECT l_orderkey FROM d0 GROUP BY l_orderkey
+  HAVING COUNT(*) <= {_RULES_MAX_BASKET}
+),
+d AS (SELECT d0.l_orderkey, d0.l_partkey FROM d0 JOIN ok USING (l_orderkey)),
 n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM d),
 item AS (
   SELECT l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS s FROM d GROUP BY l_partkey
@@ -692,17 +707,29 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_RULES_MIN_SUPPORT} orders; confidence = support(ab)/support(a).
 
     Scale shape: the distinct-first basket derivation (one aggregation
-    phase — the co-purchase family's measured win), one item-support
-    aggregation, the support-filtered pair self-join, then broadcast
-    joins of the pair relation against the item supports and one
+    phase — the co-purchase family's measured win), a basket-size cap
+    of {_RULES_MAX_BASKET} BEFORE the pair self-join (the skew valve:
+    one mega-basket of m items is m²/2 pairs — measured 8× blowup
+    under a 10%-mass hot order without it; oversized baskets carry no
+    associational signal and leave the mining universe entirely, with
+    supports and n counted over the same capped universe), one
+    item-support aggregation, the support-filtered pair self-join,
+    then broadcast joins against the item supports and one
     TakeOrderedAndProject. Counts and cross-products are exact
     BIGINTs; confidence and lift are each ONE double division of exact
     integers, so ranking is deterministic cross-engine."""
-    d = (
+    d0 = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    ok = (
+        d0.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_bs"))
+        .filter(F.col("_bs") <= _RULES_MAX_BASKET)
+        .select("l_orderkey")
+    )
+    d = d0.join(ok, "l_orderkey")
     n = d.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
     item = d.groupBy(F.col("l_partkey").alias("part")).agg(
         F.count(F.lit(1)).alias("s")

@@ -135,3 +135,23 @@ def test_pareto_interpolated_top_decile(spark, tmp_path):
     assert rows[10]["revenue_share"] == 1.0
     shares = [rows[k]["revenue_share"] for k in range(1, 11)]
     assert shares == sorted(shares)  # Lorenz curve is monotone
+
+
+def test_basket_rules_mega_basket_is_excluded(spark, tmp_path):
+    """A basket above the size cap leaves the mining universe entirely
+    (the measured-8x skew valve): its items gain no support from it
+    and no rules involve items that only ever co-occur inside it."""
+    from go_cdc_spark.operators.behavior import _RULES_MAX_BASKET, basket_rules
+
+    a, b = 1, 2
+    baskets = [(i, [a, b]) for i in range(2)]  # a normal supported pair
+    mega = list(range(100, 100 + _RULES_MAX_BASKET + 1))  # cap+1 items
+    baskets += [(50, mega), (51, mega)]  # twice, so pairs WOULD have support
+    sf = _write_lineitem(spark, tmp_path, baskets)
+    rows = {(r["antecedent"], r["consequent"]): r
+            for r in basket_rules(spark, sf).collect()}
+    assert (a, b) in rows and (b, a) in rows
+    assert not any(ant >= 100 or con >= 100 for ant, con in rows)
+    # supports/n are counted over the capped universe: 2 baskets total
+    assert rows[(a, b)]["confidence"] == 1.0
+    assert rows[(a, b)]["lift"] == 2 * 2 / (2 * 2)
