@@ -158,6 +158,30 @@ MIN_DELTA_SEC = 0.4  # sub-second queries swing ±0.35s run-to-run under the
 # 0.574s) — so the absolute-delta floor sits above that observed noise band
 
 
+def _recover_tail_queries(tail: str) -> dict[str, float]:
+    """Salvage per-query timings from a truncated driver tail
+    (BENCH_r04..r08 captured only the last 2,000 chars of a ~3,000-char
+    line, so `parsed` is null but most of the queries map is present).
+
+    Only the portion BEFORE the ``vs_prev`` ratios section is scanned —
+    ratios share the query names and would otherwise be misread as
+    times — and the regex requires the opening quote, so a name cut in
+    half at the tail boundary can't match as a shorter name."""
+    import re
+
+    for marker in ('"vs_prev"', '"sf"'):
+        cut = tail.find(marker)
+        if cut != -1:
+            tail = tail[:cut]
+            break
+    pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9]+\.?[0-9]*)', tail)
+    return {
+        name: float(val)
+        for name, val in pairs
+        if name not in ("value", "sf") and float(val) > 0
+    }
+
+
 def load_prior_benches(repo_dir: str) -> list[dict]:
     """All BENCH_r{N}.json from earlier rounds (the driver writes one per
     round). The gate compares against the per-query MEDIAN across rounds,
@@ -175,6 +199,10 @@ def load_prior_benches(repo_dir: str) -> list[dict]:
             parsed = prior.get("parsed") or prior
             if isinstance(parsed, dict) and "queries" in parsed:
                 out.append(parsed)
+            elif isinstance(prior.get("tail"), str):
+                qs = _recover_tail_queries(prior["tail"])
+                if qs:
+                    out.append({"queries": qs, "value": None})
         except (json.JSONDecodeError, OSError):
             continue
     return out
@@ -228,6 +256,60 @@ def vs_prev(times: dict[str, float], priors: list[dict]) -> dict:
     }
 
 
+# The driver records only the LAST 2,000 characters of stdout and parses a
+# JSON line out of that tail.  The full per-query map (100+ queries at 3
+# decimals) is ~3,000 chars — one line carrying everything is unparseable
+# from either end (BENCH_r04..r08 all landed `parsed: null`).  So emit TWO
+# lines: the complete detail first (for humans / repo records), then a
+# compact summary line budgeted to fit inside the tail with room to spare.
+_TAIL_BUDGET = 1600  # chars for the final line, < the driver's 2,000 tail
+
+
+def emit_lines(times: dict[str, float], sf: float, comparison: dict) -> list[str]:
+    """Detail line (full queries map + ratios) followed by a compact
+    summary line that fits the driver's tail capture.
+
+    The summary's ``queries`` map keeps the slowest entries that fit the
+    budget — the ones the 100 TB comparison cares about — and says how
+    many were elided (``queries_total`` vs ``queries_included``); the
+    preceding detail line always carries the complete map."""
+    total = round(sum(times.values()), 3)
+    detail = {
+        "metric": "headline_queries_detail",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "vs_prev": comparison,
+    }
+    ratios = comparison.get("ratios") or {}
+    mean_ratio = round(sum(ratios.values()) / len(ratios), 3) if ratios else None
+    slowest = sorted(times.items(), key=lambda kv: -kv[1])
+
+    def summary_for(k: int) -> dict:
+        return {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "queries": {n: round(t, 2) for n, t in slowest[:k]},
+            "queries_total": len(times),
+            "queries_included": min(k, len(times)),
+            "vs_prev": {
+                "prev_found": comparison.get("prev_found", False),
+                "mean_ratio": mean_ratio,
+                "regressions": comparison.get("regressions", []),
+            },
+        }
+
+    k = len(times)
+    line = json.dumps(summary_for(k))
+    while k > 1 and len(line) > _TAIL_BUDGET:
+        k -= 5
+        line = json.dumps(summary_for(k))
+    return [json.dumps(detail), line]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -260,18 +342,8 @@ def main() -> None:
         times[name] = round(t, 3)
 
     comparison = vs_prev(times, priors)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "vs_prev": comparison,
-            }
-        )
-    )
+    for line in emit_lines(times, sf, comparison):
+        print(line)
     spark.stop()
     if comparison["regressions"]:
         # fail loudly: a >1.3× per-query regression is a build defect

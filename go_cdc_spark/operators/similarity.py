@@ -1576,7 +1576,17 @@ def _pq_fit(
     Lloyd round — the Spark twin of the _PQ_CTES oracle body. ``k`` is
     the per-subspace codebook size (the recall knob — the registered
     queries pin the oracle's {_PQ_K}; tools/pq_recall_curve.py sweeps
-    it and COVERAGE.md records the measured recall-vs-k curve)."""
+    it and COVERAGE.md records the measured recall-vs-k curve).
+
+    EAGER AT BUILD TIME: on a memo miss this function ``collect()``s the
+    trained codebook (k·M rows) while the caller is still *constructing*
+    its DataFrame — merely building any PQ-based plan (sim_pq_codes,
+    sim_ivf_pq, sim_ivf_pq_residual, ann_recall_at_k) triggers one
+    training job per corpus version. This is the sanctioned
+    _TRAINED_MEMO pattern (a shared artifact, like a warm JIT —
+    COVERAGE.md "bench honesty"): training cost is deliberately OUTSIDE
+    the timed action, amortized across every consumer of the codebook.
+    Callers that need lazy construction must pre-warm the memo."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     version = _corpus_version(sf_dir)
     memo = _PQ_MEMO.get((sf_dir, k, version))
@@ -1701,10 +1711,13 @@ def _pq_adc_topk(
         F.col("recon").alias("c_emb"),
         norm_col("recon").alias("c_norm"),
     )
+    # SAFE cosine — reconstructions share sim_ivf_pq's zero-recon class.
     scored = F.broadcast(queries).crossJoin(cands).select(
         "query_id",
         "cand_id",
-        cosine_from(dot_col("q_emb", "c_emb"), "q_norm", "c_norm").alias("cosine"),
+        cosine_from_safe(
+            dot_col("q_emb", "c_emb"), "q_norm", "c_norm"
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -1726,10 +1739,11 @@ pq_q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
 pq_c AS (SELECT vec_id AS cand_id, recon AS c_emb FROM pq_recon
          WHERE vec_id >= {N_QUERIES}),
 pq_ann AS (
+  /* SAFE cosine over reconstructions, mirroring _pq_adc_topk */
   SELECT query_id, cand_id FROM (
     SELECT query_id, cand_id,
            ROW_NUMBER() OVER (PARTITION BY query_id
-                              ORDER BY {_sql_cosine("q_emb", "c_emb")} DESC,
+                              ORDER BY {_sql_cosine_safe("q_emb", "c_emb")} DESC,
                                        cand_id) AS rn
     FROM pq_q CROSS JOIN pq_c
   ) WHERE rn <= {TOP_K}
@@ -1767,9 +1781,11 @@ ivf_c AS (
   WHERE a.vec_id >= {N_QUERIES} AND a.rn = 1
 ),
 ivf_scored AS (
-  SELECT query_id, cand_id, {_sql_cosine("q_emb", "c_emb")} AS cosine,
+  /* SAFE cosine over PQ reconstructions (zero-recon guard), mirroring
+     the Spark side; -2.0 falls through to the cand_id tie-break */
+  SELECT query_id, cand_id, {_sql_cosine_safe("q_emb", "c_emb")} AS cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY {_sql_cosine("q_emb", "c_emb")} DESC,
+                            ORDER BY {_sql_cosine_safe("q_emb", "c_emb")} DESC,
                                      cand_id) AS rn
   FROM ivf_q JOIN ivf_c USING (centroid_id)
 )
@@ -1832,10 +1848,18 @@ def _ivf_pq_topk(
             norm_col("recon").alias("c_norm"),
         )
     )
+    # SAFE cosine: a PQ reconstruction can be the zero vector when a
+    # trained codeword mean degenerates (zero/duplicated subvectors) —
+    # unguarded 0/0 is an ANSI error in Spark and NaN-with-engine-
+    # specific-ordering in DuckDB, the exact class _sql_cosine_safe
+    # fixed for the residual variant. -2.0 sorts below every real
+    # cosine, so ordering falls through to cand_id identically.
     scored = F.broadcast(q).join(c, "centroid_id").select(
         "query_id",
         "cand_id",
-        cosine_from(dot_col("q_emb", "c_emb"), "q_norm", "c_norm").alias("cosine"),
+        cosine_from_safe(
+            dot_col("q_emb", "c_emb"), "q_norm", "c_norm"
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (

@@ -89,8 +89,16 @@ def _dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
     )
     grid = ev.select("event_type").distinct().crossJoin(hours)
-    # agg's row count ≤ grid cells (types × span hours) by construction,
-    # so it is always broadcast-safe regardless of raw event volume.
+    # agg's row count ≤ grid cells (types × span hours) by construction
+    # — INDEPENDENT of raw event volume, but NOT unconditionally small:
+    # the bound is the grid itself, and a multi-year span × many event
+    # types can push types×hours past the 8 GB broadcast / driver cap.
+    # The hint is right for any grid that fits an executor (hourly
+    # granularity: 100 types × 10 years ≈ 8.8M cells ≈ sub-GB); a
+    # deployment beyond that should drop the hint — both join sides are
+    # grid-sized, so AQE plans a plain shuffled join on (type, hour)
+    # with no skew risk. Estimating span at build time would need an
+    # action on the bounds row, which the bench honesty contract bans.
     return grid.join(F.broadcast(agg), ["event_type", "hour"], "left").select(
         "event_type",
         "hour",

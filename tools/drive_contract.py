@@ -21,6 +21,13 @@ out_path = None
 if "--out" in sys.argv:
     out_path = sys.argv[sys.argv.index("--out") + 1]
 
+# --only q1,q2,... : check just the named queries (fast iteration on a
+# touched operator; the committed CONTRACT_r{N} artifact must still come
+# from a FULL run).
+only = None
+if "--only" in sys.argv:
+    only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+
 # SPARK_GRAFT_MASTER / SPARK_GRAFT_SHUFFLE override the execution shape
 # for the determinism audit: every query must hash-match DuckDB under
 # ANY parallelism (deterministic tie-breaks, order-insensitive aggs) —
@@ -51,6 +58,8 @@ print("queries:", len(qs), "with oracle:", len(osql))
 fails = []
 results = {}
 for name, fn in sorted(qs.items()):
+    if only is not None and name not in only:
+        continue
     t0 = time.time()
     try:
         sdf = fn(spark, "/root/testdata/sf0.01")
