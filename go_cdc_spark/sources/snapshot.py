@@ -229,17 +229,16 @@ class ParquetSnapshotSource:
         return self.spark.read.parquet(f"{self.root}/{table}.parquet")
 
 
-@dataclass
-class JdbcSnapshotSource:
-    """JDBC-backed source. Discovery via information_schema; reads via
-    partitioned ``spark.read.jdbc``. Untested here (no database in the
-    container) but kept thin: every decision lives in tested pure
-    functions (:func:`chunk_predicates`) or trivial query strings."""
+class MySqlDialect:
+    """MySQL catalog SQL — the reference's discovery queries
+    (`internal/syncdb/mysql_data_source.go:24-125`,
+    `internal/syncdb/data_source.go:57-75`), verbatim. These exact
+    strings cannot execute in this container (no MySQL socket); the
+    dialect seam exists so everything AROUND them — collect, system-
+    schema filtering, grouping, ordinal ordering, no-PK rejection, the
+    snapshot pipeline — executes for real in pytest with
+    :class:`DerbyDialect` driving the SAME code path."""
 
-    spark: SparkSession
-    url: str
-    properties: dict[str, str]
-    num_partitions: int = 8
     system_schemas: tuple[str, ...] = (
         "information_schema",
         "performance_schema",
@@ -247,49 +246,173 @@ class JdbcSnapshotSource:
         "sys",
     )
 
+    def schemas_sql(self) -> str:
+        # A1: internal/syncdb/mysql_data_source.go:24-48
+        return "SELECT schema_name FROM information_schema.schemata"
+
+    def tables_sql(self, schemas: Sequence[str]) -> str:
+        # A2: internal/syncdb/mysql_data_source.go:50-84
+        in_list = ", ".join(_sql_lit(s) for s in schemas)
+        return (
+            "SELECT table_schema, table_name FROM information_schema.tables "
+            f"WHERE table_type = 'BASE TABLE' AND table_schema IN ({in_list})"
+        )
+
+    def ddl_sql(self, schema: str, table: str) -> str:
+        # A3: internal/syncdb/mysql_data_source.go:86-96
+        return f"SHOW CREATE TABLE {schema}.{table}"
+
+    def ddl_from_rows(self, rows: list, schema: str, table: str) -> str:
+        return rows[0][1]
+
+    def pk_sql(self, schema: str, table: str) -> str:
+        # A4: internal/syncdb/mysql_data_source.go:98-125 — ordinal order
+        # (fixes the reference's Go-map iteration nondeterminism, :135)
+        return (
+            "SELECT column_name FROM information_schema.columns "
+            f"WHERE table_schema = {_sql_lit(schema)} AND table_name = {_sql_lit(table)} "
+            "AND column_key = 'PRI' ORDER BY ordinal_position"
+        )
+
+    def pk_from_rows(self, rows: list) -> list[str]:
+        return [r[0] for r in rows]
+
+    def position_sql(self) -> str | None:
+        # A16: internal/syncdb/data_source.go:57-75 (Executed_Gtid_Set)
+        return "SHOW MASTER STATUS"
+
+    def position_from_row(self, row) -> str:
+        return row["Executed_Gtid_Set"] if row else ""
+
+
+class DerbyDialect:
+    """Derby's SYS catalog behind the same seam — the implementation
+    that lets JdbcSnapshotSource's SQL discovery path (A1-A4 + A16
+    orchestration) execute against a REAL database in pytest
+    (tests/test_jdbc_source.py). PK key order comes from the backing
+    index conglomerate's descriptor — ``CAST(descriptor AS VARCHAR)``
+    renders e.g. ``UNIQUE BTREE (2, 1)``, whose position list IS the
+    key-ordinal order (PRIMARY KEY (K2, K1) on columns #1, #2 yields
+    ``(2, 1)``)."""
+
+    system_schemas: tuple[str, ...] = (
+        "SYS", "SYSIBM", "SYSCAT", "SYSFUN", "SYSPROC", "SYSSTAT",
+        "SYSCS_DIAG", "SYSCS_UTIL", "SQLJ", "NULLID",
+    )
+
+    def schemas_sql(self) -> str:
+        return "SELECT schemaname FROM sys.sysschemas"
+
+    def tables_sql(self, schemas: Sequence[str]) -> str:
+        in_list = ", ".join(_sql_lit(s) for s in schemas)
+        return (
+            "SELECT s.schemaname, t.tablename FROM sys.systables t "
+            "JOIN sys.sysschemas s ON t.schemaid = s.schemaid "
+            f"WHERE t.tabletype = 'T' AND s.schemaname IN ({in_list})"
+        )
+
+    def ddl_sql(self, schema: str, table: str) -> str:
+        return (
+            "SELECT c.columnname, c.columnnumber, "
+            "CAST(c.columndatatype AS VARCHAR(200)) AS coltype "
+            "FROM sys.syscolumns c JOIN sys.systables t "
+            "ON c.referenceid = t.tableid "
+            "JOIN sys.sysschemas s ON t.schemaid = s.schemaid "
+            f"WHERE s.schemaname = {_sql_lit(schema)} "
+            f"AND t.tablename = {_sql_lit(table)}"
+        )
+
+    def ddl_from_rows(self, rows: list, schema: str, table: str) -> str:
+        cols = [f"{r[0]} {r[2]}" for r in sorted(rows, key=lambda r: r[1])]
+        return f"CREATE TABLE {schema}.{table} (" + ", ".join(cols) + ")"
+
+    def pk_sql(self, schema: str, table: str) -> str:
+        return (
+            "SELECT c.columnname, c.columnnumber, "
+            "CAST(cg.descriptor AS VARCHAR(200)) AS idx "
+            "FROM sys.sysconstraints cons "
+            "JOIN sys.syskeys k ON cons.constraintid = k.constraintid "
+            "JOIN sys.sysconglomerates cg ON k.conglomerateid = cg.conglomerateid "
+            "JOIN sys.systables t ON cons.tableid = t.tableid "
+            "JOIN sys.sysschemas s ON t.schemaid = s.schemaid "
+            "JOIN sys.syscolumns c ON c.referenceid = t.tableid "
+            f"WHERE cons.type = 'P' AND s.schemaname = {_sql_lit(schema)} "
+            f"AND t.tablename = {_sql_lit(table)}"
+        )
+
+    def pk_from_rows(self, rows: list) -> list[str]:
+        if not rows:
+            return []
+        by_number = {r[1]: r[0] for r in rows}
+        inside = rows[0][2][rows[0][2].index("(") + 1 : rows[0][2].rindex(")")]
+        positions = [int(p.strip()) for p in inside.split(",")]
+        return [by_number[p] for p in positions if p in by_number]
+
+    def position_sql(self) -> str | None:
+        return None  # no replication log — handoff admits every event
+
+    def position_from_row(self, row) -> str:
+        return ""
+
+
+@dataclass
+class JdbcSnapshotSource:
+    """JDBC-backed source. Discovery via dialect catalog SQL
+    (:class:`MySqlDialect` — reference parity — by default,
+    :class:`DerbyDialect` under test); reads via partitioned
+    ``spark.read.jdbc``. The full discovery + read + envelope path is
+    proven against embedded Derby in tests/test_jdbc_source.py; the
+    only thing that never executes in this container is the MySQL
+    dialect's literal query strings and the replication socket."""
+
+    spark: SparkSession
+    url: str
+    properties: dict[str, str]
+    num_partitions: int = 8
+    dialect: MySqlDialect | DerbyDialect = field(default_factory=MySqlDialect)
+
+    # kept as a source-level override on top of the dialect's list
+    # (back-compat: pre-seam callers configured exclusions here)
+    system_schemas: tuple[str, ...] = ()
+
     def _query(self, q: str) -> DataFrame:
         return self.spark.read.jdbc(self.url, f"({q}) AS t", properties=self.properties)
 
+    def _skip_schemas(self) -> set[str]:
+        return {
+            s.lower()
+            for s in (*self.system_schemas, *self.dialect.system_schemas)
+        }
+
     def list_schemas(self) -> list[str]:
-        # A1: internal/syncdb/mysql_data_source.go:24-48
-        rows = self._query(
-            "SELECT schema_name FROM information_schema.schemata"
-        ).collect()
-        return [r[0] for r in rows if r[0] not in self.system_schemas]
+        rows = self._query(self.dialect.schemas_sql()).collect()
+        skip = self._skip_schemas()
+        return [r[0] for r in rows if r[0].lower() not in skip]
 
     def list_tables(self, schemas: Sequence[str]) -> dict[str, list[str]]:
-        # A2: internal/syncdb/mysql_data_source.go:50-84
-        in_list = ", ".join(_sql_lit(s) for s in schemas)
-        rows = self._query(
-            "SELECT table_schema, table_name FROM information_schema.tables "
-            f"WHERE table_type = 'BASE TABLE' AND table_schema IN ({in_list})"
-        ).collect()
+        rows = self._query(self.dialect.tables_sql(schemas)).collect()
         out: dict[str, list[str]] = {}
         for sc, tb in rows:
             out.setdefault(sc, []).append(tb)
         return out
 
     def get_table_ddl(self, schema: str, table: str) -> str:
-        # A3: internal/syncdb/mysql_data_source.go:86-96
-        row = self._query(f"SHOW CREATE TABLE {schema}.{table}").first()
-        return row[1]
+        rows = self._query(self.dialect.ddl_sql(schema, table)).collect()
+        return self.dialect.ddl_from_rows(rows, schema, table)
 
     def get_table_primary_keys(self, schema: str, table: str) -> list[str]:
-        # A4: internal/syncdb/mysql_data_source.go:98-125 — ordinal order
-        # (fixes the reference's Go-map iteration nondeterminism, :135)
-        rows = self._query(
-            "SELECT column_name FROM information_schema.columns "
-            f"WHERE table_schema = {_sql_lit(schema)} AND table_name = {_sql_lit(table)} "
-            "AND column_key = 'PRI' ORDER BY ordinal_position"
-        ).collect()
-        if not rows:
+        rows = self._query(self.dialect.pk_sql(schema, table)).collect()
+        cols = self.dialect.pk_from_rows(rows)
+        if not cols:
             raise NoPrimaryKeyError(f"{schema}.{table} has no primary key; not syncable")
-        return [r[0] for r in rows]
+        return cols
 
     def current_position(self) -> str:
-        # A16: internal/syncdb/data_source.go:57-75 (Executed_Gtid_Set)
-        row = self._query("SHOW MASTER STATUS").first()
-        return row["Executed_Gtid_Set"] if row else ""
+        sql = self.dialect.position_sql()
+        if sql is None:
+            return ""
+        row = self._query(sql).first()
+        return self.dialect.position_from_row(row)
 
     def read_table(self, schema: str, table: str) -> DataFrame:
         pks = self.get_table_primary_keys(schema, table)
@@ -373,7 +496,9 @@ class JdbcMetadataSource(JdbcSnapshotSource):
                 out.append(rs.getString("TABLE_SCHEM"))
             return out
 
-        skip = {s.lower() for s in (*self.system_schemas, *self.extra_system_schemas)}
+        skip = self._skip_schemas() | {
+            s.lower() for s in self.extra_system_schemas
+        }
         return [s for s in self._with_meta(go) if s.lower() not in skip]
 
     def list_tables(self, schemas: Sequence[str]) -> dict[str, list[str]]:

@@ -517,3 +517,75 @@ def test_full_snapshot_pipeline_against_derby(spark, tmp_path):
     assert notes.error and "no primary key" in notes.error
     assert [r.op for r in notes.events.collect()] == ["rollback"]
     conn.close()
+
+
+def test_sql_dialect_discovery_against_derby(spark, tmp_path):
+    """A1-A4 through JdbcSnapshotSource's SQL catalog path — the same
+    _query -> collect -> extract orchestration the MySQL dialect uses,
+    executing for real against Derby's SYS catalog (DerbyDialect).
+    This is the r9 dialect seam: the only untested remainder of the
+    JDBC source is the literal MySQL query strings + the replication
+    socket."""
+    from go_cdc_spark.sources.snapshot import (
+        DerbyDialect,
+        JdbcSnapshotSource,
+        NoPrimaryKeyError,
+    )
+
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    # PK declared (K2, K1) against column order (K1, K2): the dialect
+    # must return KEY order from the index descriptor, not table order
+    st.executeUpdate(
+        "CREATE TABLE APP.DIAL (K1 INT NOT NULL, K2 VARCHAR(5) NOT NULL,"
+        " V DECIMAL(10,2), PRIMARY KEY (K2, K1))"
+    )
+    st.executeUpdate("CREATE TABLE APP.DNOPK (BODY VARCHAR(20))")
+
+    src = JdbcSnapshotSource(
+        spark, url, {"driver": DERBY_DRIVER}, dialect=DerbyDialect()
+    )
+    assert src.list_schemas() == ["APP"]  # every SYS* schema filtered
+    assert src.list_tables(["APP"]) == {"APP": ["DIAL", "DNOPK"]}
+    assert src.get_table_primary_keys("APP", "DIAL") == ["K2", "K1"]
+    ddl = src.get_table_ddl("APP", "DIAL")
+    assert ddl.startswith("CREATE TABLE APP.DIAL (")
+    assert "K1 INTEGER NOT NULL" in ddl
+    assert "V DECIMAL(10,2)" in ddl.replace(", 2)", ",2)")
+    with pytest.raises(NoPrimaryKeyError):
+        src.get_table_primary_keys("APP", "DNOPK")
+    assert src.current_position() == ""  # no replication log in Derby
+    conn.close()
+
+
+def test_sql_dialect_full_pipeline_against_derby(spark, tmp_path):
+    """snapshot_all over the SQL-dialect source: discovery, chunked
+    read, and envelope all flow through the dialect seam."""
+    from go_cdc_spark.sources.snapshot import (
+        DerbyDialect,
+        JdbcSnapshotSource,
+        snapshot_all,
+    )
+
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.DITEMS (K1 INT NOT NULL PRIMARY KEY, V VARCHAR(8))"
+    )
+    ps = conn.prepareStatement("INSERT INTO APP.DITEMS VALUES (?, ?)")
+    want = set()
+    for i in range(1, 41):
+        ps.setInt(1, i)
+        ps.setString(2, f"v{i}")
+        ps.executeUpdate()
+        want.add((str(i), f"v{i}"))
+
+    src = JdbcSnapshotSource(
+        spark, url, {"driver": DERBY_DRIVER}, num_partitions=3,
+        dialect=DerbyDialect(),
+    )
+    snaps = {s.table: s for s in snapshot_all(src, "derby-sql")}
+    rows = snaps["DITEMS"].events.collect()
+    assert rows[0].op == "create_table" and rows[-1].op == "end"
+    assert {(r.data["K1"], r.data["V"]) for r in rows if r.op == "insert"} == want
+    conn.close()

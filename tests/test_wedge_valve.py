@@ -1,0 +1,139 @@
+"""Wedge-family hub valve (VERDICT r8 "What's wrong" #1): DEGREE
+orientation in triangle_count and the per-center degree cap in
+graph_link_prediction — proven result-identical where the valve doesn't
+bind, and proven to actually remove hub wedges where it does."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_cdc_spark.operators import graph as G
+from go_cdc_spark.operators.graph import (
+    _copurchase_edges,
+    _degree_oriented,
+    _graph_degrees,
+    graph_link_prediction,
+    triangle_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_lineitem(spark, tmp_path, orders: list[tuple[int, list[int]]]) -> str:
+    rows = [(ok, pk) for ok, parts in orders for pk in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def _edges_with_support(edges: list[tuple[int, int]]) -> list[tuple[int, list[int]]]:
+    """Each listed edge repeated in 2 distinct orders -> survives the
+    support >= 2 filter as one stable co-purchase edge."""
+    orders, ok = [], 0
+    for edge in edges:
+        for _ in range(2):
+            ok += 1
+            orders.append((ok, list(edge)))
+    return orders
+
+
+def _id_oriented_triangles(spark, sf_dir) -> int:
+    """Round-8's id-oriented enumeration, kept as the SPEC: path
+    a<b<c over canonical edges (a,b),(b,c), closed by (a,c)."""
+    co = _copurchase_edges(spark, sf_dir)
+    e1, e2, e3 = co.alias("e1"), co.alias("e2"), co.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .count()
+    )
+
+
+def test_degree_orientation_matches_id_orientation_on_fixture(spark):
+    """Triangle count is orientation-invariant: the degree-oriented
+    operator must equal the id-oriented spec on the real fixture."""
+    row = triangle_count(spark, SF).collect()[0]
+    assert row["n_triangles"] == _id_oriented_triangles(spark, SF)
+
+
+def test_triangle_count_on_constructed_graph(spark, tmp_path):
+    """K4 (4 triangles) plus a disjoint 5-spoke star (0 triangles):
+    exact counts, and the star hub contributes edges but no closures."""
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    star = [(10, s) for s in (11, 12, 13, 14, 15)]
+    d = _write_lineitem(spark, tmp_path, _edges_with_support(k4 + star))
+    row = triangle_count(spark, d).collect()[0]
+    assert (row["n_edges"], row["n_triangles"]) == (11, 4)
+
+
+def test_degree_orientation_bounds_hub_outdegree(spark, tmp_path):
+    """On a star, the hub's out-degree under degree orientation is 0 —
+    every edge points AT the hub (the O(|E|^1.5) mechanism: the hub
+    never enumerates its neighbor pairs)."""
+    star = [(1, s) for s in range(2, 12)]  # hub 1, degree 10
+    d = _write_lineitem(spark, tmp_path, _edges_with_support(star))
+    co = _copurchase_edges(spark, d)
+    o = _degree_oriented(co, _graph_degrees(co))
+    out_of_hub = o.filter(F.col("src") == 1).count()
+    assert out_of_hub == 0
+    assert o.count() == 10  # every edge still present, just re-pointed
+
+
+def test_linkpred_cap_does_not_bind_on_fixture(spark, monkeypatch):
+    """Fixture max degree is far under _LP_MAX_CENTER_DEG, so the
+    capped result must be IDENTICAL to the uncapped one."""
+    capped = sorted(
+        (r["pa"], r["pb"], r["cn"], r["jaccard"])
+        for r in graph_link_prediction(spark, SF).collect()
+    )
+    monkeypatch.setattr(G, "_LP_MAX_CENTER_DEG", 10**9)
+    uncapped = sorted(
+        (r["pa"], r["pb"], r["cn"], r["jaccard"])
+        for r in graph_link_prediction(spark, SF).collect()
+    )
+    assert capped == uncapped
+    assert len(capped) > 0  # the comparison is not vacuous
+
+
+def test_linkpred_hub_center_is_excluded_above_cap(spark, tmp_path, monkeypatch):
+    """With the cap lowered to 5, a degree-6 hub stops mediating
+    common-neighbor evidence: pairs whose ONLY common neighbor is the
+    hub disappear, pairs with a low-degree common neighbor keep cn
+    from that center only."""
+    monkeypatch.setattr(G, "_LP_MAX_CENTER_DEG", 5)
+    hub = [(1, s) for s in (2, 3, 4, 5, 6, 7)]  # hub deg 6 > cap 5
+    side = [(2, 100), (3, 100)]  # center 100 (deg 2) connects 2 and 3
+    d = _write_lineitem(spark, tmp_path, _edges_with_support(hub + side))
+    got = {
+        (r["pa"], r["pb"]): r["cn"]
+        for r in graph_link_prediction(spark, d).collect()
+    }
+    assert got.get((2, 3)) == 1  # via center 100 only — hub wedge dropped
+    assert (4, 5) not in got  # hub was its only common neighbor
+
+
+def test_linkpred_endpoint_degrees_stay_exact_under_cap(spark, tmp_path, monkeypatch):
+    """The cap prunes wedge CENTERS, not jaccard denominators: an
+    endpoint that is itself over-cap keeps its full degree in the
+    union-size denominator."""
+    monkeypatch.setattr(G, "_LP_MAX_CENTER_DEG", 5)
+    hub = [(1, s) for s in (2, 3, 4, 5, 6, 7)]  # hub deg 6 + 2 below = 8
+    # centers 100, 101 (deg 2 each) both connect hub 1 and part 2
+    side = [(1, 100), (2, 100), (1, 101), (2, 101)]
+    d = _write_lineitem(spark, tmp_path, _edges_with_support(hub + side))
+    got = {
+        (r["pa"], r["pb"]): (r["cn"], r["jaccard"])
+        for r in graph_link_prediction(spark, d).collect()
+    }
+    # pair (100, 101): common neighbors are hub 1 (deg 8 > cap,
+    # dropped as a center) and part 2 (deg 3 <= cap, kept) -> cn 1;
+    # deg(100) = deg(101) = 2 stay EXACT, union = 2 + 2 - 1 = 3.
+    cn, jac = got[(100, 101)]
+    assert cn == 1
+    assert jac == pytest.approx(1.0 / 3.0)

@@ -114,6 +114,120 @@ def synthesize_uniform(spark) -> str:
     return synthesize(spark, K)
 
 
+# --- hub-degree variant (the wedge-family axis) ----------------------------
+# The key-collapse skew above stresses AGGREGATION keys; the graph wedge
+# family's failure axis is different: one VERTEX of huge degree in the
+# support-filtered co-purchase graph. Planted as the judge prescribed:
+# one part in ~10% of all orders (copy 0's line 1 := HOT_PART), so the
+# hub ends up adjacent to a large share of the surviving part universe
+# and Σ deg(v)² blows up under any orientation that lets the hub
+# enumerate its neighbor pairs.
+
+HOT_PART = 1
+HUB10 = os.path.join(SCRATCH, "sfx10_hub")
+HUB10_CTRL = os.path.join(SCRATCH, "sfx10_hub_ctrl")
+HUB_QUERIES = ["triangle_count", "graph_link_prediction"]
+
+
+def _synthesize_orderkey_copies(spark, dest: str, plant_hub: bool) -> str:
+    """10 copies with OFFSET ORDER KEYS but SHARED part keys (unlike
+    scale_probe's fully-disjoint unions) — sharing partkeys inflates
+    every pair's support ~10x, which densifies the co-purchase graph to
+    ~1.2M edges. The control and hub corpora use the SAME synthesis so
+    their ratio isolates the ONE planted hub (copy 0's line 1 :=
+    HOT_PART, i.e. one part in ~10% of all orders), not the support
+    inflation."""
+    if os.path.exists(os.path.join(dest, "_DONE")):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+    for t in TABLE_NAMES:
+        src = spark.read.parquet(f"{BASE}/{t}.parquet")
+        if t in FACT_OFFSETS:
+            copies = []
+            for i in range(K):
+                c = src
+                for col, step in FACT_OFFSETS[t].items():
+                    if step:
+                        c = c.withColumn(col, F.col(col) + F.lit(i * step))
+                if plant_hub and i == 0 and t == "lineitem":
+                    c = c.withColumn(
+                        "l_partkey",
+                        F.when(
+                            F.col("l_linenumber") == 1, F.lit(HOT_PART).cast("long")
+                        ).otherwise(F.col("l_partkey")),
+                    )
+                copies.append(c)
+            df = copies[0]
+            for c in copies[1:]:
+                df = df.unionByName(c)
+        else:
+            df = src
+        df.write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
+    open(os.path.join(dest, "_DONE"), "w").close()
+    return dest
+
+
+def synthesize_hub(spark) -> str:
+    return _synthesize_orderkey_copies(spark, HUB10, plant_hub=True)
+
+
+def synthesize_hub_control(spark) -> str:
+    return _synthesize_orderkey_copies(spark, HUB10_CTRL, plant_hub=False)
+
+
+def _id_oriented_triangle_seconds(spark, sf_dir) -> float:
+    """Round-8's id-oriented wedge enumeration, timed as the CONTRAST
+    arm: what the hub costs without degree orientation."""
+    from go_cdc_spark.operators.graph import _copurchase_edges
+
+    def build():
+        co = _copurchase_edges(spark, sf_dir)
+        e1, e2, e3 = co.alias("e1"), co.alias("e2"), co.alias("e3")
+        return (
+            e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+            .join(
+                e3,
+                (F.col("e3.pa") == F.col("e1.pa"))
+                & (F.col("e3.pb") == F.col("e2.pb")),
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+
+    build().write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    build().write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def hub_main() -> None:
+    """control-10x vs hub-10x for the wedge family (identical synthesis
+    up to the one planted hub part), plus the id-orientation contrast
+    arm on the hub corpus."""
+    spark = get_spark("skew-stress-hub")
+    ctrl = synthesize_hub_control(spark)
+    hub = synthesize_hub(spark)
+    report = {}
+    for name in HUB_QUERIES:
+        t_c = timed(spark, name, ctrl)
+        t_h = timed(spark, name, hub)
+        report[name] = {
+            "control10_s": t_c,
+            "hub10_s": t_h,
+            "hub_ratio": round(t_h / max(t_c, 1e-3), 2),
+        }
+        print(
+            f"{name:28s} control={t_c:6.2f}s hub={t_h:6.2f}s "
+            f"ratio={report[name]['hub_ratio']:.2f}",
+            flush=True,
+        )
+    report["triangle_id_oriented_contrast"] = {
+        "hub10_s": _id_oriented_triangle_seconds(spark, hub),
+        "control10_s": _id_oriented_triangle_seconds(spark, ctrl),
+        "note": "round-8 id orientation on the same corpora",
+    }
+    print(json.dumps(report, indent=2))
+
+
 def timed(spark, name, sf_dir) -> float:
     QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
     out = []
@@ -163,4 +277,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--hub" in sys.argv:
+        hub_main()
+    else:
+        main()
