@@ -130,6 +130,8 @@ HEADLINE = [
     "rfm_segments",
     "basket_rules",
     "orders_pareto",
+    # round-9 surface
+    "ann_recall_frontier",
 ]
 
 

@@ -1819,6 +1819,7 @@ def _ivf_pq_topk(
     n_queries: int = N_QUERIES,
     assign: DataFrame | None = None,
     recon: DataFrame | None = None,
+    nprobe: int = _IVF_NPROBE,
 ) -> DataFrame:
     """Parametrizable IVF-PQ core (``k`` = per-subspace codebook size,
     the recall knob; ``n_queries`` widens the evaluation query set).
@@ -1830,7 +1831,7 @@ def _ivf_pq_topk(
     if recon is None:
         recon = _pq_recon(spark, sf_dir, k=k)
     q = assign.filter(
-        (F.col("vec_id") < n_queries) & (F.col("rn") <= _IVF_NPROBE)
+        (F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe)
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -2032,6 +2033,209 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(a)
     return out.crossJoin(F.broadcast(expected)).select(
         "route",
+        "hits",
+        "expected",
+        (F.col("hits").cast("double") / F.col("expected").cast("double")).alias(
+            "recall"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN frontier: recall AND its price, in one oracle-checked table.
+# ann_recall_at_k says how good each route is; this says what each
+# recall point COSTS — the number of exactly-scored candidate pairs the
+# route generates before its top-k. Together they are the
+# recall-vs-candidate-volume frontier (VERDICT r8 prescription #5); the
+# knob sweep behind the registered points lives in
+# tools/ann_frontier_sweep.py and COVERAGE.md's frontier table.
+# Headline: IVF nprobe=2 reaches recall 0.925 at 24.7% of the
+# brute-force candidate volume on the fixture (nprobe is the production
+# recall knob — the sweep's measured curve is 0.900/0.925/0.950 at
+# 1/2/4 probes of {N_CENTROIDS} cells).
+# ---------------------------------------------------------------------------
+
+
+def _frontier_oracle() -> str:
+    hit_src = {
+        "brute_force": "(SELECT query_id, cand_id FROM exact)",
+        "lsh_ann": f"(SELECT query_id, cand_id FROM ({_LSH_ORACLE}) t)",
+        "lsh_multiprobe": f"(SELECT query_id, cand_id FROM ({_MULTIPROBE_ORACLE}) t)",
+        "ivf": f"(SELECT query_id, cand_id FROM ({_IVF_ORACLE}) t)",
+        "ivf_nprobe2": f"(SELECT query_id, cand_id FROM ({_IVF_NPROBE2_ORACLE}) t)",
+        "pq_adc": "(SELECT query_id, cand_id FROM pq_ann)",
+        "ivf_pq": f"(SELECT query_id, cand_id FROM ({_IVF_PQ_ORACLE}) t)",
+        "ivf_pq_res": f"(SELECT query_id, cand_id FROM ({_IVF_PQ_RES_ORACLE}) t)",
+    }
+    # exactly-scored candidate pairs per route, over shared fb (LSH
+    # signatures) / fassign (IVF coarse cells) CTEs
+    full = "(SELECT (SELECT COUNT(*) FROM fqids) * (SELECT COUNT(*) FROM fcids))"
+    ivf_cand = (
+        "(SELECT COUNT(*) FROM "
+        "(SELECT centroid_id FROM fassign WHERE vec_id < {nq} AND rn <= {np}) a "
+        "JOIN (SELECT centroid_id FROM fassign WHERE vec_id >= {nq} AND rn = 1) b "
+        "USING (centroid_id))"
+    )
+    cand_src = {
+        "brute_force": full,
+        "lsh_ann": (
+            "(SELECT COUNT(*) FROM "
+            f"(SELECT bucket FROM fb WHERE vec_id < {N_QUERIES}) a "
+            f"JOIN (SELECT bucket FROM fb WHERE vec_id >= {N_QUERIES}) b "
+            "USING (bucket))"
+        ),
+        "lsh_multiprobe": (
+            "(SELECT COUNT(*) FROM fprobe a "
+            f"JOIN (SELECT bucket FROM fb WHERE vec_id >= {N_QUERIES}) b "
+            "USING (bucket))"
+        ),
+        "ivf": ivf_cand.format(nq=N_QUERIES, np=1),
+        "ivf_nprobe2": ivf_cand.format(nq=N_QUERIES, np=_IVF_NPROBE),
+        "pq_adc": full,  # ADC rescans the whole corpus as codes
+        "ivf_pq": ivf_cand.format(nq=N_QUERIES, np=_IVF_NPROBE),
+        "ivf_pq_res": ivf_cand.format(nq=N_QUERIES, np=_IVF_NPROBE),
+    }
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS route,
+       CAST({cand_src[name]} AS BIGINT) AS candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM exact e
+        JOIN {src} r ON e.query_id = r.query_id AND e.cand_id = r.cand_id)
+           AS hits
+  FROM (SELECT 1)"""
+        for name, src in hit_src.items()
+    )
+    return f"""
+WITH {_PQ_CTES},
+{_RECALL_PQ_SEARCH},
+exact AS (SELECT query_id, cand_id FROM ({_TOPK_ORACLE}) t),
+expected AS (SELECT CAST(COUNT(*) AS BIGINT) AS expected FROM exact),
+fqids AS (SELECT vec_id FROM embeddings WHERE vec_id < {N_QUERIES}),
+fcids AS (SELECT vec_id FROM embeddings WHERE vec_id >= {N_QUERIES}),
+fb AS (SELECT vec_id, {_sql_bucket("embedding")} AS bucket FROM embeddings),
+fprobe AS (
+  SELECT vec_id,
+         CASE WHEN j = 0 THEN bucket
+              ELSE xor(bucket, CAST(2 ** (j - 1) AS INTEGER)) END AS bucket
+  FROM fb CROSS JOIN (SELECT unnest(range(0, {N_BITS + 1})) AS j) pj
+  WHERE vec_id < {N_QUERIES}
+),
+fcent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings
+          WHERE vec_id < {N_CENTROIDS}),
+fassign AS (
+  SELECT vec_id, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY {_sql_cosine("embedding", "cent_emb")} DESC,
+                                     centroid_id) AS rn
+  FROM embeddings CROSS JOIN fcent
+),
+arms AS ({arms})
+SELECT route, candidates, hits, expected,
+       CAST(hits AS DOUBLE) / CAST(expected AS DOUBLE) AS recall
+FROM arms CROSS JOIN expected
+"""
+
+
+@query("ann_recall_frontier", oracle=_frontier_oracle())
+def ann_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-candidate-volume frontier over every ANN route:
+    per route, the exactly-scored candidate-pair count (the work) and
+    recall@{TOP_K} vs brute force (the quality), one row per route
+    including the brute-force anchor (recall 1.0 at |Q|×|C|).
+
+    Fixture frontier (sf0.01): ivf_nprobe2 reaches recall 0.925 at
+    24.7% of brute-force volume and ivf 0.900 at 12.5% — IVF's
+    ``nprobe`` is the production recall knob and already clears the
+    ≥0.8 bar; the LSH points (0.175 single-probe at 7%, 0.500
+    multiprobe at ~35%) and PQ points (0.2-0.3 — {_PQ_M}×{_PQ_K} is a
+    16× compression at fixture dims, the recall cost of never touching
+    raw vectors) chart the rest of the trade. tools/ann_frontier_sweep.py
+    sweeps the knobs behind these registered points.
+
+    Scale shape: candidate counts are aggregates over the SAME shared
+    subtrees the searches use (bucket join, coarse-cell join) — no new
+    pair enumeration; every count is one map-side-combined COUNT(*)."""
+    exact = sim_topk(spark, sf_dir).select("query_id", "cand_id")
+    expected = exact.agg(F.count(F.lit(1)).cast("long").alias("expected"))
+    assign = _coarse_assign(spark, sf_dir).localCheckpoint(eager=False)
+    recon = _pq_recon(spark, sf_dir).localCheckpoint(eager=False)
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", bucket_col("embedding").alias("bucket"))
+    bq = b.filter(F.col("vec_id") < N_QUERIES)
+    bc = b.filter(F.col("vec_id") >= N_QUERIES)
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("int")
+            for j in range(N_BITS)
+        ],
+    )
+    bprobe = bq.select("vec_id", F.explode(probes).alias("bucket"))
+    nq_df = emb.filter(F.col("vec_id") < N_QUERIES).agg(
+        F.count(F.lit(1)).cast("long").alias("__nq")
+    )
+    nc_df = emb.filter(F.col("vec_id") >= N_QUERIES).agg(
+        F.count(F.lit(1)).cast("long").alias("__nc")
+    )
+    full_cand = nq_df.crossJoin(nc_df).select(
+        (F.col("__nq") * F.col("__nc")).alias("candidates")
+    )
+
+    def ivf_cand(np: int) -> DataFrame:
+        a = assign.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= np)).select(
+            "centroid_id"
+        )
+        c = assign.filter((F.col("vec_id") >= N_QUERIES) & (F.col("rn") == 1)).select(
+            "centroid_id"
+        )
+        return a.join(c, "centroid_id").agg(
+            F.count(F.lit(1)).cast("long").alias("candidates")
+        )
+
+    def join_cand(a: DataFrame, c: DataFrame) -> DataFrame:
+        return a.join(c, "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("candidates")
+        )
+
+    routes: dict[str, tuple] = {
+        "brute_force": (lambda s, d: sim_topk(s, d), full_cand),
+        "lsh_ann": (lambda s, d: sim_lsh_ann(s, d), join_cand(bq, bc)),
+        "lsh_multiprobe": (
+            lambda s, d: sim_lsh_multiprobe(s, d),
+            join_cand(bprobe, bc),
+        ),
+        "ivf": (lambda s, d: _ivf_topk(s, d, nprobe=1, assign=assign), ivf_cand(1)),
+        "ivf_nprobe2": (
+            lambda s, d: _ivf_topk(s, d, nprobe=_IVF_NPROBE, assign=assign),
+            ivf_cand(_IVF_NPROBE),
+        ),
+        "pq_adc": (lambda s, d: _pq_adc_topk(s, d, recon=recon), full_cand),
+        "ivf_pq": (
+            lambda s, d: _ivf_pq_topk(s, d, assign=assign, recon=recon),
+            ivf_cand(_IVF_NPROBE),
+        ),
+        "ivf_pq_res": (
+            lambda s, d: _ivf_pq_res_topk(s, d, assign=assign),
+            ivf_cand(_IVF_NPROBE),
+        ),
+    }
+    arms = []
+    for name, (fn, cand) in routes.items():
+        ann = fn(spark, sf_dir).select("query_id", "cand_id")
+        hits = (
+            exact.join(ann, ["query_id", "cand_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        )
+        arms.append(
+            hits.crossJoin(F.broadcast(cand)).select(
+                F.lit(name).alias("route"), "candidates", "hits"
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.crossJoin(F.broadcast(expected)).select(
+        "route",
+        "candidates",
         "hits",
         "expected",
         (F.col("hits").cast("double") / F.col("expected").cast("double")).alias(

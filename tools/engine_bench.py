@@ -1,0 +1,254 @@
+#!/usr/bin/env python
+"""End-to-end ENGINE throughput — the reference's actual job, as one
+number per phase (VERDICT r8 prescription #4).
+
+The reference (go-cdc) is snapshot → binlog tail → materialize; the
+per-query bench times analytics and tools/stream_bench.py times the
+bare apply path, but nothing timed the whole engine loop. This does:
+
+1. **full_sync** at $SPARK_GRAFT_SF_DIR (default sf0.1): discovery +
+   filter + bounded-parallel per-table snapshot + typed-state
+   materialization for 7 TPC-H tables (incl. lineitem's composite PK) —
+   rows/s over the total snapshot volume.
+2. **incremental drain**: N synthetic change events (insert/update/
+   delete mix) over the customer table, split into segments, drained
+   via availableNow foreachBatch MERGE — events/s including every
+   state rewrite and checkpoint commit.
+3. **restart recovery**: a NEW Engine over the same meta/state/ckpt
+   dirs (process-crash analog), draining a small follow-up segment —
+   seconds from boot to drained, proving checkpoint reuse (no
+   re-snapshot, no double-apply).
+4. **readback**: cdc_latest-style read_table() counts verified against
+   the expected key universe.
+
+Prints ONE JSON line. Usage: python tools/engine_bench.py [n_events]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from go_cdc_spark.app import Engine  # noqa: E402
+from go_cdc_spark.config import load_config  # noqa: E402
+from go_cdc_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_EVENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+N_RESTART_EVENTS = 2_000
+TABLES = {
+    # table -> PK columns (lineitem exercises the composite-key path)
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+}
+
+
+def _write_config(root: str, changelog_dir: str) -> str:
+    pk_lines = "\n".join(
+        f'{t} = [{", ".join(repr(c) for c in cols)}]' for t, cols in TABLES.items()
+    )
+    include = ", ".join(repr(t) for t in TABLES)
+    cfg = f"""
+[engine]
+meta_path      = "{root}/meta"
+state_dir      = "{root}/state"
+checkpoint_dir = "{root}/ckpt"
+
+[[source]]
+id        = 1
+name      = "bench"
+type      = "parquet"
+path      = "{SF_DIR}"
+changelog = "{changelog_dir}"
+[source.primary_keys]
+{pk_lines}
+[source.rules.global]
+include_tables = [{include}]
+"""
+    p = os.path.join(root, "config.toml")
+    with open(p, "w") as f:
+        f.write(cfg)
+    return p
+
+
+def _customer_events(
+    start_pos: int, n: int, n_keys: int, live: set[int] | None = None
+) -> list[dict]:
+    """insert/update/update/delete mix over a bounded key universe,
+    keys ABOVE the snapshot's custkey range so expected live-count
+    arithmetic is exact. ``live`` carries the key state ACROSS windows
+    (the restart window must know window 1's live keys, or its op
+    adjustment diverges from the materialized state)."""
+    live = set() if live is None else live
+    out = []
+    for i in range(n):
+        pos = start_pos + i
+        key = 10_000_000 + (i * 2654435761) % n_keys
+        op = ("insert", "update", "update", "delete")[i % 4]
+        if op in ("update", "delete") and key not in live:
+            op = "insert"
+        if op == "delete":
+            live.discard(key)
+            data, before = None, {"c_custkey": str(key)}
+        else:
+            live.add(key)
+            data, before = {
+                "c_custkey": str(key),
+                "c_name": f"Customer#{pos}",
+                "c_address": "addr",
+                "c_nationkey": str(key % 25),
+                "c_phone": "00-000",
+                "c_acctbal": str(float(i % 1000)),
+                "c_mktsegment": "BUILDING",
+                "c_comment": "synthetic",
+            }, None
+        out.append(
+            {
+                "data_source": "bench",
+                "schema": "main",
+                "table": "customer",
+                "op": op,
+                "data": data,
+                "before": before,
+                "ts": None,
+                "pos": str(pos).zfill(12),
+                "txn_id": None,
+            }
+        )
+    out.append({"__live": sorted(live)})  # sentinel row, stripped by caller
+    return out
+
+
+def _write_segments(events: list[dict], seg_dir: str, n_segments: int, prefix: str):
+    live = events.pop()["__live"]
+    per = max(1, len(events) // n_segments)
+    for s in range(0, len(events), per):
+        with open(os.path.join(seg_dir, f"{prefix}{s:08d}.json"), "w") as f:
+            for e in events[s : s + per]:
+                f.write(json.dumps(e) + "\n")
+    return live
+
+
+def main() -> None:
+    spark = get_spark("engine-bench")
+    root = tempfile.mkdtemp(prefix="engine_bench_")
+    seg_dir = os.path.join(root, "changelog")
+    os.makedirs(seg_dir)
+    cfg_path = _write_config(root, seg_dir)
+    report: dict = {"metric": "engine_end_to_end", "sf_dir": SF_DIR}
+
+    # --- phase 1: full sync ------------------------------------------------
+    engine = Engine(load_config(cfg_path), spark=spark)
+    engine.init_sources()
+    t0 = time.perf_counter()
+    snaps = engine.full_sync()
+    full_s = time.perf_counter() - t0
+    assert all(s.error is None for s in snaps[1]), [s.error for s in snaps[1]]
+    snap_rows = sum(
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count() for t in TABLES
+    )
+    report["full_sync"] = {
+        "tables": len(TABLES),
+        "rows": snap_rows,
+        "seconds": round(full_s, 2),
+        "rows_per_s": int(snap_rows / full_s),
+    }
+
+    # --- phase 2: incremental drain -----------------------------------------
+    key_state: set[int] = set()
+    ev = _customer_events(1, N_EVENTS, n_keys=N_EVENTS // 5, live=key_state)
+    _write_segments(ev, seg_dir, n_segments=8, prefix="a")
+    t0 = time.perf_counter()
+    engine.incremental_sync()
+    inc_s = time.perf_counter() - t0
+    report["incremental"] = {
+        "events": N_EVENTS,
+        "segments": 8,
+        "seconds": round(inc_s, 2),
+        "events_per_s": int(N_EVENTS / inc_s),
+    }
+
+    # --- phase 3: restart recovery ------------------------------------------
+    ev2 = _customer_events(
+        N_EVENTS + 1, N_RESTART_EVENTS, n_keys=N_EVENTS // 5, live=key_state
+    )
+    _write_segments(ev2, seg_dir, n_segments=1, prefix="b")
+    t0 = time.perf_counter()
+    engine2 = Engine(load_config(cfg_path), spark=spark)
+    engine2.init_sources()
+    engine2.full_sync()  # must detect existing state, not re-snapshot
+    engine2.incremental_sync()
+    restart_s = time.perf_counter() - t0
+    report["restart_recovery"] = {
+        "follow_up_events": N_RESTART_EVENTS,
+        "seconds": round(restart_s, 2),
+    }
+
+    # --- phase 4: readback (cdc_latest semantics) -----------------------------
+    base_customers = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    expect_live = len(key_state)  # threaded through both event windows
+    t0 = time.perf_counter()
+    got = engine2.read_table(1, "main", "customer").count()
+    read_s = time.perf_counter() - t0
+    assert got == base_customers + expect_live, (got, base_customers, expect_live)
+    report["readback"] = {
+        "rows": got,
+        "seconds": round(read_s, 2),
+        "verified": True,
+    }
+    report["value"] = round(full_s + inc_s + restart_s, 2)
+    report["unit"] = "sec"
+    print(json.dumps(report))
+    shutil.rmtree(root, ignore_errors=True)
+    _regression_guard(report)
+
+
+_HISTORY = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "ENGINE_BENCH.jsonl",
+)
+
+
+def _regression_guard(report: dict) -> None:
+    """Append this run to ENGINE_BENCH.jsonl and exit non-zero if the
+    end-to-end total regressed >1.5x vs the median of prior runs at the
+    same sf/N — the engine-loop analog of bench.py's per-query gate."""
+    priors = []
+    if os.path.exists(_HISTORY):
+        with open(_HISTORY) as f:
+            for line in f:
+                try:
+                    p = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if (
+                    p.get("sf_dir") == report["sf_dir"]
+                    and p.get("incremental", {}).get("events")
+                    == report["incremental"]["events"]
+                ):
+                    priors.append(p["value"])
+    with open(_HISTORY, "a") as f:
+        f.write(json.dumps(report) + "\n")
+    if priors:
+        med = sorted(priors)[len(priors) // 2]
+        if report["value"] / med > 1.5:
+            print(
+                f"ENGINE REGRESSION: {report['value']}s vs median {med}s",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
