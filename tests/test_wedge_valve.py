@@ -137,3 +137,19 @@ def test_linkpred_endpoint_degrees_stay_exact_under_cap(spark, tmp_path, monkeyp
     cn, jac = got[(100, 101)]
     assert cn == 1
     assert jac == pytest.approx(1.0 / 3.0)
+
+
+def test_ann_frontier_ivf_clears_recall_bar(spark):
+    """The r9 'done' criterion for the ANN frontier: at least one
+    bounded-volume route reaches recall@5 >= 0.8 on the fixture, and
+    the brute-force anchor is exact."""
+    from go_cdc_spark.operators.similarity import ann_recall_frontier
+
+    rows = {r["route"]: r for r in ann_recall_frontier(spark, SF).collect()}
+    brute = rows["brute_force"]
+    assert brute["recall"] == 1.0 and brute["hits"] == brute["expected"]
+    ivf2 = rows["ivf_nprobe2"]
+    assert ivf2["recall"] >= 0.8
+    assert 0 < ivf2["candidates"] < brute["candidates"]  # bounded volume
+    # candidate ordering along the volume axis: single probe <= 2 probes
+    assert rows["ivf"]["candidates"] <= ivf2["candidates"]
