@@ -132,6 +132,10 @@ HEADLINE = [
     "orders_pareto",
     # round-9 surface
     "ann_recall_frontier",
+    "win_distribution",
+    "agg_mode",
+    "join_interval_overlap",
+    "ngram_novelty",
 ]
 
 

@@ -125,6 +125,76 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# n-gram novelty: the inverse of decontamination — how much of a
+# holdout document is UNSEEN in the training split, the standard
+# memorization / diversity probe over a corpus split.
+# ---------------------------------------------------------------------------
+
+_NOVELTY_N = 5  # 5-word spans, the Lee-et-al dedup granularity
+
+_NOVELTY_ORACLE = f"""
+WITH tr AS (
+    SELECT DISTINCT unnest({_sql_shingles(_NOVELTY_N)}) AS sh
+    FROM documents WHERE doc_id % 10 < 8
+),
+hg AS (
+    SELECT doc_id, unnest(list_distinct({_sql_shingles(_NOVELTY_N)})) AS sh
+    FROM documents WHERE doc_id % 10 >= 8
+),
+novel AS (
+    SELECT h.doc_id, COUNT(*) AS novel_grams
+    FROM hg h LEFT JOIN tr ON tr.sh = h.sh
+    WHERE tr.sh IS NULL
+    GROUP BY h.doc_id
+),
+per AS (SELECT doc_id, COUNT(*) AS n_grams FROM hg GROUP BY doc_id)
+SELECT p.doc_id,
+       CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(nv.novel_grams, 0) AS BIGINT) AS novel_grams,
+       CAST(COALESCE(nv.novel_grams, 0) AS DOUBLE)
+           / CAST(p.n_grams AS DOUBLE) AS novelty
+FROM per p LEFT JOIN novel nv USING (doc_id)
+"""
+
+
+@query("ngram_novelty", oracle=_NOVELTY_ORACLE)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per holdout document (doc_id % 10 >= 8, the 20% split), the
+    fraction of its distinct {_NOVELTY_N}-gram shingles that never
+    appear in the training split — decontamination's inverse: low
+    novelty = the holdout mostly restates training text (leakage /
+    memorization risk), high novelty = genuinely new material.
+
+    Scale shape: the REFERENCE side here is the big one (training
+    grams), so unlike decontaminate_ngrams' broadcast-eval shape this
+    is a distinct-first gram-key shuffle anti-join: both sides dedupe
+    map-side before the shuffle (array_distinct per doc, then DISTINCT
+    on the train side), the anti-join output is bounded by the holdout
+    gram volume, and per-doc counts re-shuffle only doc_id keys."""
+    docs = load(spark, sf_dir, "documents")
+    sh = F.explode(F.array_distinct(shingles_col(n=_NOVELTY_N))).alias("sh")
+    tr = (
+        docs.filter(F.col("doc_id") % 10 < 8).select(sh).distinct()
+    )
+    hg = docs.filter(F.col("doc_id") % 10 >= 8).select("doc_id", sh)
+    novel = (
+        hg.join(tr, "sh", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("novel_grams"))
+    )
+    per = hg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return per.join(novel, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce("novel_grams", F.lit(0)).cast("long").alias("novel_grams"),
+        (
+            F.coalesce("novel_grams", F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("novelty"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition-based quality rules (Gopher-style).
 # ---------------------------------------------------------------------------
 

@@ -572,6 +572,161 @@ def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank / cume_dist /
+    ntile per order-priority class, the percentile-without-aggregation
+    family (every row keeps its identity AND learns its position).
+
+    Cross-engine exactness: the order key (o_totalprice, o_orderkey)
+    is TOTAL, so rank is unique per row; percent_rank = (rank−1)/(n−1)
+    and cume_dist = rank/n are single double divisions of identical
+    integers, and ntile's larger-buckets-first assignment is the SQL
+    standard in both engines — all three hash-exact.
+
+    Scale shape: one shuffle on the partition key; within each
+    partition the three functions share one sort (one Window node in
+    the plan, WINDOW-clause style). A skewed priority class is an
+    inherent full-partition sort — at 100 TB cap or pre-aggregate a
+    hot class upstream if its single-partition sort exceeds executor
+    memory (same note as any global-position analytic)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(qty AS BIGINT) AS mode_qty, CAST(c AS BIGINT) AS mode_count
+    FROM (
+        SELECT l_returnflag, l_linestatus, qty, c,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                                  ORDER BY c DESC, qty) AS rn
+        FROM (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS c
+            FROM lineitem GROUP BY 1, 2, 3
+        )
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group with a deterministic
+    tie-break (count DESC, value ASC) — the relational form of the
+    MODE() aggregate, via count-then-top-1 so both engines resolve
+    ties identically (native MODE() breaks ties engine-specifically).
+
+    Scale shape: the value histogram groupBy gets map-side partials
+    (the hot value folds per-partition); the top-1-per-group window
+    over the histogram — cardinality |groups|×|values|, tiny — rides
+    the rank-limit pushdown. Never a per-group collect."""
+    li = load(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.desc("c"), F.asc("qty")
+    )
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("qty").cast("long").alias("mode_qty"),
+            F.col("c").cast("long").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH win AS (
+        SELECT l_orderkey AS okey,
+               CAST(MIN(l_shipdate) AS DATE) AS lo,
+               CAST(MAX(l_shipdate) AS DATE) AS hi
+        FROM lineitem GROUP BY 1
+    ),
+    ow AS (
+        SELECT o_custkey, okey, lo, hi
+        FROM win JOIN orders ON okey = o_orderkey
+    )
+    SELECT a.o_custkey AS custkey,
+           a.okey AS order_a, b.okey AS order_b,
+           CAST(date_diff('day',
+                          greatest(a.lo, b.lo),
+                          least(a.hi, b.hi)) AS BIGINT) AS overlap_days
+    FROM ow a JOIN ow b
+      ON a.o_custkey = b.o_custkey AND a.okey < b.okey
+     AND a.lo <= b.hi AND b.lo <= a.hi
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join — intervals on BOTH sides (where
+    join_range is point-in-window and join_asof is point-to-latest):
+    pairs of the same customer's orders whose fulfillment windows
+    [min ship date, max ship date] overlap, with the overlap length.
+
+    Scale shape: the equi key (custkey) bounds the candidate set to
+    per-customer pairs — the overlap predicate is evaluated inside the
+    shuffled join, never as a cartesian. For KEYLESS interval joins
+    the standard decomposition is epoch bucketing: assign each
+    interval to every coarse time bucket it touches, equi-join on
+    bucket, dedupe pairs spanning several buckets — same
+    filter-before-explode family; the equi-key form here is the
+    common case and the one the fixture's data expresses."""
+    li = load(spark, sf_dir, "lineitem")
+    win = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("lo"),
+        F.max(F.col("l_shipdate").cast("date")).alias("hi"),
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ow = win.join(orders, win["okey"] == orders["o_orderkey"]).select(
+        "o_custkey", "okey", "lo", "hi"
+    )
+    a, b = ow.alias("a"), ow.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.okey") < F.col("b.okey"))
+        & (F.col("a.lo") <= F.col("b.hi"))
+        & (F.col("b.lo") <= F.col("a.hi")),
+    ).select(
+        F.col("a.o_custkey").alias("custkey"),
+        F.col("a.okey").alias("order_a"),
+        F.col("b.okey").alias("order_b"),
+        F.datediff(
+            F.least(F.col("a.hi"), F.col("b.hi")),
+            F.greatest(F.col("a.lo"), F.col("b.lo")),
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / limit, set operations.
 # ---------------------------------------------------------------------------
