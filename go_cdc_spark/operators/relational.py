@@ -963,6 +963,42 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_percentiles_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           quantile_cont(o_totalprice, 0.95) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (p25/p50/p75/p95 of order value per
+    priority) — the hash-checked complement of the rows-only
+    `agg_quantiles` sketch: Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` are bit-identical (proven in the verify notes,
+    measured sf0.001-0.1), so where the sketch trades exactness for
+    constant memory, this row is the strong-checked ground truth the
+    sketch is judged against.
+
+    Scale shape: exact percentile is a per-group sort — fine while
+    groups are bounded (5 priority classes here; the hot class is the
+    cap, same note as win_distribution). At unbounded group
+    cardinality or width, fall back to `agg_quantiles`' one-pass
+    sketch; keep BOTH registered so the trade stays measured."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join suite (Q3/Q5/Q6/Q10 shapes, adapted to the
 # fixture schema). These are the judge-visible "does join ordering,
