@@ -136,6 +136,8 @@ HEADLINE = [
     "agg_mode",
     "join_interval_overlap",
     "ngram_novelty",
+    "agg_percentiles_exact",
+    "cdc_incremental_mode",
 ]
 
 

@@ -1097,6 +1097,133 @@ def cdc_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_percentiles(hist, ["c_nationkey"])
 
 
+
+def incremental_mode(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    group_cols: list[str],
+    val_col: str,
+    pos_threshold: str | None = None,
+    base_counts: DataFrame | None = None,
+    pos_col: str = "pos",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance of the per-(group, value) count relation
+    — the state behind a MODE read. Like the histogram it is fully
+    foldable (a value's count is row-independent, so retraction is an
+    exact signed delta — no dirty flags, no rescans); unlike the
+    histogram the "bin" is the exact value itself, so the read
+    (:func:`mode_read`) is order-statistics-free: top-1 by (count DESC,
+    value ASC) over histogram-sized state.
+
+    Per-batch cost: O(changes + touched (group, value) cells). Returns
+    ``group_cols + [val_col, n]`` with ``n > 0``.
+    """
+    if pos_threshold is not None:
+        changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
+    latest = cdc_collapse(
+        changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
+    )
+    changed_keys = latest.select(*keys)
+    removed = (
+        snapshot.join(changed_keys, on=keys, how="left_semi")
+        .filter(F.col(val_col).isNotNull())
+        .select(*group_cols, val_col, F.lit(-1).alias("__sign"))
+    )
+    added = (
+        latest.filter(F.col(op_col) != OP_DELETE)
+        .filter(F.col(val_col).isNotNull())
+        .select(*group_cols, val_col, F.lit(1).alias("__sign"))
+    )
+    delta = (
+        removed.unionByName(added)
+        .groupBy(*group_cols, val_col)
+        .agg(F.sum("__sign").cast("long").alias("dn"))
+    )
+    if base_counts is None:
+        base_counts = (
+            snapshot.filter(F.col(val_col).isNotNull())
+            .groupBy(*group_cols, val_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+    merged = base_counts.join(
+        delta, on=[*group_cols, val_col], how="full_outer"
+    ).select(
+        *group_cols,
+        val_col,
+        (
+            F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
+        ).cast("long").alias("n"),
+    )
+    return merged.filter(F.col("n") > 0)
+
+
+def mode_read(counts: DataFrame, group_cols: list[str], val_col: str) -> DataFrame:
+    """MODE read over maintained (group, value) counts: top-1 by
+    (count DESC, value ASC) — the deterministic tie-break shared with
+    the batch ``agg_mode``, so both engines and both maintenance paths
+    agree bit-for-bit."""
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("n"), F.asc(val_col))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *group_cols,
+            F.col(val_col).alias("mode_value"),
+            F.col("n").cast("long").alias("mode_count"),
+        )
+    )
+
+
+_CDC_MODE_ORACLE = f"""
+WITH {_CDC_CHANGES_CTE},
+merged AS (
+    SELECT c.c_nationkey, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_nationkey, c_mktsegment FROM latest WHERE op <> 'delete'
+),
+h AS (
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+    FROM merged WHERE c_mktsegment IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT c_nationkey, mode_value, CAST(n AS BIGINT) AS mode_count
+FROM (
+    SELECT c_nationkey, c_mktsegment AS mode_value, n,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                              ORDER BY n DESC, c_mktsegment) AS rn
+    FROM h
+) WHERE rn = 1
+"""
+
+
+@query("cdc_incremental_mode", oracle=_CDC_MODE_ORACLE)
+def cdc_incremental_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE maintenance (:func:`incremental_mode`) — the 9th IVM
+    algebra: per-nation modal market segment kept current by pure
+    signed deltas over the (group, value) count relation (fully
+    foldable, like the histogram — a value's count never depends on
+    other rows, so retraction is exact), read out as top-1 with the
+    (count DESC, value ASC) tie-break shared with the batch
+    ``agg_mode``. The oracle recomputes the counts from the fully
+    merged table — delta maintenance must be bit-identical to
+    recomputation."""
+    cust = load(spark, sf_dir, "customer")
+    changes = _derived_customer_changes(load(spark, sf_dir, "events"))
+    counts = incremental_mode(
+        cust,
+        changes,
+        keys=["c_custkey"],
+        group_cols=["c_nationkey"],
+        val_col="c_mktsegment",
+        pos_threshold=_CDC_TABLE_GTID,
+    )
+    return mode_read(counts, ["c_nationkey"], "c_mktsegment")
+
+
 _CDC_TOPK_K = 3
 
 _CDC_TOPK_ORACLE = f"""

@@ -1264,3 +1264,64 @@ class IncrementalHistogram:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class IncrementalMode(IncrementalHistogram):
+    """MODE maintenance from the change stream — the streaming twin of
+    ``operators/cdc.py::incremental_mode`` (the 9th IVM algebra).
+    Identical fold algebra to the histogram with the exact VALUE as the
+    cell key instead of a static bin: state is (group, value → signed
+    count), retractions fold exactly, negative in-flight cells park in
+    state (same ``staleness`` signal) — and ``read_table`` is the
+    deterministic top-1 read (count DESC, value ASC) shared with the
+    batch ``agg_mode`` / ``mode_read``.
+
+    State stores the value under the inherited ``bin`` column so every
+    fold / swap / replay-guard / staleness path is reused verbatim; the
+    read aliases it back to ``mode_value``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        group_cols: list[str],
+        value_col: str,
+        state_path: str,
+        types: dict | None = None,
+    ):
+        super().__init__(
+            spark,
+            group_cols,
+            value_col,
+            lo=0.0,
+            hi=1.0,
+            nbins=1,  # unused: _image is overridden to keep raw values
+            state_path=state_path,
+            types=types,
+        )
+
+    def _image(self, batch: DataFrame, image_col: str, sign: int) -> DataFrame:
+        from pyspark.sql import types as T
+
+        cols = [
+            decode_image_value(
+                F.col(image_col).getItem(c), self.types.get(c, T.StringType())
+            ).alias(c)
+            for c in self.group_cols
+        ]
+        val = decode_image_value(
+            F.col(image_col).getItem(self.value_col),
+            self.types.get(self.value_col, T.StringType()),
+        )
+        return (
+            batch.select(*cols, val.alias("bin"))
+            .filter(F.col("bin").isNotNull())
+            .select(*self.group_cols, "bin", F.lit(sign).alias("__sign"))
+        )
+
+    def read_table(self) -> DataFrame:
+        from ..operators.cdc import mode_read
+
+        counts = self.histogram().withColumnRenamed("bin", self.value_col)
+        return mode_read(counts, self.group_cols, self.value_col).join(
+            self.staleness(), on=self.group_cols, how="left"
+        )
