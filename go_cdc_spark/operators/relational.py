@@ -704,8 +704,13 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("l_shipdate").cast("date")).alias("hi"),
     )
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    ow = win.join(orders, win["okey"] == orders["o_orderkey"]).select(
-        "o_custkey", "okey", "lo", "hi"
+    # LAZY pin: ow feeds BOTH sides of the self-join — without it the
+    # lineitem min/max aggregation runs twice (bench honesty: the pin
+    # materializes inside the first action, not at build time).
+    ow = (
+        win.join(orders, win["okey"] == orders["o_orderkey"])
+        .select("o_custkey", "okey", "lo", "hi")
+        .localCheckpoint(eager=False)
     )
     a, b = ow.alias("a"), ow.alias("b")
     return a.join(

@@ -439,3 +439,41 @@ def test_whiten_is_broadcast_map_only(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:1200]
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning(vec_id" not in plan
+
+
+def test_agg_mode_rank_limit_and_partial_agg(spark, sf_dir):
+    """Mode = histogram + top-1: the histogram groupBy must keep its
+    map-side partial, and the top-1 window must ride the rank-limit
+    pushdown (Partial WindowGroupLimit) — losing either turns a
+    histogram-sized window into a full-value-set shuffle."""
+    plan = _physical(QUERIES["agg_mode"](spark, sf_dir))
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 1, Partial", plan), plan
+    assert "partial_count" in plan, plan
+
+
+def test_win_distribution_single_window_node(spark, sf_dir):
+    """percent_rank / cume_dist / ntile share one partition+order spec,
+    so they must compile into ONE Window node (one sort) — a refactor
+    that splits the spec would sort the relation three times."""
+    plan = _physical(QUERIES["win_distribution"](spark, sf_dir))
+    assert plan.count("Window [") == 1, plan
+
+
+def test_interval_overlap_is_equi_join_not_cartesian(spark, sf_dir):
+    """The overlap predicate must ride INSIDE the custkey equi-join —
+    a CartesianProduct / BroadcastNestedLoopJoin here is the
+    all-pairs-of-orders scale killer."""
+    plan = _physical(QUERIES["join_interval_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[o_custkey", plan), plan[:1500]
+
+
+def test_ngram_novelty_distinct_before_anti_join(spark, sf_dir):
+    """Both gram sides must dedupe BEFORE the anti-join (distinct-first
+    discipline): the train side's two-phase distinct aggregate has to
+    sit below the LeftAnti join in the tree."""
+    plan = _physical(QUERIES["ngram_novelty"](spark, sf_dir))
+    anti = re.search(r"Join LeftAnti|BroadcastHashJoin .*LeftAnti|SortMergeJoin .*LeftAnti", plan)
+    assert anti, plan[:1500]
+    assert re.search(r"HashAggregate\(keys=\[sh", plan), plan[:1500]
