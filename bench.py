@@ -138,6 +138,7 @@ HEADLINE = [
     "ngram_novelty",
     "agg_percentiles_exact",
     "cdc_incremental_mode",
+    "graph_components",
 ]
 
 

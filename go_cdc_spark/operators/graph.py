@@ -440,6 +440,56 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_edges.join(tri).select("n_edges", "n_triangles")
 
 
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         COUNT(DISTINCT a.l_orderkey) AS support
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS MATERIALIZED (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT}),
+sym AS (
+  SELECT pa AS a, pb AS b FROM e
+  UNION
+  SELECT pb AS a, pa AS b FROM e
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+members AS (SELECT a AS node, MIN(b) AS cluster_id FROM reach GROUP BY a)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+FROM members GROUP BY cluster_id
+"""
+
+
+@query("graph_components", oracle=_COMPONENTS_ORACLE)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the stable co-purchase graph — per
+    component its min-part-id label and size, the graph-family member
+    the dedup pipeline already exercises as cluster machinery
+    (dedup_clusters) registered here as a first-class graph query over
+    the shared edge derivation.
+
+    Scale shape: :func:`~go_cdc_spark.operators.dedup.connected_components`
+    — driver union-find under a COUNTED 1M-edge bound (catalog-rate,
+    like JDBC discovery), Shiloach–Vishkin-style pointer-doubling
+    min-label propagation above it (O(log n) rounds, each one join +
+    one min-aggregate over the |V|-bounded label relation; plain
+    propagation would be O(diameter) rounds). The oracle recomputes
+    reachability with a recursive CTE — exact, engine-independent."""
+    from .dedup import connected_components
+
+    co = _copurchase_edges(spark, sf_dir)
+    members = connected_components(co, "pa", "pb")
+    return members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Weighted single-source shortest paths: bounded-hop Bellman-Ford over
 # the customer↔supplier purchase graph, edge cost inversely
