@@ -422,7 +422,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation over the lineitem self-join.
     co = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = _graph_degrees(co)
-    o = _degree_oriented(co, deg)
+    # o feeds BOTH sides of the wedge self-join — pin it so the
+    # degree-attach joins run once, not per alias (lazy: materializes
+    # inside the first action, bench honesty intact).
+    o = _degree_oriented(co, deg).localCheckpoint(eager=False)
     o1, o2 = o.alias("o1"), o.alias("o2")
     # Out-neighbor pairs of each center, id-ordered (v < w) so the pair
     # is canonical; closure = the (v, w) edge exists in the id-canonical

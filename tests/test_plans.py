@@ -207,13 +207,21 @@ def test_bfs_levels_broadcast_the_frontier(spark, sf_dir):
 
 def test_triangle_support_filter_below_wedge_join(spark, sf_dir):
     """The support>=2 filter must prune the edge relation BEFORE the
-    quadratic wedge join (filter-before-explode discipline)."""
-    plan = _physical(QUERIES["triangle_count"](spark, sf_dir))
-    wedge = plan.index("SortMergeJoin")  # first wedge join
-    below = plan[wedge:]
-    assert re.search(r"\(support#\d+L >= 2\)", below), (
-        "support filter not below the wedge join"
+    quadratic wedge join (filter-before-explode discipline). Since r9
+    the edge relation is a LAZY localCheckpoint consumed by four
+    subtrees, so the filter lives inside the pinned derivation (its
+    own plan) and the wedge join consumes the already-filtered
+    materialization — assert both halves."""
+    from go_cdc_spark.operators.graph import _copurchase_edges
+
+    edge_plan = _physical(_copurchase_edges(spark, sf_dir))
+    agg = edge_plan.index("HashAggregate")
+    assert re.search(r"\(support#\d+L >= 2\)", edge_plan[:agg]), (
+        "support filter not above (i.e. applied to) the edge aggregation"
     )
+    plan = _physical(QUERIES["triangle_count"](spark, sf_dir))
+    # wedge self-join on the orientation's src key, consuming the pin
+    assert re.search(r"SortMergeJoin \[src#\d+L\]", plan), plan[:1500]
     assert "CartesianProduct" not in plan
 
 
