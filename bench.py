@@ -139,6 +139,7 @@ HEADLINE = [
     "agg_percentiles_exact",
     "cdc_incremental_mode",
     "graph_components",
+    "cdc_incremental_join_agg",
 ]
 
 

@@ -524,6 +524,162 @@ def incremental_join(
     return survivors.unionByName(dim_fanout).unionByName(fact_changed)
 
 
+def incremental_join_agg(
+    fact: DataFrame,
+    fact_changes: DataFrame,
+    fact_keys: list[str],
+    dim: DataFrame,
+    dim_changes: DataFrame,
+    dim_keys: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+    fk: list[str] | None = None,
+    pos_threshold: str | None = None,
+    base_view: DataFrame | None = None,
+    base_agg: DataFrame | None = None,
+    pos_col: str = "pos",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance of ``SELECT group_cols, COUNT(*),
+    SUM(sum_cols…) FROM fact ⋈ dim GROUP BY group_cols`` under
+    latest-wins change streams on BOTH sides — the aggregate-over-join
+    composition (the DBToaster-style higher-order case in its first-
+    order batch form): the bilinear rule's TOUCHED join-view rows fold
+    into the stored aggregate as signed deltas, and the survivors —
+    the overwhelming majority — are NEVER rescanned or even re-output
+    (contrast :func:`incremental_join`, whose result IS the view, so
+    it must at least emit them).
+
+    Delta parts (disjoint by fact key):
+
+    - **retractions** — OLD view rows whose fact key changed, plus old
+      rows of untouched facts whose dim row changed; with a stored
+      ``base_view`` both come from semi-joins on the MV, otherwise
+      from key-scoped joins against the pre-change bases.
+    - **assertions** — after-images of changed facts ⋈ fully merged
+      dim, plus untouched facts ⋈ changed-dim after-images (a dim
+      DELETE simply asserts nothing, dropping its facts' contribution).
+
+    ``group_cols`` may come from EITHER side (they're read off the
+    view-row images), so a dim rename migrates its whole group's mass
+    via retract-under-old + assert-under-new — no special casing.
+    Sums accumulate in exact decimal (the :func:`incremental_agg`
+    policy), so delta maintenance is bit-identical to recomputation at
+    any parallelism. A supplied ``base_agg`` (stored MV, schema
+    ``group_cols + [n, sum_<col>…]``) makes the per-batch cost
+    O(|changes| + fan-out of changed dim keys + |touched groups|).
+
+    Returns ``group_cols + [n (long), sum_<col> (decimal)]``.
+    """
+    from .relational import DEC
+
+    reserved = {"n", "dn"} | {f"sum_{c}" for c in sum_cols} | {
+        f"dsum_{c}" for c in sum_cols
+    }
+    clash = reserved & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"group_cols {sorted(clash)} collide with incremental_join_agg's "
+            f"result columns; rename the grouping column(s)"
+        )
+    dec38 = "decimal(38,6)"
+    fk = fk or dim_keys
+    if pos_threshold is not None:
+        fact_changes = fact_changes.filter(F.col(pos_col) > F.lit(pos_threshold))
+        dim_changes = dim_changes.filter(F.col(pos_col) > F.lit(pos_threshold))
+    d_fact = cdc_collapse(
+        fact_changes, fact_keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
+    )
+    d_dim = cdc_collapse(
+        dim_changes, dim_keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
+    )
+
+    def _as_fk(df: DataFrame) -> DataFrame:
+        renamed = df
+        for d, f_ in zip(dim_keys, fk):
+            if d != f_:
+                renamed = renamed.withColumnRenamed(d, f_)
+        return renamed
+
+    dim_nonkey = [c for c in dim.columns if c not in dim_keys]
+    view_cols = fact.columns + dim_nonkey
+    changed_f = d_fact.select(*fact_keys)
+    changed_d = _as_fk(d_dim.select(*dim_keys))
+    fact_after = d_fact.filter(F.col(op_col) != OP_DELETE).select(*fact.columns)
+    dim_touched_new = _as_fk(
+        d_dim.filter(F.col(op_col) != OP_DELETE).select(*dim.columns)
+    )
+    dim_r = _as_fk(dim)
+    fact_keep = fact.join(changed_f, on=fact_keys, how="left_anti")
+
+    # retractions: old rows of (changed facts) ∪ (untouched facts with
+    # a changed dim) — disjoint by construction
+    if base_view is None:
+        old_fact_part = fact.join(changed_f, on=fact_keys, how="left_semi").join(
+            dim_r, on=fk
+        )
+        old_dim_part = fact_keep.join(changed_d, on=fk, how="left_semi").join(
+            dim_r, on=fk
+        )
+        removed = old_fact_part.select(*view_cols).unionByName(
+            old_dim_part.select(*view_cols)
+        )
+    else:
+        removed = (
+            base_view.join(changed_f, on=fact_keys, how="left_semi")
+            .select(*view_cols)
+            .unionByName(
+                base_view.join(changed_f, on=fact_keys, how="left_anti")
+                .join(changed_d, on=fk, how="left_semi")
+                .select(*view_cols)
+            )
+        )
+
+    # assertions: the same two parts, post-change images
+    dim_merged = dim_r.join(changed_d, on=fk, how="left_anti").unionByName(
+        dim_touched_new
+    )
+    added = (
+        fact_after.join(dim_merged, on=fk)
+        .select(*view_cols)
+        .unionByName(
+            fact_keep.join(changed_d, on=fk, how="left_semi")
+            .join(dim_touched_new, on=fk)
+            .select(*view_cols)
+        )
+    )
+
+    def grouped(df: DataFrame, sign: int) -> DataFrame:
+        aggs = [(F.count(F.lit(1)) * sign).cast("long").alias("n")] + [
+            (F.sum(F.col(c).cast(DEC)) * sign).cast(dec38).alias(f"sum_{c}")
+            for c in sum_cols
+        ]
+        return df.groupBy(*group_cols).agg(*aggs)
+
+    if base_agg is None:
+        base = base_view if base_view is not None else fact.join(dim_r, on=fk)
+        base_agg = grouped(base, 1)
+    delta = grouped(removed, -1).unionByName(grouped(added, 1))
+    delta = delta.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("dn"),
+        *[F.sum(f"sum_{c}").cast(dec38).alias(f"dsum_{c}") for c in sum_cols],
+    )
+    merged = base_agg.join(delta, on=group_cols, how="full_outer").select(
+        *group_cols,
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("long")
+        .alias("n"),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}").cast(dec38), F.lit(0).cast(dec38))
+                + F.coalesce(F.col(f"dsum_{c}"), F.lit(0).cast(dec38))
+            ).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    return merged.filter(F.col("n") > 0)
+
+
 def incremental_distinct(
     snapshot: DataFrame,
     changes: DataFrame,
@@ -749,6 +905,75 @@ def _derived_nation_changes(ev: DataFrame) -> DataFrame:
         ),
         (F.col("user_id") % 5).cast("int").alias("n_regionkey"),
         F.lpad(F.col("event_id").cast("string"), 12, "0").alias("pos"),
+    )
+
+
+_CDC_JOIN_AGG_ORACLE = f"""
+WITH {_CDC_CHANGES_CTE},
+{_CDC_NATION_CTE},
+merged_c AS (
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM latest WHERE op <> 'delete'
+),
+merged_n AS (
+    SELECT n.n_nationkey, n.n_name
+    FROM nation n
+    WHERE n.n_nationkey NOT IN (SELECT n_nationkey FROM nlatest)
+    UNION ALL
+    SELECT n_nationkey, n_name
+    FROM nlatest WHERE op <> 'delete'
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+           AS sum_bal
+FROM merged_c c JOIN merged_n n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("cdc_incremental_join_agg", oracle=_CDC_JOIN_AGG_ORACLE)
+def cdc_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-join maintenance (:func:`incremental_join_agg`,
+    the 10th IVM algebra): customer count + exact-decimal balance sum
+    per nation NAME — a dim-side group key, so a nation rename must
+    migrate its whole group's mass — kept current under change streams
+    on BOTH join sides without rescanning (or even emitting) the
+    untouched view rows. Driven through the stored-MV path
+    (``base_view`` = the pre-change join, as a real deployment stores
+    it). The oracle recomputes the aggregate from the two fully merged
+    tables — delta maintenance must be bit-identical."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ev = load(spark, sf_dir, "events")
+    cchanges = _derived_customer_changes(ev).drop("c_mktsegment", "c_name")
+    nchanges = _derived_nation_changes(ev).drop("n_regionkey")
+    base_view = cust.join(
+        nat.withColumnRenamed("n_nationkey", "c_nationkey"), on="c_nationkey"
+    )
+    agg = incremental_join_agg(
+        cust,
+        cchanges,
+        fact_keys=["c_custkey"],
+        dim=nat,
+        dim_changes=nchanges,
+        dim_keys=["n_nationkey"],
+        group_cols=["n_name"],
+        sum_cols=["c_acctbal"],
+        fk=["c_nationkey"],
+        pos_threshold=_CDC_TABLE_GTID,
+        base_view=base_view,
+    )
+    return agg.select(
+        "n_name",
+        F.col("n").alias("n_cust"),
+        F.col("sum_c_acctbal").cast("double").alias("sum_bal"),
     )
 
 
