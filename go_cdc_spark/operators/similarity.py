@@ -142,6 +142,39 @@ def cosine_from_safe(dot: Column, na: Column | str, nb: Column | str) -> Column:
     return F.when((na > 0.0) & (nb > 0.0), dot / (na * nb)).otherwise(F.lit(-2.0))
 
 
+def safe_norm(norm: Column) -> Column:
+    """NULL-when-zero guard applied ONCE at the vector relation (per
+    row, not per scored pair): a zero norm becomes NULL, the pair-time
+    division then propagates NULL instead of erroring under ANSI, and
+    :func:`cosine_from_cguard` folds it to the -2.0 sentinel. This is
+    the cheap form of the zero-reconstruction guard — the per-pair CASE
+    of cosine_from_safe measured ~1.5x on sim_ivf_pq's scoring fold."""
+    return F.when(norm > 0.0, norm)
+
+
+def cosine_from_cguard(dot: Column, na: Column | str, nb: Column | str) -> Column:
+    """Cosine over norms where the CANDIDATE side was pre-guarded with
+    :func:`safe_norm` (NULL when zero): NULL propagates through the
+    product and division, COALESCE maps it to -2.0 — below every real
+    cosine, so ordering falls through to the cand_id tie-break. Twin of
+    ``_sql_cosine_cguard``. Identical double ops to cosine_from on the
+    non-degenerate path (same product, same division)."""
+    if isinstance(na, str):
+        na = F.col(na)
+    if isinstance(nb, str):
+        nb = F.col(nb)
+    return F.coalesce(dot / (na * nb), F.lit(-2.0))
+
+
+def _sql_cosine_cguard(a: str, b: str) -> str:
+    """SQL twin of safe_norm + cosine_from_cguard: NULLIF guards the
+    candidate norm, COALESCE folds the propagated NULL to -2.0."""
+    return (
+        f"COALESCE({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) "
+        f"* NULLIF(sqrt({_sql_dot(b, b)}), 0.0)), -2.0)"
+    )
+
+
 def _plane_lit(j: int, planes: list[list[float]] | None = None) -> Column:
     return F.array(*[F.lit(v) for v in (planes or _HYPERPLANES)[j]])
 
@@ -1709,13 +1742,13 @@ def _pq_adc_topk(
     cands = recon.filter(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("cand_id"),
         F.col("recon").alias("c_emb"),
-        norm_col("recon").alias("c_norm"),
+        # zero-recon guard ONCE per candidate (see safe_norm)
+        safe_norm(norm_col("recon")).alias("c_norm"),
     )
-    # SAFE cosine — reconstructions share sim_ivf_pq's zero-recon class.
     scored = F.broadcast(queries).crossJoin(cands).select(
         "query_id",
         "cand_id",
-        cosine_from_safe(
+        cosine_from_cguard(
             dot_col("q_emb", "c_emb"), "q_norm", "c_norm"
         ).alias("cosine"),
     )
@@ -1739,11 +1772,11 @@ pq_q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
 pq_c AS (SELECT vec_id AS cand_id, recon AS c_emb FROM pq_recon
          WHERE vec_id >= {N_QUERIES}),
 pq_ann AS (
-  /* SAFE cosine over reconstructions, mirroring _pq_adc_topk */
+  /* candidate-guarded cosine over reconstructions (_pq_adc_topk twin) */
   SELECT query_id, cand_id FROM (
     SELECT query_id, cand_id,
            ROW_NUMBER() OVER (PARTITION BY query_id
-                              ORDER BY {_sql_cosine_safe("q_emb", "c_emb")} DESC,
+                              ORDER BY {_sql_cosine_cguard("q_emb", "c_emb")} DESC,
                                        cand_id) AS rn
     FROM pq_q CROSS JOIN pq_c
   ) WHERE rn <= {TOP_K}
@@ -1781,11 +1814,11 @@ ivf_c AS (
   WHERE a.vec_id >= {N_QUERIES} AND a.rn = 1
 ),
 ivf_scored AS (
-  /* SAFE cosine over PQ reconstructions (zero-recon guard), mirroring
-     the Spark side; -2.0 falls through to the cand_id tie-break */
-  SELECT query_id, cand_id, {_sql_cosine_safe("q_emb", "c_emb")} AS cosine,
+  /* candidate-guarded cosine over PQ reconstructions (zero-recon ->
+     -2.0 sentinel), mirroring safe_norm + cosine_from_cguard */
+  SELECT query_id, cand_id, {_sql_cosine_cguard("q_emb", "c_emb")} AS cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY {_sql_cosine_safe("q_emb", "c_emb")} DESC,
+                            ORDER BY {_sql_cosine_cguard("q_emb", "c_emb")} DESC,
                                      cand_id) AS rn
   FROM ivf_q JOIN ivf_c USING (centroid_id)
 )
@@ -1846,19 +1879,19 @@ def _ivf_pq_topk(
             "cand_id",
             "centroid_id",
             F.col("recon").alias("c_emb"),
-            norm_col("recon").alias("c_norm"),
+            # zero-recon guard: a trained codeword mean can degenerate
+            # to the zero vector; unguarded 0/0 is an ANSI error in
+            # Spark and NaN-with-engine-specific-ordering in DuckDB.
+            # Guarded ONCE per candidate (safe_norm), folded to the
+            # -2.0 sentinel at pair time (cosine_from_cguard) — the
+            # per-pair CASE form measured ~1.5x on this scoring fold.
+            safe_norm(norm_col("recon")).alias("c_norm"),
         )
     )
-    # SAFE cosine: a PQ reconstruction can be the zero vector when a
-    # trained codeword mean degenerates (zero/duplicated subvectors) —
-    # unguarded 0/0 is an ANSI error in Spark and NaN-with-engine-
-    # specific-ordering in DuckDB, the exact class _sql_cosine_safe
-    # fixed for the residual variant. -2.0 sorts below every real
-    # cosine, so ordering falls through to cand_id identically.
     scored = F.broadcast(q).join(c, "centroid_id").select(
         "query_id",
         "cand_id",
-        cosine_from_safe(
+        cosine_from_cguard(
             dot_col("q_emb", "c_emb"), "q_norm", "c_norm"
         ).alias("cosine"),
     )
