@@ -745,12 +745,13 @@ class IncrementalJoin:
             cols.append(decode_image_value(col, typ).alias(name))
         return batch.select(*cols, F.col("pos").alias("pos"), F.col("op").alias("op"))
 
-    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        from ..operators.cdc import cdc_collapse, incremental_join
+    def _fold_prelude(self, batch: DataFrame):
+        """Shared per-batch front half (also used by the join-AGG twin):
+        decode + PK-mutation split + per-side latest-wins effective
+        sets. Returns (eff_f, new_f_state, eff_d, new_d_state,
+        fact_live, dim_live) where *_live are the PRE-change sides."""
+        from ..operators.cdc import cdc_collapse
 
-        applied = storeio.applied_batch(self.state_path, run_id=self._run_id)
-        if applied is not None and batch_id <= applied:
-            return  # crash-replay of an already-folded batch
         rows = batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE, OP_DELETE))
 
         # PK mutation is routed as delete(old)+insert(new) per side; the
@@ -804,6 +805,22 @@ class IncrementalJoin:
             *self.fact_fields
         )
         dim_live = d_state.filter(F.col("op") != OP_DELETE).select(*self.dim_fields)
+        return eff_f, new_f_state, eff_d, new_d_state, fact_live, dim_live
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..operators.cdc import incremental_join
+
+        applied = storeio.applied_batch(self.state_path, run_id=self._run_id)
+        if applied is not None and batch_id <= applied:
+            return  # crash-replay of an already-folded batch
+        (
+            eff_f,
+            new_f_state,
+            eff_d,
+            new_d_state,
+            fact_live,
+            dim_live,
+        ) = self._fold_prelude(batch)
         view = self._view()
         if view is None:
             dim_r = dim_live
@@ -838,6 +855,104 @@ class IncrementalJoin:
             .foreachBatch(self.process_batch)
             .trigger(availableNow=True)
             .start()
+        )
+
+
+class IncrementalJoinAgg(IncrementalJoin):
+    """``SELECT group_cols, COUNT(*), SUM(sum_cols…) FROM fact ⋈ dim
+    GROUP BY group_cols`` maintained from the two-table changelog
+    stream — the streaming twin of
+    ``operators/cdc.py::incremental_join_agg`` (the 10th algebra).
+
+    Same decode / PK-mutation split / per-side latest-wins prelude as
+    :class:`IncrementalJoin` (shared via ``_fold_prelude``), but the
+    maintained relation is the AGGREGATE, not the view: the bilinear
+    rule's touched view rows fold into it as signed deltas, so state
+    is aggregate-sized (|groups|) instead of view-sized (|facts|) and
+    survivors are never rescanned or rewritten. Sums accumulate in
+    exact decimal — delta maintenance bit-identical to recomputation.
+    Group keys may come from either side; a dim rename migrates its
+    whole group's mass (retract-under-old + assert-under-new). The
+    three relations (fact, dim, agg) swap in ONE rename with the
+    batch-id stamp — crash-replay skips, torn swaps recover."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        fact_table: str,
+        fact_fields: dict,
+        fact_keys: list[str],
+        dim_table: str,
+        dim_fields: dict,
+        dim_keys: list[str],
+        group_cols: list[str],
+        sum_cols: list[str],
+        fk: list[str] | None = None,
+        assume_immutable_keys: bool = False,
+    ):
+        super().__init__(
+            spark,
+            state_path,
+            fact_table,
+            fact_fields,
+            fact_keys,
+            dim_table,
+            dim_fields,
+            dim_keys,
+            fk=fk,
+            assume_immutable_keys=assume_immutable_keys,
+        )
+        self.group_cols = group_cols
+        self.sum_cols = sum_cols
+
+    def _agg_state(self) -> DataFrame | None:
+        p = os.path.join(self.state_path, "agg")
+        if os.path.exists(p):
+            return self.spark.read.parquet(p)
+        return None
+
+    def read_table(self) -> DataFrame:
+        """The maintained aggregate: group_cols + [n, sum_<col>…]."""
+        a = self._agg_state()
+        if a is None:
+            raise FileNotFoundError(f"no join-agg state at {self.state_path}")
+        return a
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..operators.cdc import incremental_join_agg
+
+        applied = storeio.applied_batch(self.state_path, run_id=self._run_id)
+        if applied is not None and batch_id <= applied:
+            return  # crash-replay of an already-folded batch
+        (
+            eff_f,
+            new_f_state,
+            eff_d,
+            new_d_state,
+            fact_live,
+            dim_live,
+        ) = self._fold_prelude(batch)
+        # base_agg None only before the first fold: both sides empty,
+        # so the base recompute is the empty aggregate — after that the
+        # stored MV makes each batch O(changes + dim fan-out + groups).
+        new_agg = incremental_join_agg(
+            fact_live,
+            eff_f,
+            self.fact_keys,
+            dim_live,
+            eff_d,
+            self.dim_keys,
+            group_cols=self.group_cols,
+            sum_cols=self.sum_cols,
+            fk=self.fk,
+            base_agg=self._agg_state(),
+        )
+        storeio.swap_in_many(
+            {"fact": new_f_state, "dim": new_d_state, "agg": new_agg},
+            self.state_path,
+            batch_id=batch_id,
+            run_id=self._run_id,
         )
 
 
