@@ -140,6 +140,7 @@ HEADLINE = [
     "cdc_incremental_mode",
     "graph_components",
     "cdc_incremental_join_agg",
+    "ts_decompose_hourly",
 ]
 
 

@@ -230,3 +230,115 @@ def resample_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), interp)
         .alias("interp_value"),
     ).orderBy("event_type", "hour")
+
+
+# ---------------------------------------------------------------------------
+# Classical additive decomposition: value = trend + seasonal + residual
+# over the dense hourly count series — the third consumer of the grid.
+# ---------------------------------------------------------------------------
+
+_MA_HALF = 12  # centered 25-hour moving average (diurnal-ish smoothing)
+_MA_N = 2 * _MA_HALF + 1
+
+_DECOMP_ORACLE = f"""
+WITH {_GRID_SQL},
+t AS (
+  SELECT event_type, hour, n_events,
+         SUM(n_events) OVER w25 AS t_sum,
+         COUNT(*) OVER w25 AS t_cnt
+  FROM dense
+  WINDOW w25 AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN {_MA_HALF} PRECEDING AND {_MA_HALF} FOLLOWING)
+),
+d AS (
+  SELECT event_type, hour, n_events,
+         CASE WHEN t_cnt = {_MA_N} THEN n_events * {_MA_N} - t_sum END AS dts,
+         CASE WHEN t_cnt = {_MA_N} THEN t_sum END AS t_sum_full
+  FROM t
+),
+s AS (
+  SELECT event_type, hour(hour) AS hod,
+         SUM(dts) AS s_sum, COUNT(dts) AS s_cnt
+  FROM d GROUP BY 1, 2
+)
+SELECT d.event_type, d.hour, CAST(d.n_events AS BIGINT) AS n_events,
+       CAST(d.t_sum_full AS DOUBLE) / {float(_MA_N)} AS trend,
+       CASE WHEN d.dts IS NOT NULL THEN
+         CAST(s.s_sum AS DOUBLE) / ({float(_MA_N)} * CAST(s.s_cnt AS DOUBLE))
+       END AS seasonal,
+       CASE WHEN d.dts IS NOT NULL THEN
+         CAST(d.dts AS DOUBLE) / {float(_MA_N)}
+         - CAST(s.s_sum AS DOUBLE) / ({float(_MA_N)} * CAST(s.s_cnt AS DOUBLE))
+       END AS resid
+FROM d JOIN s ON s.event_type = d.event_type AND s.hod = hour(d.hour)
+"""
+
+
+@query("ts_decompose_hourly", oracle=_DECOMP_ORACLE)
+def ts_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the hourly event-count
+    series: value = trend + seasonal + residual, per event type —
+    trend from a centered {_MA_N}-hour moving average (NULL where the
+    window is incomplete, the honest edge), seasonal as the
+    hour-of-day mean of the detrended series, residual the remainder.
+
+    Cross-engine exactness: the whole core is INTEGER-EXACT until the
+    final divisions — the detrended series is kept scaled by {_MA_N}
+    (``n·{_MA_N} − window_sum``, exact BIGINTs), the seasonal bucket
+    folds those exact integers, and only the output converts: two
+    correctly-rounded divisions and one subtraction, the identical
+    IEEE sequence on both engines. Averaging DOUBLES per bucket
+    instead would be summation-order-dependent and hash-unstable.
+
+    Scale shape: one raw-event aggregation (the shared dense grid),
+    then windows over calendar-bounded per-type partitions and one
+    (type, hour-of-day)-keyed aggregate — nothing after the grid
+    scales with data volume. The decomposition is the standard
+    pre-stage for anomaly scoring on seasonal series (score the
+    RESIDUAL, not the raw count — anomaly_zscore's docstring trade)."""
+    dense = _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+    w25 = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_MA_HALF, _MA_HALF)
+    )
+    t = dense.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.sum("n_events").over(w25).alias("t_sum"),
+        F.count(F.lit(1)).over(w25).alias("t_cnt"),
+    )
+    full = F.col("t_cnt") == _MA_N
+    d = t.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.when(full, F.col("n_events") * _MA_N - F.col("t_sum")).alias("dts"),
+        F.when(full, F.col("t_sum")).alias("t_sum_full"),
+    )
+    # seasonal buckets derive FROM d — alias both sides so the lineage
+    # self-join resolves unambiguously
+    s = (
+        d.groupBy(
+            F.col("event_type").alias("s_type"), F.hour("hour").alias("hod")
+        )
+        .agg(F.sum("dts").alias("s_sum"), F.count("dts").alias("s_cnt"))
+    )
+    seasonal = F.col("s_sum").cast("double") / (
+        F.lit(float(_MA_N)) * F.col("s_cnt").cast("double")
+    )
+    return d.join(
+        s,
+        (F.col("event_type") == F.col("s_type")) & (F.hour("hour") == F.col("hod")),
+    ).select(
+        "event_type",
+        "hour",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("t_sum_full").cast("double") / F.lit(float(_MA_N))).alias("trend"),
+        F.when(F.col("dts").isNotNull(), seasonal).alias("seasonal"),
+        F.when(
+            F.col("dts").isNotNull(),
+            F.col("dts").cast("double") / F.lit(float(_MA_N)) - seasonal,
+        ).alias("resid"),
+    )

@@ -77,3 +77,23 @@ def test_grid_is_calendar_dense(spark, tmp_path):
         (b - a).total_seconds() for a, b in zip(hours, hours[1:])
     }
     assert deltas == {3600.0}
+
+
+def test_decompose_identity_and_edges(spark):
+    """Classical decomposition spec on the real fixture: where the
+    centered window is complete, value == trend + seasonal + resid (up
+    to float rounding); where it isn't (the first/last 12 hours per
+    type), all three components are NULL together."""
+    from go_cdc_spark.operators.timeseries import ts_decompose_hourly
+
+    rows = ts_decompose_hourly(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "empty decomposition"
+    full = [r for r in rows if r["trend"] is not None]
+    assert full, "no complete windows on the fixture"
+    for r in full[:500]:
+        assert r["seasonal"] is not None and r["resid"] is not None
+        recon = r["trend"] + r["seasonal"] + r["resid"]
+        assert abs(recon - r["n_events"]) < 1e-9, r
+    for r in rows:
+        if r["trend"] is None:
+            assert r["seasonal"] is None and r["resid"] is None
