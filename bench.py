@@ -141,6 +141,7 @@ HEADLINE = [
     "graph_components",
     "cdc_incremental_join_agg",
     "ts_decompose_hourly",
+    "ts_forecast_hourly",
 ]
 
 
@@ -296,6 +297,14 @@ def emit_lines(times: dict[str, float], sf: float, comparison: dict) -> list[str
     ratios = comparison.get("ratios") or {}
     mean_ratio = round(sum(ratios.values()) / len(ratios), 3) if ratios else None
     slowest = sorted(times.items(), key=lambda kv: -kv[1])
+    # Cap the embedded regressions list: a bad round with many
+    # regressions must not push the summary line past the tail budget
+    # no matter how far the queries map shrinks — keep the worst 5 by
+    # ratio plus an elision count (ADVICE r9).
+    regs = comparison.get("regressions", [])
+    if len(regs) > 5:
+        worst = sorted(regs, key=lambda r: -ratios.get(r, 0.0) if isinstance(r, str) else 0.0)[:5]
+        regs = worst + [f"+{len(comparison['regressions']) - 5} more"]
 
     def summary_for(k: int) -> dict:
         return {
@@ -309,15 +318,17 @@ def emit_lines(times: dict[str, float], sf: float, comparison: dict) -> list[str
             "vs_prev": {
                 "prev_found": comparison.get("prev_found", False),
                 "mean_ratio": mean_ratio,
-                "regressions": comparison.get("regressions", []),
+                "regressions": regs,
             },
         }
 
     k = len(times)
     line = json.dumps(summary_for(k))
     while k > 1 and len(line) > _TAIL_BUDGET:
-        k -= 5
+        k = max(1, k - 5)  # clamp: k must never go negative (ADVICE r9)
         line = json.dumps(summary_for(k))
+        if k == 1:
+            break
     return [json.dumps(detail), line]
 
 

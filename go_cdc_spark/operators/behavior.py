@@ -32,6 +32,19 @@ from pyspark.sql import functions as F
 from ..plans.registry import query
 from ..tables import load
 
+# Giant-basket valve shared by every (order, part) pair self-join in
+# the repo — basket_rules here, copurchase_pairs below, and the graph
+# family's _copurchase_edges (operators/graph.py imports this): a
+# basket of m distinct parts contributes m(m-1)/2 pair rows BEFORE any
+# support filter, so ONE pathological mega-basket (bulk order, ETL
+# glitch, collapsed key) goes quadratic in a single shuffle task.
+# Mega-baskets carry no associational signal (they co-occur with
+# everything), so they leave the mining universe entirely — mirrored
+# in every consumer's oracle. TPC-H baskets hold <= 7 items, so the
+# cap is invisible at every driver SF (capped == uncapped proven in
+# tests/test_wedge_valve.py / test_behavior_robust.py).
+MAX_BASKET = 64
+
 _FUNNEL_ORACLE = """
 WITH v AS (
     SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -313,10 +326,14 @@ def dist_order_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COPURCHASE_ORACLE = """
-WITH items AS (
+_COPURCHASE_ORACLE = f"""
+WITH i0 AS (
   SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
-)
+),
+okb AS (
+  SELECT okey FROM i0 GROUP BY okey HAVING COUNT(*) <= {MAX_BASKET}
+),
+items AS (SELECT i0.okey, i0.pkey FROM i0 JOIN okb USING (okey))
 SELECT a.pkey AS part_a, b.pkey AS part_b, COUNT(*) AS n_orders
 FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey
 GROUP BY a.pkey, b.pkey
@@ -332,18 +349,28 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pairwise frequent-itemset support with a min-support floor) — the
     recommendation-seed archetype.
 
-    Scale shape: the distinct (order, part) link dedups first, and the
+    Scale shape: the distinct (order, part) link dedups first, the
+    MAX_BASKET valve drops mega-baskets BEFORE the self-join (one
+    m-item basket is m(m-1)/2 pair rows in a single shuffle task —
+    basket_rules measured 8x under a 10%-mass hot order), and the
     self-join fans out WITHIN order keys only — output per order is
-    C(items-per-order, 2), bounded by basket size (single digits here),
+    C(items-per-order, 2), bounded by min(basket size, MAX_BASKET),
     never |orders|². The pair aggregate partial-combines map-side, the
     support floor prunes before the top-k, and the final LIMIT rides a
     TakeOrdered over the surviving pairs. For k-itemsets beyond pairs,
     iterate the same join against the surviving pair set (a-priori
     pruning) rather than widening the self-join."""
     li = load(spark, sf_dir, "lineitem")
-    items = li.select(
+    i0 = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
     ).distinct()
+    okb = (
+        i0.groupBy("okey")
+        .agg(F.count(F.lit(1)).alias("_bs"))
+        .filter(F.col("_bs") <= MAX_BASKET)
+        .select("okey")
+    )
+    items = i0.join(okb, "okey")
     a = items.select("okey", F.col("pkey").alias("part_a"))
     b = items.select(F.col("okey").alias("okey_b"), F.col("pkey").alias("part_b"))
     return (
@@ -654,16 +681,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RULES_TOP = 30
 _RULES_MIN_SUPPORT = 2
-# Skew valve: a basket of m items contributes m(m-1)/2 pairs, so ONE
-# pathological mega-basket (bulk order, ETL glitch) goes quadratic —
-# measured: a 10%-mass hot order took the probe from 4.9s to 39s.
-# Mega-baskets also carry no associational signal (they co-occur with
-# everything), so standard practice drops them from the mining
-# universe entirely; supports and n are counted over the SAME capped
-# universe so confidence/lift stay internally consistent. TPC-H
-# baskets hold <= 7 items, so the cap is invisible at every driver SF
-# (oracle results unchanged) — it exists for the hot tail.
-_RULES_MAX_BASKET = 64
+# Skew valve (see MAX_BASKET above — measured: a 10%-mass hot order
+# took the probe from 4.9s to 39s without it); supports and n are
+# counted over the SAME capped universe so confidence/lift stay
+# internally consistent.
+_RULES_MAX_BASKET = MAX_BASKET
 
 _BASKET_ORACLE = f"""
 WITH d0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

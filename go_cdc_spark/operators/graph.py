@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from ..plans.registry import query
 from ..tables import load
+from .behavior import MAX_BASKET
 
 _ITERS = 5
 _DAMP = 0.85
@@ -313,16 +314,31 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRI_MIN_SUPPORT = 2
 
-_TRI_ORACLE = f"""
-WITH co AS (
+# Shared oracle prefix for the 5 co-purchase-graph consumers (triangle,
+# components, k-core, LPA, link prediction): distinct-first (order,
+# part) universe, the MAX_BASKET giant-basket valve (behavior.py — one
+# order with m distinct parts is m(m-1)/2 pair rows BEFORE the support
+# filter; mirrored here so both engines mine the same capped universe),
+# the pair self-join, and the support filter. COUNT(*) over the deduped
+# universe == the old COUNT(DISTINCT orderkey) over raw lineitem.
+_EDGE_SQL = f"""d0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+okb AS (
+  SELECT l_orderkey FROM d0 GROUP BY l_orderkey
+  HAVING COUNT(*) <= {MAX_BASKET}
+),
+dd AS (SELECT d0.l_orderkey, d0.l_partkey FROM d0 JOIN okb USING (l_orderkey)),
+co AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-         COUNT(DISTINCT a.l_orderkey) AS support
-  FROM lineitem a
-  JOIN lineitem b
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM dd a
+  JOIN dd b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
 ),
-e AS MATERIALIZED (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT})
+e AS MATERIALIZED (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT})"""
+
+_TRI_ORACLE = f"""
+WITH {_EDGE_SQL}
 SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
        CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM e e1
@@ -342,9 +358,24 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     where joining raw lineitem needs COUNT(DISTINCT orderkey), an
     extra dedup shuffle over the exploded pair volume (interleaved
     same-session A/B at sf0.1: 4.1s → 2.6s for the edge build).
-    Result-identical to the oracles' COUNT(DISTINCT) formulation."""
+
+    Giant-basket valve (VERDICT r9 #2): orders with more than
+    MAX_BASKET distinct parts leave the universe BEFORE the pair
+    self-join — one m-item basket is m(m-1)/2 pair rows landing in a
+    single shuffle task (basket_rules measured 8x under a 10%-mass hot
+    order; the graph family consumed the same self-join without the
+    valve). Mirrored in every consumer's oracle via _EDGE_SQL; capped
+    == uncapped on the fixtures (max basket 7 — tests/test_wedge_valve
+    .py), and the giant-basket skew probe measures it binding."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    d = li.distinct()
+    d0 = li.distinct()
+    okb = (
+        d0.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_bs"))
+        .filter(F.col("_bs") <= MAX_BASKET)
+        .select("l_orderkey")
+    )
+    d = d0.join(okb, "l_orderkey")
     a = d.alias("a")
     b = d.alias("b")
     return (
@@ -444,15 +475,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COMPONENTS_ORACLE = f"""
-WITH RECURSIVE co AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-         COUNT(DISTINCT a.l_orderkey) AS support
-  FROM lineitem a
-  JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-),
-e AS MATERIALIZED (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT}),
+WITH RECURSIVE {_EDGE_SQL},
 sym AS (
   SELECT pa AS a, pb AS b FROM e
   UNION
@@ -657,16 +680,8 @@ def _kcore_oracle() -> str:
     recomputes the lineitem self-join up to 12×, which made the sf0.1
     oracle run minutes instead of seconds."""
     head = f"""
-WITH und AS MATERIALIZED (
-  WITH co AS (
-    SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-           COUNT(DISTINCT a.l_orderkey) AS support
-    FROM lineitem a
-    JOIN lineitem b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    GROUP BY 1, 2
-  ),
-  e AS (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT})
+WITH {_EDGE_SQL},
+und AS MATERIALIZED (
   SELECT pa AS n, pb AS m FROM e UNION ALL SELECT pb, pa FROM e
 ),
 a0 AS (SELECT DISTINCT n FROM und)
@@ -822,16 +837,8 @@ def _lpa_oracle() -> str:
     as the k-core/triangle family; ``und`` MATERIALIZED for the same
     per-reference re-inlining reason as _kcore_oracle)."""
     head = f"""
-WITH und AS MATERIALIZED (
-  WITH co AS (
-    SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-           COUNT(DISTINCT a.l_orderkey) AS support
-    FROM lineitem a
-    JOIN lineitem b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    GROUP BY 1, 2
-  ),
-  e AS (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT})
+WITH {_EDGE_SQL},
+und AS MATERIALIZED (
   SELECT pa AS n, pb AS m FROM e UNION ALL SELECT pb, pa FROM e
 ),
 l0 AS (SELECT DISTINCT n, n AS label FROM und)
@@ -946,15 +953,7 @@ _LP_MAX_CENTER_DEG = 64
 
 def _linkpred_oracle() -> str:
     return f"""
-WITH co AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-         COUNT(DISTINCT a.l_orderkey) AS support
-  FROM lineitem a
-  JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-),
-e AS MATERIALIZED (SELECT pa, pb FROM co WHERE support >= {_TRI_MIN_SUPPORT}),
+WITH {_EDGE_SQL},
 und AS (
   SELECT pa AS src, pb AS dst FROM e
   UNION ALL

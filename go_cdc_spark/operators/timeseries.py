@@ -342,3 +342,153 @@ def ts_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dts").cast("double") / F.lit(float(_MA_N)) - seasonal,
         ).alias("resid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecasting over the dense hourly grid: trend + hour-of-day seasonal
+# projection with the grid's last day held out — the fourth consumer of
+# the grid, and the natural next step after decomposition (VERDICT r9
+# prescription #5).
+# ---------------------------------------------------------------------------
+
+_FC_H = 24  # holdout/forecast horizon: the grid's last day
+
+_FC_DEC = "DECIMAL(38,0)"
+
+_FORECAST_ORACLE = f"""
+WITH {_GRID_SQL},
+b2 AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM dense),
+g AS (
+  SELECT event_type, dense.hour, n_events,
+         CAST(date_diff('hour', b2.lo, dense.hour) AS BIGINT) AS x,
+         CAST(date_diff('hour', b2.lo, b2.hi) AS BIGINT) AS xmax
+  FROM dense CROSS JOIN b2
+),
+tr AS (
+  SELECT event_type, hour, n_events, x, xmax,
+         2 * x - (xmax - {_FC_H}) AS u
+  FROM g WHERE x <= xmax - {_FC_H}
+),
+fit AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS {_FC_DEC}) AS fn,
+         CAST(SUM(n_events) AS {_FC_DEC}) AS sy,
+         CAST(SUM(u * n_events) AS {_FC_DEC}) AS suy,
+         CAST(SUM(u * u) AS {_FC_DEC}) AS suu
+  FROM tr GROUP BY event_type
+),
+dev AS (
+  SELECT tr.event_type, hour(tr.hour) AS hod,
+         SUM(f.fn * f.suu * CAST(tr.n_events AS {_FC_DEC})
+             - f.suu * f.sy
+             - f.fn * f.suy * CAST(tr.u AS {_FC_DEC})) AS dsum,
+         CAST(COUNT(*) AS {_FC_DEC}) AS dcnt
+  FROM tr JOIN fit f USING (event_type)
+  GROUP BY 1, 2
+)
+SELECT g.event_type, g.hour, CAST(g.n_events AS BIGINT) AS actual,
+       CAST(f.suu * f.sy
+            + f.fn * f.suy * CAST(2 * g.x - (g.xmax - {_FC_H}) AS {_FC_DEC})
+            AS DOUBLE)
+         / CAST(f.fn * f.suu AS DOUBLE)
+       + CAST(d.dsum AS DOUBLE)
+         / CAST(d.dcnt * f.fn * f.suu AS DOUBLE) AS forecast
+FROM g
+JOIN fit f USING (event_type)
+JOIN dev d ON d.event_type = g.event_type AND d.hod = hour(g.hour)
+WHERE g.x > g.xmax - {_FC_H}
+ORDER BY event_type, hour
+"""
+
+
+@query("ts_forecast_hourly", oracle=_FORECAST_ORACLE)
+def ts_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count forecast for the grid's last {_FC_H} hours
+    (held out), per event type: OLS linear trend fitted on the train
+    span plus an hour-of-day seasonal index from the trend residuals —
+    seasonal-naive-with-trend, the closed-form sibling of Holt-Winters
+    additive (whose per-step recursion has no bounded-depth
+    SQL/DataFrame form; the closed form IS the fixpoint for constant
+    smoothing of a linear+seasonal series). Output carries the held-out
+    ``actual`` next to ``forecast``, so the holdout error is one
+    subtraction away for any consumer.
+
+    Cross-engine exactness (the ts_decompose_hourly discipline, taken
+    through a regression fit): with u = 2x − (T−1) (integer, Σu = 0 by
+    construction), slope and intercept stay RATIONAL — numerators and
+    denominators are exact DECIMAL(38,0) sums of integers, residual
+    deviations are kept scaled by n·Σu² (exact), the seasonal bucket
+    folds those exact integers, and only the output converts: two
+    correctly-rounded double divisions and one addition, the identical
+    IEEE sequence on both engines. 38-digit headroom: the largest
+    scaled term is n²·Σu²·y ≈ (4/3)n⁵·y — a 10-year hourly span at
+    y=10⁶ events/hour is ~10³¹ < 10³⁸.
+
+    Scale shape: one raw-event aggregation (the shared dense grid);
+    the fit is one (type)-keyed aggregate, the seasonal index one
+    (type, hour-of-day)-keyed aggregate — both map-side-combined over
+    calendar-bounded input — and the forecast join broadcasts the
+    |types|-row fit and |types|×24-row seasonal tables. Nothing after
+    the grid scales with data volume."""
+    dense = _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+    b2 = dense.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    hours_of = lambda a, b: (
+        (F.col(a).cast("long") - F.col(b).cast("long")) / F.lit(3600)
+    ).cast("long")
+    g = dense.crossJoin(F.broadcast(b2)).select(
+        "event_type",
+        "hour",
+        "n_events",
+        hours_of("hour", "lo").alias("x"),
+        hours_of("hi", "lo").alias("xmax"),
+    )
+    dec = _FC_DEC.lower()
+    tr = g.filter(F.col("x") <= F.col("xmax") - _FC_H).withColumn(
+        "u", F.lit(2) * F.col("x") - (F.col("xmax") - F.lit(_FC_H))
+    )
+    fit = tr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("fn"),
+        F.sum("n_events").cast(dec).alias("sy"),
+        F.sum(F.col("u") * F.col("n_events")).cast(dec).alias("suy"),
+        F.sum(F.col("u") * F.col("u")).cast(dec).alias("suu"),
+    )
+    dev = (
+        tr.join(F.broadcast(fit), "event_type")
+        .groupBy("event_type", F.hour("hour").alias("hod"))
+        .agg(
+            F.sum(
+                F.col("fn") * F.col("suu") * F.col("n_events").cast(dec)
+                - F.col("suu") * F.col("sy")
+                - F.col("fn") * F.col("suy") * F.col("u").cast(dec)
+            ).alias("dsum"),
+            F.count(F.lit(1)).cast(dec).alias("dcnt"),
+        )
+        .select(
+            F.col("event_type").alias("d_type"), "hod", "dsum", "dcnt"
+        )
+    )
+    ho = g.filter(F.col("x") > F.col("xmax") - _FC_H)
+    level = (
+        F.col("suu") * F.col("sy")
+        + F.col("fn")
+        * F.col("suy")
+        * (F.lit(2) * F.col("x") - (F.col("xmax") - F.lit(_FC_H))).cast(dec)
+    ).cast("double") / (F.col("fn") * F.col("suu")).cast("double")
+    seasonal = F.col("dsum").cast("double") / (
+        F.col("dcnt") * F.col("fn") * F.col("suu")
+    ).cast("double")
+    return (
+        ho.join(F.broadcast(fit), "event_type")
+        .join(
+            F.broadcast(dev),
+            (F.col("event_type") == F.col("d_type"))
+            & (F.hour("hour") == F.col("hod")),
+        )
+        .select(
+            "event_type",
+            "hour",
+            F.col("n_events").cast("long").alias("actual"),
+            (level + seasonal).alias("forecast"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -372,7 +372,12 @@ class JdbcSnapshotSource:
     dialect: MySqlDialect | DerbyDialect = field(default_factory=MySqlDialect)
 
     # kept as a source-level override on top of the dialect's list
-    # (back-compat: pre-seam callers configured exclusions here)
+    # ADDITIVE extra exclusions, unioned with the dialect's hardcoded
+    # system-schema list (pre-r9 this tuple WAS the whole exclusion
+    # list — a caller could replace it to un-exclude a schema literally
+    # named e.g. 'sys'; since the dialect seam it can only ADD. To
+    # un-exclude a dialect default, subclass the dialect and narrow its
+    # system_schemas instead.)
     system_schemas: tuple[str, ...] = ()
 
     def _query(self, q: str) -> DataFrame:

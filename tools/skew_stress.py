@@ -129,7 +129,9 @@ HUB10_CTRL = os.path.join(SCRATCH, "sfx10_hub_ctrl")
 HUB_QUERIES = ["triangle_count", "graph_link_prediction"]
 
 
-def _synthesize_orderkey_copies(spark, dest: str, plant_hub: bool) -> str:
+def _synthesize_orderkey_copies(
+    spark, dest: str, plant_hub: bool, collapse_order: bool = False
+) -> str:
     """10 copies with OFFSET ORDER KEYS but SHARED part keys (unlike
     scale_probe's fully-disjoint unions) — sharing partkeys inflates
     every pair's support ~10x, which densifies the co-purchase graph to
@@ -156,6 +158,11 @@ def _synthesize_orderkey_copies(spark, dest: str, plant_hub: bool) -> str:
                             F.col("l_linenumber") == 1, F.lit(HOT_PART).cast("long")
                         ).otherwise(F.col("l_partkey")),
                     )
+                if collapse_order and i == 0 and t == "lineitem":
+                    # giant basket: copy 0's whole lineitem becomes ONE
+                    # order whose distinct-part basket is ~the entire
+                    # part universe (HOT_ORDER stays in copy 0's orders)
+                    c = c.withColumn("l_orderkey", F.lit(HOT_ORDER).cast("long"))
                 copies.append(c)
             df = copies[0]
             for c in copies[1:]:
@@ -276,8 +283,150 @@ def main() -> None:
     print(json.dumps(report, indent=2))
 
 
+# --- round-10 axes: hot custkey + giant basket (VERDICT r9 #1) -------------
+# (a) hot-custkey: one customer holds ~10% of all orders -> the
+#     join_interval_overlap per-customer self-join sees one key with
+#     d²/2 candidate pairs unless _OVERLAP_MAX_ORDERS valves it.
+# (b) giant basket: the existing SKEW10 corpus already plants it —
+#     copy 0's l_orderkey := HOT_ORDER collapses ~10% of lineitem into
+#     ONE order whose distinct-part basket is the whole part universe;
+#     the co-purchase self-joins explode m²/2 pairs unless MAX_BASKET
+#     valves it. Both probes time the VALVED operator and an UNCAPPED
+#     contrast arm on the same corpus, so the report shows what the
+#     valve saves, not just that the valved form is flat.
+
+HOT_CUST = 777
+HOTCUST10 = os.path.join(SCRATCH, "sfx10_hotcust")
+
+
+def synthesize_hotcust(spark) -> str:
+    """10x corpus, copy 0's orders.o_custkey := HOT_CUST (one customer
+    holding 10% of all orders; lineitem untouched so every order keeps
+    its lines through the offset keys). The matched CONTROL is
+    synthesize_hub_control — the IDENTICAL synthesis (offset order
+    keys, SHARED custkeys, so every customer is ~10x densified in both
+    corpora) minus the one planted key; scale_probe's uniform corpus
+    would be a mismatched control because its disjoint key unions keep
+    per-customer order counts at 1x."""
+    if os.path.exists(os.path.join(HOTCUST10, "_DONE")):
+        return HOTCUST10
+    os.makedirs(HOTCUST10, exist_ok=True)
+    for t in TABLE_NAMES:
+        src = spark.read.parquet(f"{BASE}/{t}.parquet")
+        if t in FACT_OFFSETS:
+            copies = []
+            for i in range(K):
+                c = src
+                for col, step in FACT_OFFSETS[t].items():
+                    if step:
+                        c = c.withColumn(col, F.col(col) + F.lit(i * step))
+                if i == 0 and t == "orders":
+                    c = c.withColumn("o_custkey", F.lit(HOT_CUST).cast("long"))
+                copies.append(c)
+            df = copies[0]
+            for c in copies[1:]:
+                df = df.unionByName(c)
+        else:
+            df = src
+        df.write.mode("overwrite").parquet(f"{HOTCUST10}/{t}.parquet")
+    open(os.path.join(HOTCUST10, "_DONE"), "w").close()
+    return HOTCUST10
+
+
+def _timed_uncapped(spark, build, warm=True) -> float:
+    if warm:
+        build().write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    build().write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def hotcust_main() -> None:
+    """control-10x (same synthesis, no plant) vs hotcust-10x for
+    join_interval_overlap, plus the uncapped contrast arm on the
+    hotcust corpus (what the valve saves). The contrast arm is NOT
+    warmed and bounded only by the caller's patience — it is quadratic
+    by construction (the 10%-mass customer is ~1.1e10 candidate pairs
+    in one task)."""
+    from go_cdc_spark.operators import relational as R
+
+    spark = get_spark("skew-stress-hotcust")
+    ctrl = synthesize_hub_control(spark)
+    hot = synthesize_hotcust(spark)
+    name = "join_interval_overlap"
+    t_u = timed(spark, name, ctrl)
+    t_h = timed(spark, name, hot)
+    report = {
+        name: {
+            "control10_s": t_u,
+            "hotcust10_s": t_h,
+            "hotcust_ratio": round(t_h / max(t_u, 1e-3), 2),
+        }
+    }
+    print(f"{name}: control={t_u:.2f}s hotcust={t_h:.2f}s "
+          f"ratio={report[name]['hotcust_ratio']:.2f}", flush=True)
+    if "--contrast" in sys.argv:
+        saved = R._OVERLAP_MAX_ORDERS
+        R._OVERLAP_MAX_ORDERS = 10**9
+        try:
+            t_unc = _timed_uncapped(
+                spark, lambda: QUERIES[name](spark, hot), warm=False
+            )
+        finally:
+            R._OVERLAP_MAX_ORDERS = saved
+        report[name]["hotcust_uncapped_s"] = t_unc
+        print(f"{name} UNCAPPED on hotcust: {t_unc:.2f}s", flush=True)
+    print(json.dumps(report, indent=2))
+
+
+BASKET10 = os.path.join(SCRATCH, "sfx10_basket")
+
+
+def basket_main() -> None:
+    """control-10x vs giant-basket-10x (IDENTICAL synthesis — offset
+    order keys, shared part keys — except copy 0's lineitem collapsed
+    into ONE order holding ~the whole part universe) for the
+    co-purchase self-join family, plus uncapped contrast arms."""
+    from go_cdc_spark.operators import behavior as Bv
+    from go_cdc_spark.operators import graph as G
+
+    spark = get_spark("skew-stress-basket")
+    ctrl = synthesize_hub_control(spark)
+    skewed = _synthesize_orderkey_copies(
+        spark, BASKET10, plant_hub=False, collapse_order=True
+    )
+    report = {}
+    for name in ("triangle_count", "copurchase_pairs"):
+        t_u = timed(spark, name, ctrl)
+        t_s = timed(spark, name, skewed)
+        report[name] = {
+            "control10_s": t_u,
+            "giantbasket10_s": t_s,
+            "giantbasket_ratio": round(t_s / max(t_u, 1e-3), 2),
+        }
+        print(f"{name:20s} control={t_u:6.2f}s giant-basket={t_s:6.2f}s "
+              f"ratio={report[name]['giantbasket_ratio']:.2f}", flush=True)
+    if "--contrast" in sys.argv:
+        saved_g, saved_b = G.MAX_BASKET, Bv.MAX_BASKET
+        G.MAX_BASKET = Bv.MAX_BASKET = 10**9
+        try:
+            for name in ("triangle_count", "copurchase_pairs"):
+                t_unc = _timed_uncapped(
+                    spark, lambda n=name: QUERIES[n](spark, skewed), warm=False
+                )
+                report[name]["giantbasket_uncapped_s"] = t_unc
+                print(f"{name} UNCAPPED on giant-basket: {t_unc:.2f}s", flush=True)
+        finally:
+            G.MAX_BASKET, Bv.MAX_BASKET = saved_g, saved_b
+    print(json.dumps(report, indent=2))
+
+
 if __name__ == "__main__":
     if "--hub" in sys.argv:
         hub_main()
+    elif "--hotcust" in sys.argv:
+        hotcust_main()
+    elif "--basket" in sys.argv:
+        basket_main()
     else:
         main()
