@@ -168,7 +168,7 @@ class Engine:
 
     # -- step 5: incremental sync -----------------------------------------
 
-    def _changelog_stream(self, cfg: SourceConfig):
+    def _changelog_stream(self, cfg: SourceConfig, catchup: bool = False):
         """The source's change stream in envelope form. ``native`` reads
         CHANGE_EVENT_SCHEMA JSON-lines segments; ``debezium`` reads raw
         Debezium message values (one JSON message per line, exactly a
@@ -176,7 +176,13 @@ class Engine:
         interchange format standing in for the reference's go-mysql
         replication client (`internal/cannal/incremental.go:149`), which
         has no OSS-Spark wire equivalent. An optional schema-change topic
-        dir unions in as op='ddl' events."""
+        dir unions in as op='ddl' events.
+
+        ``catchup`` widens the per-trigger file bound for availableNow
+        backlog drains (see SourceConfig.catchup_files_per_trigger)."""
+        mfpt = cfg.max_files_per_trigger
+        if catchup:
+            mfpt = cfg.catchup_files_per_trigger or 8 * mfpt
         if cfg.changelog_format == "debezium":
             from .sources.debezium import (
                 debezium_schema_changes,
@@ -186,7 +192,7 @@ class Engine:
 
             def topic(path: str):
                 return self.spark.readStream.option(
-                    "maxFilesPerTrigger", cfg.max_files_per_trigger
+                    "maxFilesPerTrigger", mfpt
                 ).text(path)
 
             stream = debezium_to_change_events(
@@ -205,9 +211,7 @@ class Engine:
                     )
                 )
             return stream
-        return read_changelog_stream(
-            self.spark, cfg.changelog, cfg.max_files_per_trigger
-        )
+        return read_changelog_stream(self.spark, cfg.changelog, mfpt)
 
     def _attach_watermark(self, holder: SourceHolder) -> str | None:
         """The consumer watermark that governs replay safety for this
@@ -295,7 +299,7 @@ class Engine:
             cfg = holder.config
 
             def start():
-                stream = self._changelog_stream(cfg)
+                stream = self._changelog_stream(cfg, catchup=not continuous)
                 keep = holder.rules.to_column(
                     F.col("schema"), F.col("table")
                 ) & ((F.col("schema") == schema) & (F.col("table") == table))
@@ -335,7 +339,9 @@ class Engine:
             cfg = holder.config
 
             def start():
-                stream = self._changelog_stream(cfg).filter(
+                stream = self._changelog_stream(
+                    cfg, catchup=not continuous
+                ).filter(
                     holder.rules.to_column(F.col("schema"), F.col("table"))
                 )
                 ckpt = os.path.join(

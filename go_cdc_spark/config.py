@@ -75,6 +75,15 @@ class SourceConfig:
     # since Debezium data events carry no XID-equivalent terminator
     txn_changelog: str | None = None
     max_files_per_trigger: int = 1
+    # BACKLOG-DRAIN batch bound: availableNow catch-up reads up to this
+    # many segment files per micro-batch (None = 8x the continuous
+    # bound). Each micro-batch costs one full state merge per touched
+    # table, so draining a deep backlog in per-segment batches multiplies
+    # the state-rewrite volume for nothing; bigger catch-up batches are
+    # the standard Trigger.AvailableNow usage. Continuous tails keep the
+    # tight max_files_per_trigger bound (the reference's 1000-message
+    # channel analog) for latency and bounded memory.
+    catchup_files_per_trigger: int | None = None
     # buffer row events until their txn's commit event (OnRow/OnXID
     # parity); default off = apply-as-they-arrive like the materializer
     read_committed: bool = False

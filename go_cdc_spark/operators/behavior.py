@@ -360,17 +360,24 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered over the surviving pairs. For k-itemsets beyond pairs,
     iterate the same join against the surviving pair set (a-priori
     pruning) rather than widening the self-join."""
+    from pyspark.sql.window import Window
+
     li = load(spark, sf_dir, "lineitem")
-    i0 = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
-    ).distinct()
-    okb = (
-        i0.groupBy("okey")
-        .agg(F.count(F.lit(1)).alias("_bs"))
-        .filter(F.col("_bs") <= MAX_BASKET)
-        .select("okey")
+    # ONE repartition on the order key: dedup, the basket-count window,
+    # and both self-join sides all reuse it zero-exchange (the
+    # _copurchase_edges co-partitioned layout — measured free at sf0.1)
+    i0 = (
+        li.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+        )
+        .repartition("okey")
+        .dropDuplicates(["okey", "pkey"])
     )
-    items = i0.join(okb, "okey")
+    items = (
+        i0.withColumn("_bs", F.count(F.lit(1)).over(Window.partitionBy("okey")))
+        .filter(F.col("_bs") <= MAX_BASKET)
+        .drop("_bs")
+    )
     a = items.select("okey", F.col("pkey").alias("part_a"))
     b = items.select(F.col("okey").alias("okey_b"), F.col("pkey").alias("part_b"))
     return (

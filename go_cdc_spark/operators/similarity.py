@@ -1602,7 +1602,11 @@ _PQ_MEMO: dict[tuple, tuple] = {}
 
 
 def _pq_fit(
-    spark: SparkSession, sf_dir: str, k: int = _PQ_K
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _PQ_K,
+    m: int = _PQ_M,
+    rounds: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """PQ training shared by sim_pq_codes and the ADC search in
     ann_recall_at_k: returns (subvectors, trained codebook) after one
@@ -1619,10 +1623,17 @@ def _pq_fit(
     _TRAINED_MEMO pattern (a shared artifact, like a warm JIT —
     COVERAGE.md "bench honesty"): training cost is deliberately OUTSIDE
     the timed action, amortized across every consumer of the codebook.
-    Callers that need lazy construction must pre-warm the memo."""
+    Callers that need lazy construction must pre-warm the memo.
+
+    ``m``/``rounds`` (round-10 knobs, default = the registered oracle
+    pins): subspace count and Lloyd rounds — the recall levers the
+    frontier's tuned arm uses (VERDICT r9 #3). Each extra round is one
+    more broadcast-assign + fixed-point update of the SAME shape, so
+    exactness and scale properties are unchanged."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     version = _corpus_version(sf_dir)
-    memo = _PQ_MEMO.get((sf_dir, k, version))
+    subdim = DIM // m
+    memo = _PQ_MEMO.get((sf_dir, k, m, rounds, version))
     subs = emb.select(
         "vec_id",
         F.explode(
@@ -1630,11 +1641,11 @@ def _pq_fit(
                 *[
                     F.struct(
                         F.lit(s).alias("s"),
-                        F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+                        F.slice("embedding", s * subdim + 1, subdim).alias(
                             "sub"
                         ),
                     )
-                    for s in range(_PQ_M)
+                    for s in range(m)
                 ]
             )
         ).alias("x"),
@@ -1644,7 +1655,7 @@ def _pq_fit(
     if memo is not None:
         return subs, spark.createDataFrame(memo[1], memo[0])
 
-    seeds = subs.filter(F.col("vec_id") < k).select(
+    cent = subs.filter(F.col("vec_id") < k).select(
         "s",
         F.col("vec_id").alias("code_id"),
         F.col("sub").alias("cent"),
@@ -1654,42 +1665,52 @@ def _pq_fit(
         F.desc(cosine_from(dot_col("sub", "cent"), "__snorm", "__bnorm")),
         F.asc("code_id"),
     )
-    assigned = (
-        subs.join(F.broadcast(seeds), "s")
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("s", "code_id", "sub")
-    )
-    ex = assigned.select(
-        "s", "code_id", F.posexplode("sub").alias("pos", "val")
-    ).select("s", "code_id", (F.col("pos") + 1).alias("dim"), "val")
-    q = F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast("long")
-    upd = ex.groupBy("s", "code_id", "dim").agg(
-        (
-            F.sum(q).cast("double") / F.lit(1000000.0) / F.count(F.lit(1)).cast("double")
-        ).alias("value")
-    )
-    cent1 = upd.groupBy("s", "code_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "value"))),
-            lambda st: st["value"],
-        ).alias("cent")
-    ).withColumn("__bnorm", norm_col("cent"))
-    hit = (cent1.schema, cent1.collect())
-    for stale in [mk for mk in _PQ_MEMO if mk[:2] == (sf_dir, k)]:
+    for _ in range(rounds):
+        assigned = (
+            subs.join(F.broadcast(cent), "s")
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+            .select("s", "code_id", "sub")
+        )
+        ex = assigned.select(
+            "s", "code_id", F.posexplode("sub").alias("pos", "val")
+        ).select("s", "code_id", (F.col("pos") + 1).alias("dim"), "val")
+        q = F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast("long")
+        upd = ex.groupBy("s", "code_id", "dim").agg(
+            (
+                F.sum(q).cast("double") / F.lit(1000000.0) / F.count(F.lit(1)).cast("double")
+            ).alias("value")
+        )
+        cent = upd.groupBy("s", "code_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "value"))),
+                lambda st: st["value"],
+            ).alias("cent")
+        ).withColumn("__bnorm", norm_col("cent"))
+        # pin between rounds: round i+1 assigns against MATERIALIZED
+        # round-i centroids (k*m rows), keeping the plan depth flat
+        cent = spark.createDataFrame(cent.collect(), cent.schema)
+    hit = (cent.schema, cent.collect())
+    for stale in [
+        mk for mk in _PQ_MEMO if mk[:4] == (sf_dir, k, m, rounds)
+    ]:
         del _PQ_MEMO[stale]
-    _PQ_MEMO[(sf_dir, k, version)] = hit
+    _PQ_MEMO[(sf_dir, k, m, rounds, version)] = hit
     return subs, spark.createDataFrame(hit[1], hit[0])
 
 
 def _pq_recon(
-    spark: SparkSession, sf_dir: str, k: int = _PQ_K
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _PQ_K,
+    m: int = _PQ_M,
+    rounds: int = 1,
 ) -> DataFrame:
     """(vec_id, recon) PQ reconstructions of the whole corpus: codes ⋈
     broadcast codebook, subspaces reassembled in order — the subtree
     shared by the ADC search and the IVF-PQ composition (ann_recall
     pins it so both arms reconstruct once)."""
-    subs, cent1 = _pq_fit(spark, sf_dir, k=k)
+    subs, cent1 = _pq_fit(spark, sf_dir, k=k, m=m, rounds=rounds)
     aw = Window.partitionBy("vec_id", "s").orderBy(
         F.desc(cosine_from(dot_col("sub", "cent"), "__snorm", "__bnorm")),
         F.asc("code_id"),
@@ -1720,6 +1741,8 @@ def _pq_adc_topk(
     k: int = _PQ_K,
     n_queries: int = N_QUERIES,
     recon: DataFrame | None = None,
+    m: int = _PQ_M,
+    rounds: int = 1,
 ) -> DataFrame:
     """PQ search: candidates are represented ONLY by their codes —
     each is reconstructed as the concatenation of its per-subspace
@@ -1729,7 +1752,7 @@ def _pq_adc_topk(
     reconstruction join in front: codes ⋈ broadcast codebook, then
     broadcast queries × map-side cosine → per-query top-k window."""
     if recon is None:
-        recon = _pq_recon(spark, sf_dir, k=k)
+        recon = _pq_recon(spark, sf_dir, k=k, m=m, rounds=rounds)
     queries = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < n_queries)
@@ -1983,6 +2006,82 @@ FROM rscored WHERE rn <= {TOP_K}
 
 
 
+# Tuned PQ arm (VERDICT r9 #3): the (m, k, rounds) point the
+# tools/pq_tune_probe.py sweep found clearing recall@5 >= 0.5 at BOTH
+# fixture SFs — m=16 subspaces (subdim 4), k=128 codewords, 2 Lloyd
+# rounds: measured 0.616 @ sf0.01 / 0.503 @ sf0.1 at 14 code bytes per
+# vector = 18x compression vs float32 (the default 4x8 arm is 171x
+# compressed but 0.078/0.050 — the frontier now charts both ends of
+# the compression-recall trade). Near-isotropic synthetic embeddings
+# make rotation (OPQ) a no-op here — variance is already balanced
+# across subspaces; the granularity axis (m) is the lever that pays.
+_PQ_TUNED_M = 16
+_PQ_TUNED_K = 128
+_PQ_TUNED_ROUNDS = 2
+
+
+def _pq_tuned_ctes_sql(p: str = "tq") -> str:
+    """Prefixed PQ-train + ADC-search CTE chain for the tuned arm —
+    the _PQ_CTES/_RECALL_PQ_SEARCH pipeline generalized to
+    (m, k, rounds) = ({_PQ_TUNED_M}, {_PQ_TUNED_K}, {_PQ_TUNED_ROUNDS})
+    with {p}-prefixed names so it composes into the frontier oracle's
+    WITH next to the default-arm CTEs."""
+    m, k, rounds = _PQ_TUNED_M, _PQ_TUNED_K, _PQ_TUNED_ROUNDS
+    subdim = DIM // m
+    parts = [f"""{p}sub AS (
+  SELECT vec_id, sp.s AS s,
+         embedding[(sp.s * {subdim} + 1):((sp.s + 1) * {subdim})] AS sub
+  FROM e, (SELECT unnest(range(0, {m})) AS s) sp
+),
+{p}c0 AS (SELECT s, vec_id AS code_id, sub AS cent FROM {p}sub WHERE vec_id < {k})"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+{p}a{i} AS (
+  SELECT x.vec_id, x.s, x.sub, p.code_id,
+         ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.s
+                            ORDER BY {_sql_cosine("x.sub", "p.cent")} DESC,
+                                     p.code_id) AS rn
+  FROM {p}sub x JOIN {p}c{i - 1} p ON x.s = p.s
+),
+{p}u{i} AS (
+  SELECT s, code_id, d.dim,
+         CAST(SUM(CAST(floor(CAST(sub[d.dim] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS value
+  FROM {p}a{i}, (SELECT unnest(range(1, {subdim} + 1)) AS dim) d
+  WHERE rn = 1
+  GROUP BY s, code_id, d.dim
+),
+{p}c{i} AS (SELECT s, code_id, list(value ORDER BY dim) AS cent FROM {p}u{i} GROUP BY s, code_id)""")
+    parts.append(f""",
+{p}af AS (
+  SELECT x.vec_id, x.s, p.code_id,
+         ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.s
+                            ORDER BY {_sql_cosine("x.sub", "p.cent")} DESC,
+                                     p.code_id) AS rn
+  FROM {p}sub x JOIN {p}c{rounds} p ON x.s = p.s
+),
+{p}codes AS (SELECT vec_id, s, code_id FROM {p}af WHERE rn = 1),
+{p}recon AS (
+  SELECT c.vec_id, flatten(list(b.cent ORDER BY c.s)) AS recon
+  FROM {p}codes c JOIN {p}c{rounds} b ON c.s = b.s AND c.code_id = b.code_id
+  GROUP BY c.vec_id
+),
+{p}q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         WHERE vec_id < {N_QUERIES}),
+{p}cands AS (SELECT vec_id AS cand_id, recon AS c_emb FROM {p}recon
+             WHERE vec_id >= {N_QUERIES}),
+{p}ann AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_sql_cosine_cguard("q_emb", "c_emb")} DESC,
+                                       cand_id) AS rn
+    FROM {p}q CROSS JOIN {p}cands
+  ) WHERE rn <= {TOP_K}
+)""")
+    return "".join(parts)
+
+
 def _recall_oracle() -> str:
     routes = {
         "lsh_ann": f"(SELECT query_id, cand_id FROM ({_LSH_ORACLE}) t)",
@@ -1992,6 +2091,7 @@ def _recall_oracle() -> str:
         "pq_adc": "(SELECT query_id, cand_id FROM pq_ann)",
         "ivf_pq": f"(SELECT query_id, cand_id FROM ({_IVF_PQ_ORACLE}) t)",
         "ivf_pq_res": f"(SELECT query_id, cand_id FROM ({_IVF_PQ_RES_ORACLE}) t)",
+        "pq_tuned": "(SELECT query_id, cand_id FROM tqann)",
     }
     arms = "\nUNION ALL\n".join(
         f"""SELECT '{name}' AS route,
@@ -2004,6 +2104,7 @@ def _recall_oracle() -> str:
     return f"""
 WITH {_PQ_CTES},
 {_RECALL_PQ_SEARCH},
+{_pq_tuned_ctes_sql("tq")},
 exact AS (SELECT query_id, cand_id FROM ({_TOPK_ORACLE}) t),
 expected AS (SELECT CAST(COUNT(*) AS BIGINT) AS expected FROM exact),
 arms AS ({arms})
@@ -2041,6 +2142,9 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sixth arm landed; the pins restore arm-count-linear cost)
     assign = _coarse_assign(spark, sf_dir).localCheckpoint(eager=False)
     recon = _pq_recon(spark, sf_dir).localCheckpoint(eager=False)
+    recon_tuned = _pq_recon(
+        spark, sf_dir, k=_PQ_TUNED_K, m=_PQ_TUNED_M, rounds=_PQ_TUNED_ROUNDS
+    ).localCheckpoint(eager=False)
     routes = {
         "lsh_ann": lambda s, d: sim_lsh_ann(s, d),
         "lsh_multiprobe": lambda s, d: sim_lsh_multiprobe(s, d),
@@ -2051,6 +2155,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_adc": lambda s, d: _pq_adc_topk(s, d, recon=recon),
         "ivf_pq": lambda s, d: _ivf_pq_topk(s, d, assign=assign, recon=recon),
         "ivf_pq_res": lambda s, d: _ivf_pq_res_topk(s, d, assign=assign),
+        "pq_tuned": lambda s, d: _pq_adc_topk(s, d, recon=recon_tuned),
     }
     arms = []
     for name, fn in routes.items():
@@ -2099,6 +2204,7 @@ def _frontier_oracle() -> str:
         "pq_adc": "(SELECT query_id, cand_id FROM pq_ann)",
         "ivf_pq": f"(SELECT query_id, cand_id FROM ({_IVF_PQ_ORACLE}) t)",
         "ivf_pq_res": f"(SELECT query_id, cand_id FROM ({_IVF_PQ_RES_ORACLE}) t)",
+        "pq_tuned": "(SELECT query_id, cand_id FROM tqann)",
     }
     # exactly-scored candidate pairs per route, over shared fb (LSH
     # signatures) / fassign (IVF coarse cells) CTEs
@@ -2127,6 +2233,7 @@ def _frontier_oracle() -> str:
         "pq_adc": full,  # ADC rescans the whole corpus as codes
         "ivf_pq": ivf_cand.format(nq=N_QUERIES, np=_IVF_NPROBE),
         "ivf_pq_res": ivf_cand.format(nq=N_QUERIES, np=_IVF_NPROBE),
+        "pq_tuned": full,  # ADC rescans the whole corpus as tuned codes
     }
     arms = "\nUNION ALL\n".join(
         f"""SELECT '{name}' AS route,
@@ -2140,6 +2247,7 @@ def _frontier_oracle() -> str:
     return f"""
 WITH {_PQ_CTES},
 {_RECALL_PQ_SEARCH},
+{_pq_tuned_ctes_sql("tq")},
 exact AS (SELECT query_id, cand_id FROM ({_TOPK_ORACLE}) t),
 expected AS (SELECT CAST(COUNT(*) AS BIGINT) AS expected FROM exact),
 fqids AS (SELECT vec_id FROM embeddings WHERE vec_id < {N_QUERIES}),
@@ -2179,10 +2287,15 @@ def ann_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     24.7% of brute-force volume and ivf 0.900 at 12.5% — IVF's
     ``nprobe`` is the production recall knob and already clears the
     ≥0.8 bar; the LSH points (0.175 single-probe at 7%, 0.500
-    multiprobe at ~35%) and PQ points (0.2-0.3 — {_PQ_M}×{_PQ_K} is a
-    16× compression at fixture dims, the recall cost of never touching
-    raw vectors) chart the rest of the trade. tools/ann_frontier_sweep.py
-    sweeps the knobs behind these registered points.
+    multiprobe at ~35%) and the PQ family chart the compression end:
+    the default {_PQ_M}×{_PQ_K} arm is 171× compressed at recall
+    0.078-0.225 (the cost of never touching raw vectors), and the
+    TUNED arm ({_PQ_TUNED_M}×{_PQ_TUNED_K}, {_PQ_TUNED_ROUNDS} Lloyd
+    rounds) reaches recall@5 0.616 (sf0.01) / 0.503 (sf0.1) at 18×
+    compression — the r9 prescription's ≥0.5 bar, with the granularity
+    axis (m) as the lever since rotation is a no-op on near-isotropic
+    fixtures. tools/ann_frontier_sweep.py and tools/pq_tune_probe.py
+    sweep the knobs behind these registered points.
 
     Scale shape: candidate counts are aggregates over the SAME shared
     subtrees the searches use (bucket join, coarse-cell join) — no new
@@ -2191,6 +2304,9 @@ def ann_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = exact.agg(F.count(F.lit(1)).cast("long").alias("expected"))
     assign = _coarse_assign(spark, sf_dir).localCheckpoint(eager=False)
     recon = _pq_recon(spark, sf_dir).localCheckpoint(eager=False)
+    recon_tuned = _pq_recon(
+        spark, sf_dir, k=_PQ_TUNED_K, m=_PQ_TUNED_M, rounds=_PQ_TUNED_ROUNDS
+    ).localCheckpoint(eager=False)
     emb = load(spark, sf_dir, "embeddings")
     b = emb.select("vec_id", bucket_col("embedding").alias("bucket"))
     bq = b.filter(F.col("vec_id") < N_QUERIES)
@@ -2250,6 +2366,10 @@ def ann_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s, d: _ivf_pq_res_topk(s, d, assign=assign),
             ivf_cand(_IVF_NPROBE),
         ),
+        # the tuned compression-recall point: 16x128x2-round PQ, 18x
+        # compression, recall@5 0.616/0.503 at sf0.01/0.1 (see
+        # _PQ_TUNED_* rationale above)
+        "pq_tuned": (lambda s, d: _pq_adc_topk(s, d, recon=recon_tuned), full_cand),
     }
     arms = []
     for name, (fn, cand) in routes.items():

@@ -93,6 +93,15 @@ def swap_in(
     if stamp is not None:
         with open(os.path.join(tmp, _MARKER), "w") as f:
             json.dump(stamp, f)
+    promote_tmp(tmp, path)
+
+
+def promote_tmp(tmp: str, path: str) -> None:
+    """The two-rename promotion shared by every swap flavor: demote the
+    live dir to ``.old-``, promote ``tmp``, sweep the old. Callers that
+    write their tmp dir WITHOUT Spark (driver-side pyarrow stores) get
+    the identical crash window: a crash between the renames leaves only
+    ``.old-``, which :func:`recover` promotes back."""
     if os.path.exists(path):
         old = f"{path}.old-{uuidlib.uuid4().hex[:8]}"
         os.rename(path, old)
@@ -132,13 +141,7 @@ def swap_in_many(
     if stamp is not None:
         with open(os.path.join(tmp, _MARKER), "w") as f:
             json.dump(stamp, f)
-    if os.path.exists(path):
-        old = f"{path}.old-{uuidlib.uuid4().hex[:8]}"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
-    else:
-        os.rename(tmp, path)
+    promote_tmp(tmp, path)
 
 
 def _siblings(path: str, kind: str) -> list[str]:

@@ -140,8 +140,15 @@ def _write_segments(events: list[dict], seg_dir: str, n_segments: int, prefix: s
     return live
 
 
-def main() -> None:
-    spark = get_spark("engine-bench")
+def run(spark, n_events: int = None, sf_dir: str = None) -> dict:
+    """Run the whole engine loop once and return the report dict
+    (no printing, no guard) — importable by bench.py so the driver's
+    BENCH_r{N}.json tail carries the engine numbers (VERDICT r9 #7)."""
+    global N_EVENTS, SF_DIR
+    if n_events is not None:
+        N_EVENTS = n_events
+    if sf_dir is not None:
+        SF_DIR = sf_dir
     root = tempfile.mkdtemp(prefix="engine_bench_")
     seg_dir = os.path.join(root, "changelog")
     os.makedirs(seg_dir)
@@ -209,8 +216,13 @@ def main() -> None:
     }
     report["value"] = round(full_s + inc_s + restart_s, 2)
     report["unit"] = "sec"
-    print(json.dumps(report))
     shutil.rmtree(root, ignore_errors=True)
+    return report
+
+
+def main() -> None:
+    report = run(get_spark("engine-bench"))
+    print(json.dumps(report))
     _regression_guard(report)
 
 
