@@ -492,3 +492,180 @@ def ts_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function over the hourly grid: the seasonality
+# DETECTOR that justifies the decomposition/forecast family's
+# hour-of-day period choice — ACF at the diurnal lags, per event type.
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+_ACF_ORACLE = f"""
+WITH {_GRID_SQL},
+led AS (
+  SELECT event_type, n_events,
+         {", ".join(f"LEAD(n_events, {k}) OVER (PARTITION BY event_type ORDER BY hour) AS b{k}" for k in _ACF_LAGS)}
+  FROM dense
+),
+pairs AS (
+  {" UNION ALL ".join(f"SELECT event_type, CAST({k} AS INT) AS lag, n_events AS a, b{k} AS b FROM led WHERE b{k} IS NOT NULL" for k in _ACF_LAGS)}
+),
+acfagg AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+         CAST(SUM(a * b) AS BIGINT) AS sab,
+         CAST(SUM(a * a) AS BIGINT) AS saa, CAST(SUM(b * b) AS BIGINT) AS sbb
+  FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, lag, n_pairs,
+       CASE WHEN (n_pairs * saa - sa * sa) > 0 AND (n_pairs * sbb - sb * sb) > 0
+            THEN CAST(n_pairs * sab - sa * sb AS DOUBLE)
+                 / sqrt(CAST(n_pairs * saa - sa * sa AS DOUBLE)
+                        * CAST(n_pairs * sbb - sb * sb AS DOUBLE))
+       END AS acf
+FROM acfagg
+ORDER BY event_type, lag
+"""
+
+
+@query("ts_autocorr_hourly", oracle=_ACF_ORACLE)
+def ts_autocorr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson autocorrelation of the hourly count series at the
+    diurnal lags {_ACF_LAGS}, per event type — the seasonality
+    detector that justifies the decomposition/forecast family's
+    hour-of-day period (a strong lag-24 peak = daily cycle).
+
+    Cross-engine exactness: all six sufficient statistics are exact
+    BIGINT sums over integer pairs; the correlation converts once —
+    one double division by one sqrt of a product of exact-integer
+    doubles. IEEE-754 requires sqrt correctly rounded (unlike ln/log,
+    which drift a ulp between libms — the verify-notes rule), so the
+    expression tree is deterministic on both engines. Constant series
+    (zero variance) yield NULL on both.
+
+    Scale shape: one raw-event aggregation (the shared grid), ONE
+    window sort per type computing all {len(_ACF_LAGS)} leads, a
+    map-side stack, and one (type, lag)-keyed aggregate with partials
+    — nothing after the grid scales with data volume."""
+    dense = _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+    w = Window.partitionBy("event_type").orderBy("hour")
+    led = dense.select(
+        "event_type",
+        "n_events",
+        *[F.lead("n_events", k).over(w).alias(f"b{k}") for k in _ACF_LAGS],
+    )
+    stack_expr = "stack({n}, {args}) AS (lag, b)".format(
+        n=len(_ACF_LAGS),
+        args=", ".join(f"CAST({k} AS INT), b{k}" for k in _ACF_LAGS),
+    )
+    pairs = led.selectExpr("event_type", "n_events AS a", stack_expr).filter(
+        F.col("b").isNotNull()
+    )
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+    )
+    va = F.col("n_pairs") * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = F.col("n_pairs") * F.col("sbb") - F.col("sb") * F.col("sb")
+    num = F.col("n_pairs") * F.col("sab") - F.col("sa") * F.col("sb")
+    acf = F.when(
+        (va > 0) & (vb > 0),
+        num.cast("double") / F.sqrt(va.cast("double") * vb.cast("double")),
+    )
+    return agg.select(
+        "event_type", "lag", "n_pairs", acf.alias("acf")
+    ).orderBy("event_type", "lag")
+
+
+# ---------------------------------------------------------------------------
+# Changepoint detection: CUSUM peak over the hourly grid — where each
+# type's level shifted, as the max |cumulative deviation from mean|.
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = f"""
+WITH {_GRID_SQL},
+tot AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_events) AS BIGINT) AS sy
+  FROM dense GROUP BY event_type
+),
+cum AS (
+  SELECT d.event_type, d.hour,
+         SUM(CAST(d.n_events AS BIGINT) * t.n - t.sy)
+             OVER (PARTITION BY d.event_type ORDER BY d.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         t.n, t.sy
+  FROM dense d JOIN tot t USING (event_type)
+),
+peak AS (
+  SELECT event_type, hour, s, n, sy,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(s) DESC, hour) AS rn
+  FROM cum
+)
+SELECT event_type, hour AS cp_hour, CAST(abs(s) AS BIGINT) AS peak_scaled,
+       CAST(abs(s) AS DOUBLE) / CAST(n AS DOUBLE) AS peak_cusum
+FROM peak WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+@query("ts_changepoint_hourly", oracle=_CUSUM_ORACLE)
+def ts_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type over the hourly count grid:
+    the hour where the running cumulative deviation from the series
+    mean peaks in magnitude — the classical level-shift locator (Page
+    1954; the peak of S_x = Σ_{{i<=x}} (y_i − ȳ) marks where the mean
+    changed, and its height is the shift evidence).
+
+    Cross-engine exactness: deviations are kept scaled by n
+    (``y_i·n − Σy`` — exact BIGINTs, the ts_decompose discipline), the
+    running sum is an exact integer window fold, and the argmax order
+    (|S| DESC, hour) is total, so the selected row is deterministic;
+    ``peak_cusum`` unscales with ONE double division at the end.
+
+    Scale shape: one raw-event aggregation (the shared grid), a
+    |types|-row total, one cumulative window per calendar-bounded type
+    partition, and a WindowGroupLimit-prunable top-1 — nothing after
+    the grid scales with data volume."""
+    dense = _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+    tot = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_events").cast("long").alias("sy"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour",
+        F.sum(F.col("n_events").cast("long") * F.col("n") - F.col("sy"))
+        .over(wcum)
+        .alias("s"),
+        "n",
+    )
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("s"))), F.asc("hour")
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(wpk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("cp_hour"),
+            F.abs(F.col("s")).cast("long").alias("peak_scaled"),
+            (F.abs(F.col("s")).cast("double") / F.col("n").cast("double")).alias(
+                "peak_cusum"
+            ),
+        )
+        .orderBy("event_type")
+    )

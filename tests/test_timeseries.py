@@ -150,3 +150,61 @@ def test_forecast_holdout_shape_and_sanity_on_fixture(spark):
             mae_fc += abs(r["forecast"] - r["actual"])
             mae_naive += abs(mean_actual - r["actual"])
     assert mae_fc <= mae_naive * 1.25  # at worst mildly worse than the oracle-mean
+
+
+def _write_count_series(spark, tmp_path, counts):
+    """events parquet whose hourly count series (single type 'a') is
+    exactly `counts` (count c at hour x = c one-value events)."""
+    rows, eid = [], 0
+    for x, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1) + dt.timedelta(hours=x, minutes=9),
+                 eid, "a", 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_autocorr_detects_period_24(spark, tmp_path):
+    """A pure period-24 square wave over 96 hours: acf(24) = 1 exactly
+    (the series equals its own lag-24 shift), acf(12) = -1 (the
+    anti-phase lag), acf(1) high-positive is NOT asserted (square wave
+    edges)."""
+    from go_cdc_spark.operators.timeseries import ts_autocorr_hourly
+
+    counts = [(8 if (x % 24) < 12 else 2) for x in range(96)]
+    out = ts_autocorr_hourly(spark, _write_count_series(spark, tmp_path, counts))
+    acf = {r["lag"]: r["acf"] for r in out.collect()}
+    assert acf[24] == 1.0
+    assert acf[12] == -1.0
+
+
+def test_autocorr_constant_series_is_null(spark, tmp_path):
+    from go_cdc_spark.operators.timeseries import ts_autocorr_hourly
+
+    out = ts_autocorr_hourly(spark, _write_count_series(spark, tmp_path, [5] * 30))
+    assert all(r["acf"] is None for r in out.collect())
+
+
+def test_changepoint_locates_level_shift(spark, tmp_path):
+    """Level 2 for 30 hours then level 10 for 30 hours: the CUSUM
+    magnitude peaks at the last pre-shift hour (hour 29), where the
+    running deviation from the global mean (6) bottoms out at
+    30*(2-6) = -120 -> peak_cusum 120, scaled by n=60 -> 7200."""
+    from go_cdc_spark.operators.timeseries import ts_changepoint_hourly
+
+    counts = [2] * 30 + [10] * 30
+    out = ts_changepoint_hourly(
+        spark, _write_count_series(spark, tmp_path, counts)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cp_hour"].hour == 5 and r["cp_hour"].day == 2  # hour index 29
+    assert r["peak_scaled"] == 7200
+    assert r["peak_cusum"] == 120.0
