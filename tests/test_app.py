@@ -757,3 +757,54 @@ include_tables = ["region"]
         for r in engine.read_table_asof(1, "main", "region", str(p).zfill(12)).collect()
     }
     assert asof_before[2] == "ASIA"
+
+
+def test_demux_routes_skips_and_applies_ddl(spark, tmp_path):
+    """Round-10 demux path, explicitly: one per-SOURCE stream fans a
+    mixed micro-batch out to BOTH tables' MERGEs, a DDL event lands on
+    ITS table only, and a table the batch does not touch keeps its
+    state files physically untouched (skip == apply proven at the
+    filesystem level, not just semantically)."""
+    import os as _os
+
+    seg_dir = tmp_path / "changelog"
+    seg_dir.mkdir()
+    cfg_path = _write_config(tmp_path, seg_dir)
+    engine = Engine(load_config(cfg_path), spark=spark)
+    engine.init_sources()
+    snaps = engine.full_sync()
+    table_pos = {s.table: s.pos for s in snaps[1]}
+    p = int(table_pos["region"])
+
+    # segment 1: region-only traffic -> nation state must not be rewritten
+    with open(seg_dir / "a.json", "w") as f:
+        f.write(json.dumps(_event(p + 1, "insert",
+                                  {"r_regionkey": "77", "r_name": "LEMURIA"})) + "\n")
+    nation_state = str(tmp_path / "state" / "src1" / "main" / "nation")
+    before_files = {
+        n: _os.path.getmtime(_os.path.join(nation_state, n))
+        for n in _os.listdir(nation_state)
+    }
+    engine.incremental_sync()
+    after_files = {
+        n: _os.path.getmtime(_os.path.join(nation_state, n))
+        for n in _os.listdir(nation_state)
+    }
+    assert after_files == before_files  # untouched table skipped entirely
+    assert {r.r_name for r in engine.read_table(1, "main", "region").collect()} >= {"LEMURIA"}
+
+    # segment 2: mixed batch — nation row + region DDL; the DDL must
+    # evolve region's schema only, through the same demux foreachBatch
+    ddl = _event(p + 2, "ddl", {"query": "ALTER TABLE region ADD COLUMN r_tier INT"})
+    with open(seg_dir / "b.json", "w") as f:
+        f.write(json.dumps(ddl) + "\n")
+        f.write(json.dumps(_event(p + 3, "update",
+                                  {"n_nationkey": "3", "n_name": "CANADA-v3",
+                                   "n_regionkey": "1"}, table="nation")) + "\n")
+    engine.incremental_sync()
+    region_cols = engine.read_table(1, "main", "region").columns
+    nation_cols = engine.read_table(1, "main", "nation").columns
+    assert "r_tier" in region_cols
+    assert "r_tier" not in nation_cols
+    got = {r.n_nationkey: r.n_name for r in engine.read_table(1, "main", "nation").collect()}
+    assert got[3] == "CANADA-v3"
