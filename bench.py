@@ -167,20 +167,59 @@ def run_one(spark, name: str, sf_dir: str) -> float:
 REGRESSION_FACTOR = 1.4  # per-query budget vs the cross-round median
 
 # Same-host A/B-cleared drift suspects: queries whose ratio exceeds the
-# gate on the r10 host but whose PRIOR-ROUND CODE measures the same
-# there — i.e. the host, not the build, changed. Ground truth for
-# "build-caused" is exactly that A/B (git worktree of the prior round's
-# commit, same session recipe, min-of-3, same day):
-#   sssp_weighted            r9-code 3.19s vs r10-code 3.68s (bench 3.64)
-#   pagerank_purchase_graph  r9-code 4.53s vs r10-code 4.48-5.58s
-# versus their r4-r9 pool medians of ~1.8s / ~2.8s — stage-heavy
-# iterative plans degrade MORE than the run-median drift (1.14-1.23)
-# when the host scheduler slows, so the median normalization alone
-# cannot clear them. They stay visible in `ratios` and are reported
-# under `drift_suspects`; they just don't fail the build. Re-measure
-# before extending this set — an entry is only valid with a same-host
-# prior-code A/B like the above.
-_HOST_DRIFT_CLEARED = {"sssp_weighted", "pagerank_purchase_graph"}
+# gate on this round's host but whose PRIOR-ROUND CODE measures the
+# same there — i.e. the host, not the build, changed. Ground truth for
+# "build-caused" is exactly that A/B: a git worktree of the prior
+# round's commit, interleaved same-session min-of-3, same day.
+#
+# The set is DATA, not code (VERDICT r10 "What's wrong" #1): entries
+# live in DRIFT_AB.jsonl, each carrying the round it was cleared in,
+# the A/B evidence (commits + times), and the max ratio the A/B
+# justifies. An entry EXPIRES with its round — it is dead unless
+# re-validated by a fresh same-host prior-code A/B THAT round — and it
+# is BOUNDED: an observed ratio above the entry's cleared max_ratio
+# still fails the build (a genuine regression on an excused query must
+# not hide behind an old host measurement). Cleared queries stay
+# visible in `ratios` and `drift_suspects`; they just don't turn red.
+_DRIFT_AB_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "DRIFT_AB.jsonl"
+)
+
+
+def _current_round(repo_dir: str) -> int:
+    """The round being built = 1 + the highest BENCH_r{N}.json the
+    driver has recorded (it writes the file AFTER the round ends)."""
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo_dir)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _host_drift_cleared() -> dict[str, float]:
+    """name -> max cleared ratio, from DRIFT_AB.jsonl rows whose
+    ``round`` matches the round currently being built. Stale rounds'
+    rows are history, not excuses."""
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    cur = _current_round(repo_dir)
+    cleared: dict[str, float] = {}
+    if not os.path.exists(_DRIFT_AB_PATH):
+        return cleared
+    with open(_DRIFT_AB_PATH) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if row.get("round") == cur and row.get("query") and row.get("max_ratio"):
+                cleared[row["query"]] = float(row["max_ratio"])
+    return cleared
 NOISE_FLOOR_SEC = 0.25  # sub-250ms timings are scheduler noise, not plans
 MIN_DELTA_SEC = 0.4  # sub-second queries swing ±0.35s run-to-run under the
 # shared driver (r03's q8 "regression" was exactly this: 0.425s→0.778s with an
@@ -292,7 +331,12 @@ def vs_prev(times: dict[str, float], priors: list[dict]) -> dict:
         for name, ratio in ratios.items()
         if is_regression(times[name], base[name] * drift)
     ]
-    regressions = [n for n in flagged if n not in _HOST_DRIFT_CLEARED]
+    cleared = _host_drift_cleared()
+    # a cleared query only stays green while its observed ratio is
+    # inside what the A/B justified; beyond that it is a real regression
+    regressions = [
+        n for n in flagged if n not in cleared or ratios[n] > cleared[n]
+    ]
     return {
         "prev_found": True,
         "prev_total": priors[-1].get("value"),
@@ -300,9 +344,9 @@ def vs_prev(times: dict[str, float], priors: list[dict]) -> dict:
         "host_drift_median_ratio": med,
         "ratios": ratios,
         "regressions": regressions,
-        # A/B-cleared (see _HOST_DRIFT_CLEARED): slow vs the pool, same
+        # A/B-cleared this round (DRIFT_AB.jsonl): slow vs the pool, same
         # speed as the prior round's code on this host — visible, not red
-        "drift_suspects": [n for n in flagged if n in _HOST_DRIFT_CLEARED],
+        "drift_suspects": [n for n in flagged if n not in regressions],
     }
 
 
@@ -416,6 +460,7 @@ def main() -> None:
     # compare from BENCH_r{N}.json alone (VERDICT r9 #7). Guarded: the
     # query bench must still emit if the engine loop breaks.
     engine_summary = None
+    engine_regressed = False
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         import engine_bench
@@ -430,7 +475,13 @@ def main() -> None:
         }
         engine_bench._regression_guard(er)  # appends ENGINE_BENCH.jsonl
     except SystemExit:
-        raise
+        # the guard found an engine regression: record it on the summary
+        # and keep going — the per-query bench lines (minutes of already-
+        # computed data) must still emit; exit non-zero AFTER printing,
+        # the same print-then-exit pattern the query gate uses (ADVICE r10)
+        engine_regressed = True
+        if engine_summary is not None:
+            engine_summary["regressed"] = True
     except Exception as exc:  # noqa: BLE001 — bench must still report
         engine_summary = {"error": str(exc)[:200]}
 
@@ -438,12 +489,18 @@ def main() -> None:
     for line in emit_lines(times, sf, comparison, engine_summary):
         print(line)
     spark.stop()
+    failed = False
     if comparison["regressions"]:
         # fail loudly: a >1.3× per-query regression is a build defect
         print(
             f"REGRESSION vs previous round: {comparison['regressions']}",
             file=sys.stderr,
         )
+        failed = True
+    if engine_regressed:
+        print("ENGINE REGRESSION (see ENGINE_BENCH.jsonl)", file=sys.stderr)
+        failed = True
+    if failed:
         sys.exit(1)
 
 

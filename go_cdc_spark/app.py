@@ -289,10 +289,18 @@ class Engine:
         state is bit-identical, so skip == apply. Read-committed
         (gated) sources keep the per-table path: the txn gate owns a
         per-table pending store + watermark whose semantics are
-        per-stream. Switching an existing deployment between modes is
-        safe but wasteful: the new checkpoint replays the drained
-        changelog once, and the pos-latest-wins MERGE makes replays
-        idempotent."""
+        per-stream. History (SCD2) sources ALSO keep the per-table
+        path: Scd2Materializer's interval derivation is replay-
+        sensitive (a replayed event re-derives rows that already exist
+        as closed intervals, scd2.py), and switching an existing
+        deployment onto the demux checkpoint identity would replay the
+        whole drained changelog through it — the run_id-scoped replay
+        stamp returns None under a NEW checkpoint, and pos_threshold
+        only filters events at-or-below the snapshot position, not
+        already-applied incremental events. For flat (pos-latest-wins
+        MERGE) tables that replay IS idempotent, so switching modes is
+        safe but wasteful: the new checkpoint drains the changelog
+        once more."""
         self.check_attach()
 
         def make_start(holder: SourceHolder, schema: str, table: str, mat):
@@ -394,7 +402,11 @@ class Engine:
         work = []
         for src_id, mats in by_source.items():
             holder = self.registry[src_id]
-            if demux and not holder.config.read_committed:
+            if (
+                demux
+                and not holder.config.read_committed
+                and not holder.config.history
+            ):
                 work.append(make_demux_start(holder, mats))
             else:
                 work += [

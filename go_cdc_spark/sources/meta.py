@@ -15,6 +15,8 @@ go through a temp dir + atomic rename to survive a crash mid-write.
 from __future__ import annotations
 
 import os
+import threading
+from collections import defaultdict
 
 from pyspark.sql import Row, SparkSession
 from pyspark.sql import types as T
@@ -33,6 +35,21 @@ META_SCHEMA = T.StructType(
 
 
 _META_COLS = ("data_source_id", "sc", "tb", "last_pos", "sync_type")
+
+# One lock per store PATH, process-wide: in continuous mode every
+# stream's foreachBatch thread upserts the same store, and upsert is a
+# read-modify-write ending in promote_tmp's two renames — interleaved,
+# one thread's promote can race another's (rename onto a just-swapped
+# path) or silently drop a sibling table's watermark advance (lost
+# update on the read-modify-write). All writers are in-process driver
+# threads now (the pyarrow rewrite), so an in-process lock suffices.
+_STORE_LOCKS: dict[str, threading.Lock] = defaultdict(threading.Lock)
+_STORE_LOCKS_GUARD = threading.Lock()
+
+
+def _store_lock(path: str) -> threading.Lock:
+    with _STORE_LOCKS_GUARD:
+        return _STORE_LOCKS[os.path.abspath(path)]
 
 
 class CheckpointStore:
@@ -84,16 +101,17 @@ class CheckpointStore:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rows = self.all()
-        rows[(data_source_id, sc, tb)] = Row(
-            data_source_id=data_source_id, sc=sc, tb=tb, last_pos=last_pos, sync_type=sync_type
-        )
-        table = pa.table(
-            {c: [getattr(r, c) for r in rows.values()] for c in _META_COLS},
-            schema=pa.schema([(c, pa.string()) for c in _META_COLS]),
-        )
-        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
-        os.makedirs(tmp)
-        pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
-        open(os.path.join(tmp, "_SUCCESS"), "w").close()
-        storeio.promote_tmp(tmp, self.path)
+        with _store_lock(self.path):
+            rows = self.all()
+            rows[(data_source_id, sc, tb)] = Row(
+                data_source_id=data_source_id, sc=sc, tb=tb, last_pos=last_pos, sync_type=sync_type
+            )
+            table = pa.table(
+                {c: [getattr(r, c) for r in rows.values()] for c in _META_COLS},
+                schema=pa.schema([(c, pa.string()) for c in _META_COLS]),
+            )
+            tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+            os.makedirs(tmp)
+            pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+            storeio.promote_tmp(tmp, self.path)

@@ -808,3 +808,81 @@ def test_demux_routes_skips_and_applies_ddl(spark, tmp_path):
     assert "r_tier" not in nation_cols
     got = {r.n_nationkey: r.n_name for r in engine.read_table(1, "main", "nation").collect()}
     assert got[3] == "CANADA-v3"
+
+
+def test_demux_keeps_history_sources_on_per_table_path(spark, tmp_path):
+    """ADVICE r10 (high): SCD2 interval derivation is replay-sensitive,
+    so a history source must NOT be moved onto the demux checkpoint
+    identity — a pre-existing deployment that already drained events
+    through per-table checkpoints would replay the whole changelog
+    under the new `_demux` checkpoint and duplicate every closed
+    interval. Proven at the upgrade boundary: drain with demux=False
+    (the old deployment), then sync again with the demux default —
+    history row counts are unchanged and no _demux checkpoint exists."""
+    import os as _os
+
+    seg_dir = tmp_path / "changelog"
+    seg_dir.mkdir()
+    cfg = f"""
+[engine]
+meta_path      = "{tmp_path}/meta"
+state_dir      = "{tmp_path}/state"
+checkpoint_dir = "{tmp_path}/ckpt"
+
+[[source]]
+id        = 1
+name      = "dev"
+type      = "parquet"
+path      = "{SF}"
+changelog = "{seg_dir}"
+history   = true
+[source.primary_keys]
+region = ["r_regionkey"]
+[source.rules.global]
+include_tables = ["region"]
+"""
+    (tmp_path / "config.toml").write_text(cfg)
+    engine = Engine(load_config(str(tmp_path / "config.toml")), spark=spark)
+    engine.init_sources()
+    snaps = engine.full_sync()
+    p = int({s.table: s.pos for s in snaps[1]}["region"])
+    with open(seg_dir / "seg0.json", "w") as f:
+        f.write(json.dumps(
+            _event(p + 1, "update", {"r_regionkey": "2", "r_name": "ASIA-v2"})
+        ) + "\n")
+        f.write(json.dumps(
+            _event(p + 2, "update", {"r_regionkey": "2", "r_name": "ASIA-v3"})
+        ) + "\n")
+
+    # the "pre-existing deployment": per-table checkpoints, events applied
+    engine.incremental_sync(demux=False)
+
+    def versions():
+        return [
+            (r["r_name"], r["__valid_from_pos"], r["__valid_to_pos"])
+            for r in engine.read_history(1, "main", "region")
+            .filter("r_regionkey = 2")
+            .orderBy("__valid_from_pos")
+            .collect()
+        ]
+
+    before = versions()
+    assert [v[0] for v in before] == ["ASIA", "ASIA-v2", "ASIA-v3"]
+
+    # the "upgrade": default demux. History sources must keep the
+    # per-table checkpoint identity — same events, same intervals.
+    engine.incremental_sync()
+    assert versions() == before  # no duplicated closed intervals
+    assert not _os.path.exists(
+        str(tmp_path / "ckpt" / "src1" / "_demux")
+    ), "history source was routed through the demux checkpoint"
+    assert _os.path.exists(str(tmp_path / "ckpt" / "src1" / "main" / "region"))
+
+    # and fresh events still flow through the per-table path post-upgrade
+    with open(seg_dir / "seg1.json", "w") as f:
+        f.write(json.dumps(
+            _event(p + 3, "update", {"r_regionkey": "2", "r_name": "ASIA-v4"})
+        ) + "\n")
+    engine.incremental_sync()
+    names = [v[0] for v in versions()]
+    assert names == ["ASIA", "ASIA-v2", "ASIA-v3", "ASIA-v4"]

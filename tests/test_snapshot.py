@@ -307,3 +307,40 @@ def test_snapshot_all_partial_failure_isolated(spark, tmp_path):
         assert store.get_pos("ds1", sc="main", tb=ok) == by_table[ok].pos
     meta = store.all()
     assert ("ds1", "main", "nation") not in meta  # no checkpoint for the failure
+
+
+def test_checkpoint_store_concurrent_upserts_lose_nothing(tmp_path):
+    """ADVICE r10: in continuous mode every stream's foreachBatch thread
+    upserts the same store; upsert is a read-modify-write ending in two
+    renames, so unserialized writers can lose a sibling's watermark or
+    crash mid-promote. The per-path lock must make N concurrent writers
+    equivalent to some serial order: every key's LAST write survives and
+    no promote raises. Driver-side pyarrow path — no SparkSession needed."""
+    import threading
+
+    store = CheckpointStore(None, str(tmp_path / "meta"))
+    errors: list[BaseException] = []
+    n_tables, n_rounds = 8, 6
+
+    def writer(tb_idx: int):
+        try:
+            for r in range(n_rounds):
+                store.upsert(
+                    "ds1", last_pos=str(r).zfill(12),
+                    sc="main", tb=f"t{tb_idx}", sync_type="incremental",
+                )
+        except BaseException as exc:  # noqa: BLE001 — assert below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_tables)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    final = store.all()
+    # every table's row survived, each at ITS final position — a lost
+    # update would leave a missing key or a stale pos
+    for i in range(n_tables):
+        row = final[("ds1", "main", f"t{i}")]
+        assert row.last_pos == str(n_rounds - 1).zfill(12)
