@@ -476,9 +476,15 @@ class Engine:
                             .distinct()
                             .collect()  # catalog-rate: ≤ |tables| rows
                         }
-                        for (schema, table), mat in mats.items():
-                            if (schema, table) not in touched:
-                                continue  # untouched state is bit-identical
+                        work = [
+                            ((schema, table), mat)
+                            for (schema, table), mat in mats.items()
+                            if (schema, table) in touched
+                            # untouched state is bit-identical: skip == apply
+                        ]
+
+                        def apply_one(item):
+                            (schema, table), mat = item
                             mat.process_batch(
                                 batch.filter(
                                     (F.col("schema") == schema)
@@ -486,6 +492,28 @@ class Engine:
                                 ),
                                 batch_id,
                             )
+
+                        # Bounded fan-out over touched tables (VERDICT r10
+                        # #3): at 100+ tables a sequential loop serializes
+                        # the batch behind its slowest table. Threads submit
+                        # independent Spark jobs (snapshot_all's pattern);
+                        # per-table state dirs are disjoint and the meta
+                        # store upsert holds its own lock. Failure semantics
+                        # match the sequential loop: the first raise fails
+                        # the batch, the replayed batch skips tables whose
+                        # applied-batch stamp already advanced.
+                        workers = min(cfg.merge_concurrency, len(work))
+                        if workers <= 1:
+                            for item in work:
+                                apply_one(item)
+                        else:
+                            from concurrent.futures import ThreadPoolExecutor
+
+                            with ThreadPoolExecutor(max_workers=workers) as pool:
+                                for fut in [
+                                    pool.submit(apply_one, it) for it in work
+                                ]:
+                                    fut.result()
                     finally:
                         batch.unpersist()
 

@@ -95,6 +95,12 @@ class SourceConfig:
     # (streaming/scd2.py): read_table() still serves current rows;
     # Engine.read_history / read_table_asof expose time travel
     history: bool = False
+    # demux MERGE fan-out bound: tables touched by one micro-batch run
+    # their MERGEs on a thread pool of this size (1 = the sequential
+    # loop). Each MERGE is an independent Spark job over a disjoint
+    # state dir; at 100+ tables a sequential loop serializes the batch
+    # behind its slowest table (VERDICT r10 #3)
+    merge_concurrency: int = 4
     # query-based incremental capture (sources/polling.py): poll the
     # JDBC source with plain SELECTs and write change events into the
     # changelog dir for the regular incremental drain — the public

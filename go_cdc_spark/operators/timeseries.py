@@ -669,3 +669,159 @@ def ts_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained grid (VERDICT r10 #5): the batch fold twin of
+# streaming/ivm.py::IncrementalGrid — the whole time-series family's
+# 100 TB shape is to read a MAINTAINED (event_type, hour) grid instead
+# of rescanning raw events; this registers that maintenance as an
+# oracle-checked query.
+# ---------------------------------------------------------------------------
+
+
+def incremental_grid(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    pos_threshold: str | None = None,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Signed-delta maintenance of the SPARSE hourly grid from typed
+    change rows (op/pos + the event columns), the fully-foldable IVM
+    algebra: the cell key (type, date_trunc hour) derives from the row,
+    so retraction is exact — no dirty-repair. Returns
+    (type, hour, n_events, n_vals, sum_val) cells with the identity
+    cells compacted away; densify with :func:`densify_grid`.
+
+    Per-batch cost O(changes + touched cells); the base event volume is
+    touched once for its own grid aggregate and by one key semi-join
+    (changed keys), never rescanned per batch."""
+    from .cdc import cdc_collapse
+
+    if pos_threshold is not None:
+        changes = changes.filter(F.col("pos") > F.lit(pos_threshold))
+    latest = cdc_collapse(changes, keys, keep_deletes=True)
+    changed_keys = latest.select(*keys)
+
+    def cells(df: DataFrame, sign: int) -> DataFrame:
+        return df.select(
+            type_col,
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+            F.col(value_col).cast(DEC).alias("__v"),
+            F.lit(sign).alias("__sign"),
+        )
+
+    removed = cells(snapshot.join(changed_keys, on=keys, how="left_semi"), -1)
+    added = cells(latest.filter(F.col("op") != "delete"), 1)
+    base = cells(snapshot, 1)
+
+    return (
+        base.unionByName(removed)
+        .unionByName(added)
+        .groupBy(type_col, "hour")
+        .agg(
+            F.sum("__sign").cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("__v").isNotNull(), F.col("__sign")).otherwise(0)
+            ).cast("long").alias("n_vals"),
+            F.sum(F.col("__sign") * F.col("__v")).cast(DEC).alias("sum_val"),
+        )
+        .filter(
+            ~(
+                (F.col("n_events") == 0)
+                & (F.col("n_vals") == 0)
+                & (F.coalesce(F.col("sum_val"), F.lit(0)) == 0)
+            )
+        )
+    )
+
+
+def densify_grid(state: DataFrame, type_col: str = "event_type") -> DataFrame:
+    """Sparse maintained cells → the dense grid surface of
+    :func:`_dense_grid` (zero-count gaps, NULL hour_value there);
+    bounds and the type universe come from visible (n_events > 0)
+    cells, so a fully retracted edge hour shrinks the grid exactly
+    like a batch recompute."""
+    vis = state.filter(F.col("n_events") > 0)
+    bounds = vis.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    grid = vis.select(type_col).distinct().crossJoin(hours)
+    agg = vis.select(
+        type_col,
+        "hour",
+        "n_events",
+        F.when(F.col("n_vals") > 0, F.col("sum_val").cast("double")).alias(
+            "hour_value"
+        ),
+    )
+    return grid.join(F.broadcast(agg), [type_col, "hour"], "left").select(
+        type_col,
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "hour_value",
+    )
+
+
+# base = events the snapshot carried; late inserts arrive for every
+# id%10==0 event; retractions delete the base rows with id%7==3 — the
+# final universe the oracle recomputes over is the closed form below.
+_GRID_IVM_ORACLE = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value FROM events
+  WHERE (event_id % 10 = 0) OR (event_id % 7 <> 3)
+),
+agg AS (
+  SELECT event_type, hour, COUNT(*) AS n_events,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS hour_value
+  FROM ev GROUP BY event_type, hour
+),
+b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM ev),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+),
+grid AS (
+  SELECT t.event_type, h.hour
+  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN hours h
+)
+SELECT g.event_type, g.hour,
+       CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+       a.hour_value
+FROM grid g
+LEFT JOIN agg a ON g.event_type = a.event_type AND g.hour = a.hour
+ORDER BY g.event_type, g.hour
+"""
+
+
+@query("cdc_incremental_grid", oracle=_GRID_IVM_ORACLE)
+def cdc_incremental_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained hourly grid (:func:`incremental_grid`) proven
+    equal to a full recompute: the snapshot carries 90% of events
+    (id%10≠0), the change stream late-inserts the other 10% AND
+    retracts every base row with id%7==3 (both fold directions fire),
+    and the read densifies the surviving cells. The oracle recomputes
+    the dense grid over the closed-form final universe. Streaming twin:
+    streaming/ivm.py::IncrementalGrid (same fold algebra per
+    micro-batch, parity-tested over random interleavings incl.
+    retractions in tests/test_grid_ivm.py)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    snapshot = ev.filter(F.col("event_id") % 10 != 0)
+    inserts = ev.filter(F.col("event_id") % 10 == 0).select(
+        "*", F.lit("insert").alias("op"), F.lit("000000000002").alias("pos")
+    )
+    deletes = ev.filter(
+        (F.col("event_id") % 10 != 0) & (F.col("event_id") % 7 == 3)
+    ).select("*", F.lit("delete").alias("op"), F.lit("000000000002").alias("pos"))
+    state = incremental_grid(
+        snapshot,
+        inserts.unionByName(deletes),
+        keys=["event_id"],
+        pos_threshold="000000000001",
+    )
+    return densify_grid(state).orderBy("event_type", "hour")

@@ -96,12 +96,40 @@ def swap_in(
     promote_tmp(tmp, path)
 
 
+def _require_local(path: str) -> None:
+    """The swap protocol is built on POSIX directory rename — atomic,
+    O(1), and exclusive. Object stores (s3/gs/abfs/...) emulate rename
+    as copy+delete: neither atomic (a reader can see BOTH dirs, or
+    neither) nor cheap (O(bytes)), so the crash contract silently
+    breaks. Refuse loudly instead of corrupting state at 3am — on an
+    object-store deployment, point stores at a posix-rename filesystem
+    (local disk, HDFS, EFS/NFS) or front them with a transactional
+    table format; see SURVEY §7's MERGE-without-Delta stance."""
+    if "://" in path:
+        scheme = path.split("://", 1)[0]
+        hint = (
+            "pass the plain filesystem path instead"
+            if scheme == "file"
+            else "object-store rename is emulated copy+delete — neither "
+            "atomic (a reader can see both dirs, or neither) nor O(1). "
+            "Point engine state, meta, and pending stores at a "
+            "posix-rename filesystem (local disk, HDFS, NFS/EFS)"
+        )
+        raise ValueError(
+            f"storeio requires a posix-rename filesystem; got {scheme!r} "
+            f"URI {path!r}: {hint}."
+        )
+
+
 def promote_tmp(tmp: str, path: str) -> None:
     """The two-rename promotion shared by every swap flavor: demote the
     live dir to ``.old-``, promote ``tmp``, sweep the old. Callers that
     write their tmp dir WITHOUT Spark (driver-side pyarrow stores) get
     the identical crash window: a crash between the renames leaves only
-    ``.old-``, which :func:`recover` promotes back."""
+    ``.old-``, which :func:`recover` promotes back. POSIX rename is the
+    load-bearing primitive — non-local URIs are refused loudly
+    (:func:`_require_local`)."""
+    _require_local(path)
     if os.path.exists(path):
         old = f"{path}.old-{uuidlib.uuid4().hex[:8]}"
         os.rename(path, old)

@@ -1440,3 +1440,155 @@ class IncrementalMode(IncrementalHistogram):
         return mode_read(counts, self.group_cols, self.value_col).join(
             self.staleness(), on=self.group_cols, how="left"
         )
+
+
+class IncrementalGrid:
+    """Maintained dense hourly time-series grid from the change stream
+    — the streaming twin of ``operators/timeseries._dense_grid`` and
+    the 10th IVM algebra (VERDICT r10 #5).
+
+    State is the SPARSE grid: (event_type, hour) → signed event count,
+    signed non-null-value count, and the signed DECIMAL(18,6) value sum
+    — fully foldable like the histogram (the cell key is derived from
+    the row, ``date_trunc('hour', ts)``, so retraction is an exact
+    signed delta; no dirty-repair). ``read_table`` densifies at read:
+    calendar bounds from the visible cells, ``sequence()`` explode ×
+    distinct types, gaps as (0, NULL) — the same output surface as
+    ``_dense_grid``, so the whole downstream family (resample /
+    decompose / forecast / ACF / changepoint) can run off a MAINTAINED
+    grid instead of rescanning raw events. That is the 100 TB shape:
+    per batch the fold costs O(batch + touched cells); the raw event
+    volume is never rescanned, and state is calendar-bounded
+    (|types| × |hours|), not data-bounded.
+
+    Same replay guard, cross-batch commutation (negative in-flight
+    cells park in state, hidden from reads), and storeio swap as every
+    other IVM member."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        type_col: str = "event_type",
+        ts_col: str = "ts",
+        value_col: str = "value",
+    ):
+        self.spark = spark
+        self.state_path = state_path
+        self.type_col = type_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self._run_id: str = _instance_run_id()  # start() swaps in the checkpoint dir
+        storeio.recover(state_path)  # promote a torn swap's .old- state before first read
+
+    def _image(self, batch: DataFrame, image_col: str, sign: int) -> DataFrame:
+        from pyspark.sql import types as T
+
+        typ = decode_image_value(
+            F.col(image_col).getItem(self.type_col), T.StringType()
+        )
+        ts = decode_image_value(
+            F.col(image_col).getItem(self.ts_col), T.TimestampNTZType()
+        )
+        val = decode_image_value(
+            F.col(image_col).getItem(self.value_col), T.DoubleType()
+        ).cast("decimal(18,6)")
+        return batch.select(
+            typ.alias(self.type_col),
+            F.date_trunc("hour", ts).cast("timestamp_ntz").alias("hour"),
+            val.alias("__v"),
+            F.lit(sign).alias("__sign"),
+        )
+
+    def _delta(self, batch: DataFrame) -> DataFrame:
+        plus = self._image(
+            batch.filter(F.col("op").isin(OP_INSERT, OP_UPDATE)), "data", 1
+        )
+        minus = self._image(
+            batch.filter(F.col("op").isin(OP_DELETE, OP_UPDATE)), "before", -1
+        )
+        both = plus.unionByName(minus)
+        return both.groupBy(self.type_col, "hour").agg(
+            F.sum("__sign").cast("long").alias("n_events"),
+            # sum skips NULL __v rows on its own; n_vals tracks how many
+            # non-null values the cell holds so the read can render the
+            # all-gone cell's sum as NULL exactly like the batch grid
+            F.sum(
+                F.when(F.col("__v").isNotNull(), F.col("__sign")).otherwise(0)
+            ).cast("long").alias("n_vals"),
+            F.sum(F.col("__sign") * F.col("__v")).cast("decimal(18,6)").alias("sum_val"),
+        )
+
+    def _state(self) -> DataFrame | None:
+        if not os.path.exists(self.state_path):
+            return None
+        return self.spark.read.parquet(self.state_path)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        applied = _applied_batch(self.state_path, run_id=self._run_id)
+        if applied is not None and batch_id <= applied:
+            return  # crash-replay of an already-folded batch
+        delta = self._delta(batch)
+        state = self._state()
+        merged = delta if state is None else state.unionByName(delta)
+        combined = (
+            merged.groupBy(self.type_col, "hour")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("n_vals").cast("long").alias("n_vals"),
+                F.sum("sum_val").cast("decimal(18,6)").alias("sum_val"),
+            )
+            # the only safe compaction is the exact identity — keep
+            # in-flight negatives (cross-batch commutation)
+            .filter(
+                ~(
+                    (F.col("n_events") == 0)
+                    & (F.col("n_vals") == 0)
+                    & (F.coalesce(F.col("sum_val"), F.lit(0)) == 0)
+                )
+            )
+        )
+        _swap_state(combined, self.state_path, batch_id, run_id=self._run_id)
+
+    def read_table(self) -> DataFrame:
+        """The DENSE grid: (event_type, hour, n_events, hour_value) with
+        zero-count gap cells and NULL hour_value there — byte-identical
+        surface to ``operators/timeseries._dense_grid``. Bounds and the
+        type universe come from the VISIBLE cells (n_events > 0), so a
+        fully retracted edge hour shrinks the grid exactly like a batch
+        recompute would."""
+        state = self._state()
+        if state is None:
+            raise FileNotFoundError(f"no IVM state at {self.state_path}")
+        vis = state.filter(F.col("n_events") > 0)
+        bounds = vis.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        hours = bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+        )
+        grid = vis.select(self.type_col).distinct().crossJoin(hours)
+        agg = vis.select(
+            self.type_col,
+            "hour",
+            "n_events",
+            F.when(
+                F.col("n_vals") > 0, F.col("sum_val").cast("double")
+            ).alias("hour_value"),
+        )
+        return grid.join(F.broadcast(agg), [self.type_col, "hour"], "left").select(
+            self.type_col,
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "hour_value",
+        )
+
+    def start(
+        self, changes_stream: DataFrame, checkpoint_dir: str, query_name: str = "ivm_grid"
+    ):
+        self._run_id = checkpoint_dir
+        return (
+            changes_stream.writeStream.queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
