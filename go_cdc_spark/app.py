@@ -183,6 +183,9 @@ class Engine:
                 self.config.state_dir, f"src{holder.id}", "_capture"
             ),
             num_partitions=cfg.num_partitions,
+            # keydiff's O(table) scans ride the snapshot source's
+            # partitioned chunked-keyset read, not a single JDBC stream
+            read_table=holder.source.read_table,
         )
 
     def _capture_targets(self, holder: SourceHolder) -> list[tuple[str, str, dict]]:
@@ -270,6 +273,47 @@ class Engine:
         polled = self.capture_poll()
         self.incremental_sync()
         return polled
+
+    def capture_run(
+        self,
+        interval_s: float = 5.0,
+        max_polls: int | None = None,
+        restart_policy: RestartPolicy | None = None,
+        sleep=None,
+    ) -> int:
+        """Continuous query-based capture — the polling analog of the
+        reference's incremental Run loop (`internal/cannal/
+        incremental.go:100-114`): poll → drain → sleep, with the same
+        consecutive-failure backoff policy (a successful round resets
+        the counter; ``RetriesExhausted`` after ``max_attempts``
+        consecutive failures). ``max_polls`` bounds the loop for tests
+        and batch catch-up; None runs until interrupted. Every round is
+        the crash-safe :meth:`capture_sync` — a failure mid-round
+        re-emits on the next poll and the latest-wins MERGE converges.
+        Returns the number of completed rounds."""
+        import time as _time
+
+        from .streaming.restart import RetriesExhausted
+
+        policy = restart_policy or RestartPolicy()
+        sleep = sleep or _time.sleep
+        failures = 0
+        backoff = policy.delays()
+        rounds = 0
+        while max_polls is None or rounds < max_polls:
+            try:
+                self.capture_sync()
+                rounds += 1
+                failures = 0
+                backoff = policy.delays()  # reset like incremental.go:171-173
+                if max_polls is None or rounds < max_polls:
+                    sleep(interval_s)
+            except Exception as exc:  # noqa: BLE001 — policy decides
+                failures += 1
+                if failures >= policy.max_attempts:
+                    raise RetriesExhausted(failures, exc) from exc
+                sleep(next(backoff))
+        return rounds
 
     # -- step 5: incremental sync -----------------------------------------
 

@@ -99,6 +99,7 @@ class PollingCapture:
         meta: CheckpointStore,
         state_dir: str | None = None,
         num_partitions: int = 8,
+        read_table=None,
     ):
         self.spark = spark
         self.url = url
@@ -108,6 +109,12 @@ class PollingCapture:
         self.meta = meta
         self.state_dir = state_dir
         self.num_partitions = num_partitions
+        # optional partitioned full-table reader (e.g. the snapshot
+        # source's chunked-keyset read_table): keydiff's O(table) scans
+        # go through it so they parallelize like the snapshot phase;
+        # without it they fall back to a single-stream JDBC read —
+        # fine for dimension tables, wrong for big ones
+        self.read_table = read_table
 
     # -- shared plumbing ---------------------------------------------------
 
@@ -128,6 +135,11 @@ class PollingCapture:
         return self.spark.read.jdbc(
             self.url, f"({q}) AS t", properties=self.properties
         )
+
+    def _read_full(self, schema: str, table: str) -> DataFrame:
+        if self.read_table is not None:
+            return self.read_table(schema, table)
+        return self._query(f"SELECT * FROM {schema}.{table}")
 
     def _emit(self, events: DataFrame, schema: str, table: str, tag: str) -> int:
         """Land envelope events as changelog segment files: write JSON
@@ -265,7 +277,7 @@ class PollingCapture:
         (seed-then-snapshot): anything that changes between the seed and
         the snapshot read re-diffs on the first poll, a convergent
         duplicate; the reverse order would silently LOSE those rows."""
-        current = self._query(f"SELECT * FROM {schema}.{table}")
+        current = self._read_full(schema, table)
         val_cols = sorted(c for c in current.columns if c not in pk_cols)
         fp = F.sha2(F.to_json(F.struct(*[F.col(c) for c in val_cols])), 256)
         state_path = self._key_state_path(schema, table)
@@ -281,7 +293,7 @@ class PollingCapture:
         previously-seen PK vanished. One partitioned JDBC scan + one
         PK-shuffle full-outer join; key state is a parquet table swapped
         via the storeio crash protocol."""
-        current = self._query(f"SELECT * FROM {schema}.{table}")
+        current = self._read_full(schema, table)
         cols = current.columns
         val_cols = sorted(c for c in cols if c not in pk_cols)
         fp = F.sha2(F.to_json(F.struct(*[F.col(c) for c in val_cols])), 256)

@@ -210,3 +210,70 @@ capture = "incrementing"
     p.write_text(bad3)
     with pytest.raises(ValueError, match="version_col"):
         load_config(str(p))
+
+
+def test_capture_run_polls_with_backoff_reset(spark, tmp_path):
+    """Continuous polling loop (capture_run): mutations injected between
+    rounds (via the sleep hook) converge round-by-round; a transient
+    failure backs off per RestartPolicy and a successful round resets
+    the consecutive counter (incremental.go:100-114 parity)."""
+    from go_cdc_spark.streaming.restart import RestartPolicy, RetriesExhausted
+
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.CUST (K1 INT NOT NULL PRIMARY KEY, NAME VARCHAR(30), BAL DOUBLE)"
+    )
+    for k in range(1, 6):
+        st.executeUpdate(f"INSERT INTO APP.CUST VALUES ({k}, 'n{k}', {k}.0)")
+    engine = Engine(load_config(_config(tmp_path, url, "keydiff")), spark=spark)
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+
+    mutations = iter([
+        "INSERT INTO APP.CUST VALUES (6, 'six', 6.0)",
+        "DELETE FROM APP.CUST WHERE K1 = 2",
+    ])
+
+    def sleep_and_mutate(_dt):
+        sql = next(mutations, None)
+        if sql:
+            st.executeUpdate(sql)
+
+    rounds = engine.capture_run(interval_s=0.01, max_polls=3, sleep=sleep_and_mutate)
+    assert rounds == 3
+    cols = ("K1", "NAME", "BAL")
+    assert _mat_rows(engine, "CUST", cols) == _db_rows(
+        conn, "SELECT K1, NAME, BAL FROM APP.CUST"
+    )
+    conn.close()
+
+    # transient failures: two raises then success -> loop survives with
+    # backoff sleeps; exhaustion raises RetriesExhausted
+    calls = {"n": 0}
+    slept: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("transient")
+        return {}
+
+    engine.capture_sync = flaky
+    rounds = engine.capture_run(
+        interval_s=0.0,
+        max_polls=1,
+        restart_policy=RestartPolicy(max_attempts=5, base_delay=0.25, cap=1.0),
+        sleep=slept.append,
+    )
+    assert rounds == 1 and calls["n"] == 3
+    assert slept[:2] == [0.25, 0.5]  # exponential backoff, not interval
+
+    engine.capture_sync = lambda: (_ for _ in ()).throw(RuntimeError("down"))
+    with pytest.raises(RetriesExhausted):
+        engine.capture_run(
+            max_polls=1,
+            restart_policy=RestartPolicy(max_attempts=3, base_delay=0.0),
+            sleep=lambda _d: None,
+        )
