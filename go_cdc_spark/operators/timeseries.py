@@ -823,5 +823,8 @@ def cdc_incremental_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         inserts.unionByName(deletes),
         keys=["event_id"],
         pos_threshold="000000000001",
-    )
+        # densify reads the sparse state three times (type universe,
+        # calendar bounds, join side) — pin the fold once, lazily (the
+        # bench honesty contract: no eager work at build time)
+    ).localCheckpoint(eager=False)
     return densify_grid(state).orderBy("event_type", "hour")
