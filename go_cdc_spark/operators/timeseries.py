@@ -828,3 +828,103 @@ def cdc_incremental_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bench honesty contract: no eager work at build time)
     ).localCheckpoint(eager=False)
     return densify_grid(state).orderBy("event_type", "hour")
+
+
+_SEASONAL_ANOMALY_ORACLE = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value FROM events
+),
+agg AS (
+  SELECT event_type, hour, COUNT(*) AS n_events
+  FROM ev GROUP BY event_type, hour
+),
+b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM ev),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+),
+grid AS (
+  SELECT t.event_type, h.hour
+  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN hours h
+),
+dense AS (
+  SELECT g.event_type, g.hour, CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events
+  FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.hour = a.hour
+),
+seas AS (
+  SELECT event_type, hour, n_events,
+         CAST(EXTRACT(HOUR FROM hour) AS INT) AS hod
+  FROM dense
+),
+stats AS (
+  SELECT event_type, hour, n_events, hod,
+         CAST(n_events AS DOUBLE) AS x,
+         CAST(CAST(SUM(n_events) OVER (PARTITION BY event_type, hod)
+                   AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(n_events AS DECIMAL(19,0)) * CAST(n_events AS DECIMAL(19,0)))
+                   OVER (PARTITION BY event_type, hod) AS VARCHAR) AS DOUBLE) AS s2,
+         COUNT(*) OVER (PARTITION BY event_type, hod) AS n
+  FROM seas
+)
+SELECT event_type, hour, n_events, hod,
+       CASE WHEN n > 1 AND (s2 - (s / n) * s) > 0.0
+            THEN (x - s / n) / sqrt((s2 - (s / n) * s) / (n - 1)) END AS zscore,
+       CASE WHEN n > 1 AND (s2 - (s / n) * s) > 0.0
+                 AND abs((x - s / n) / sqrt((s2 - (s / n) * s) / (n - 1))) > 2.0
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM stats
+ORDER BY event_type, hour
+"""
+
+
+@query("ts_anomaly_seasonal", oracle=_SEASONAL_ANOMALY_ORACLE)
+def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection over the dense hourly grid — the
+    detection consumer of the maintained-grid family (resample →
+    decompose → forecast → ACF → changepoint → ANOMALY): per
+    (event_type, hour-of-day), flag grid cells whose event count sits
+    more than 2 sample standard deviations from that seasonal slot's
+    mean. A burst at 3am flags even when it would be normal at noon —
+    the reason the profile is per-slot, not per-type.
+
+    Float parity (the anomaly_zscore discipline, behavior.py): counts
+    are exact BIGINTs; the squared sum runs DECIMAL(19,0)×DECIMAL(19,0)
+    (exact integer arithmetic both engines — at 100 TB cell counts the
+    square exceeds BIGINT, hence decimal); both window sums reach
+    double THROUGH A STRING (correctly-rounded parsing everywhere,
+    where DuckDB's direct HUGEINT→double path double-rounds past 2^53);
+    the z-score is then the same IEEE expression tree over identical
+    scalars, and sqrt is correctly rounded in both engines. All-equal
+    slots (e.g. all-zero gap rows) are guarded to NULL on both sides —
+    double 0/0 is engine-defined, so it never reaches the output.
+
+    Scale shape: one raw-event aggregation builds the grid; the
+    seasonal window partitions by (type, hour-of-day) over
+    calendar-bounded cells — O(grid), never O(events)."""
+    from pyspark.sql.window import Window
+
+    dense = _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+    seas = dense.withColumn("hod", F.hour("hour").cast("int"))
+    w = Window.partitionBy("event_type", "hod")
+    nd = F.col("n_events").cast("decimal(19,0)")
+    stats = seas.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "hod",
+        F.col("n_events").cast("double").alias("x"),
+        F.sum("n_events").over(w).cast("string").cast("double").alias("s"),
+        F.sum(nd * nd).over(w).cast("string").cast("double").alias("s2"),
+        F.count("*").over(w).alias("n"),
+    )
+    mean = F.col("s") / F.col("n")
+    var_num = F.col("s2") - mean * F.col("s")
+    z = (F.col("x") - mean) / F.sqrt(var_num / (F.col("n") - 1))
+    guard = (F.col("n") > 1) & (var_num > 0.0)
+    return stats.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "hod",
+        F.when(guard, z).alias("zscore"),
+        F.when(guard & (F.abs(z) > 2.0), F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),
+    ).orderBy("event_type", "hour")
