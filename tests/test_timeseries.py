@@ -208,3 +208,47 @@ def test_changepoint_locates_level_shift(spark, tmp_path):
     assert r["cp_hour"].hour == 5 and r["cp_hour"].day == 2  # hour index 29
     assert r["peak_scaled"] == 7200
     assert r["peak_cusum"] == 120.0
+
+
+def test_seasonal_anomaly_flags_burst_in_its_slot_only(spark, tmp_path):
+    """48 hours (two full days) of a clean period-24 profile — count 5
+    at every hour-of-day — except ONE burst cell (hour 30 = 6am day 2,
+    count 50). Every hour-of-day slot except 6am has zero variance →
+    zscore NULL, is_anomaly 0; the 6am slot has two observations (5 and
+    50), and with n=2 each point sits exactly 1/sqrt(2) std from the
+    mean, so the burst is NOT |z|>2 either — but its z is the positive
+    one. An 8-day series then puts n=8 per slot — enough for the burst
+    to clear 2 sigma (the sample-std ceiling is |z| <= (n-1)/sqrt(n),
+    so n=4 maxes at 1.5: a short history CANNOT 2-sigma-flag its own
+    outlier, which is a property, not a bug) — and the flag fires
+    exactly once, on the burst cell."""
+    from go_cdc_spark.operators.timeseries import ts_anomaly_seasonal
+
+    counts = [5] * 48
+    counts[30] = 50  # 6am on day 2
+    out = ts_anomaly_seasonal(spark, _write_count_series(spark, tmp_path, counts))
+    rows = out.collect()
+    assert len(rows) == 48
+    by_hour = {i: r for i, r in enumerate(rows)}  # ordered by hour
+    # zero-variance slots are guarded to NULL, never NaN/inf/flag
+    for i, r in by_hour.items():
+        if i % 24 != 6:
+            assert r["zscore"] is None and r["is_anomaly"] == 0, (i, r)
+    # n=2 slot: symmetric z = ±1/sqrt(2), below the 2-sigma flag
+    assert abs(by_hour[6]["zscore"] + 0.7071067811865476) < 1e-12
+    assert abs(by_hour[30]["zscore"] - 0.7071067811865476) < 1e-12
+    assert by_hour[30]["is_anomaly"] == 0
+
+    counts = [5] * 192  # 8 days
+    counts[30] = 50
+    rows = ts_anomaly_seasonal(
+        spark, _write_count_series(spark, tmp_path, counts)
+    ).collect()
+    flagged = [r for r in rows if r["is_anomaly"] == 1]
+    assert len(flagged) == 1
+    assert flagged[0]["hour"].day == 2 and flagged[0]["hour"].hour == 6
+    assert flagged[0]["n_events"] == 50 and flagged[0]["zscore"] > 2.0
+    # the other seven 6am cells share the slot but sit below the mean,
+    # unflagged (one outlier inflates the slot std, pulling peers in)
+    six_am = [r for r in rows if r["hour"].hour == 6 and r["is_anomaly"] == 0]
+    assert len(six_am) == 7 and all(r["zscore"] < 0 for r in six_am)
