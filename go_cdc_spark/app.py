@@ -261,6 +261,7 @@ class Engine:
                         sc, tb, pks,
                         version_col=opts["version_col"],
                         deleted_col=opts.get("deleted_col"),
+                        overlap=int(opts.get("overlap", 0)),
                     )
                 else:
                     n = cap.poll_keydiff(sc, tb, pks)

@@ -187,11 +187,28 @@ def _build(raw: dict) -> EngineConfig:
                     "changelog the incremental drain reads)"
                 )
             if s.capture == "incrementing":
+                if not s.capture_tables:
+                    # version_col is inherently per-table, so unlike
+                    # keydiff (which auto-discovers rule-included
+                    # tables) an empty map cannot be filled in later —
+                    # it would be a silent no-op the user reads as
+                    # "CDC is running" (ADVICE r11)
+                    raise ValueError(
+                        f"source {s.name!r}: incrementing capture needs "
+                        "a non-empty capture_tables map (version_col is "
+                        "per-table; nothing can be auto-discovered)"
+                    )
                 for tb, opts in s.capture_tables.items():
                     if "version_col" not in opts:
                         raise ValueError(
                             f"source {s.name!r}: capture_tables[{tb!r}] "
                             "needs version_col for incrementing capture"
+                        )
+                    ov = opts.get("overlap", 0)
+                    if not isinstance(ov, int) or ov < 0:
+                        raise ValueError(
+                            f"source {s.name!r}: capture_tables[{tb!r}] "
+                            f"overlap must be a non-negative int, got {ov!r}"
                         )
         if s.changelog_format != "debezium":
             # These topics are only unioned into the stream by the

@@ -145,31 +145,53 @@ class PollingCapture:
         """Land envelope events as changelog segment files: write JSON
         lines to a sibling tmp dir, then rename each part file into the
         changelog dir (rename-in = atomic appearance; the file stream
-        never sees a torn segment). Returns the event count."""
+        never sees a torn segment). Returns the event count.
+
+        Two contract-critical details:
+
+        - **Filenames are unique per emission** (``emit_id``), never
+          reused across re-polls. Spark's FileStreamSource tracks seen
+          files BY PATH; if a crash between the emit and the
+          watermark/seq advance caused the replay to overwrite a
+          same-named, already-drained segment, rows committed between
+          the original poll and the replay would land in a file the
+          stream never re-reads and then the watermark would advance
+          past them. Unique names make every replay a NEW file — a
+          convergent duplicate under the latest-wins MERGE instead of
+          a silent loss.
+        - **The count is computed distributed** (``lines.count()`` on
+          the persisted delta), not by re-reading the written segments
+          in Python on the driver — an O(delta-bytes) driver pass per
+          poll at fact-table rates. ``persist`` pins the delta so the
+          count and the write see the same JDBC read.
+        """
         lines = events.select(F.to_json(F.struct(*events.columns)).alias("v"))
         parent = os.path.dirname(os.path.abspath(self.changelog_dir))
-        tmp = os.path.join(parent, f".cap-tmp-{uuid.uuid4().hex[:8]}")
-        lines.write.mode("overwrite").text(tmp)
-        n = 0
-        moved = 0
+        emit_id = uuid.uuid4().hex[:8]
+        tmp = os.path.join(parent, f".cap-tmp-{emit_id}")
+        lines = lines.persist()
         try:
+            n = int(lines.count())
+            if n == 0:
+                return 0
+            lines.write.mode("overwrite").text(tmp)
+            moved = 0
             for name in sorted(os.listdir(tmp)):
                 if not name.startswith("part-"):
                     continue
                 src = os.path.join(tmp, name)
                 if os.path.getsize(src) == 0:
                     continue
-                with open(src) as f:
-                    n += sum(1 for _ in f)
                 os.rename(
                     src,
                     os.path.join(
                         self.changelog_dir,
-                        f"cap-{schema}.{table}-{tag}-{moved:04d}.json",
+                        f"cap-{schema}.{table}-{tag}-{emit_id}-{moved:04d}.json",
                     ),
                 )
                 moved += 1
         finally:
+            lines.unpersist()
             shutil.rmtree(tmp, ignore_errors=True)
         return n
 
@@ -222,6 +244,7 @@ class PollingCapture:
         pk_cols: list[str],
         version_col: str,
         deleted_col: str | None = None,
+        overlap: int = 0,
     ) -> int:
         """One high-watermark poll: emit every row whose
         ``version_col`` advanced past the stored watermark, then move
@@ -229,13 +252,21 @@ class PollingCapture:
         :meth:`seed`) = bootstrap poll: the whole table emits as
         updates, convergent under the latest-wins MERGE.
 
-        ``version_col`` must be strictly monotonic ACROSS COMMITS —
-        a row committed late with an already-polled version is lost,
-        the documented caveat of every watermark-polling CDC."""
+        With ``overlap == 0``, ``version_col`` must be strictly
+        monotonic ACROSS COMMITS — a row committed late with an
+        already-polled version is lost, the documented caveat of every
+        watermark-polling CDC. ``overlap > 0`` is the standard public
+        mitigation (Kafka Connect's ``timestamp.delay.interval.ms``
+        analog): poll ``WHERE v > watermark - overlap`` so any commit
+        that landed up to ``overlap`` version units behind the
+        watermark is recovered on the next poll. The re-emitted
+        already-seen rows inside the window are convergent duplicates
+        under the latest-wins MERGE; cost is O(delta + window), still
+        pushed to the database's index."""
         wm = self._watermark(schema, table)
         q = f"SELECT * FROM {schema}.{table}"
         if wm is not None:
-            q += f" WHERE {version_col} > {int(wm)}"
+            q += f" WHERE {version_col} > {int(wm) - int(overlap)}"
         delta = self._query(q)
         cols = list(delta.columns)
         pos = _pos_col(F.col(version_col))
@@ -251,7 +282,7 @@ class PollingCapture:
             )
         else:
             op = F.lit(OP_UPDATE)
-            data = _string_map(data_cols)
+            data = _string_map(cols)
             before = F.lit(None).cast("map<string,string>")
         events = self._envelope(delta, schema, table, op, data, before, pos)
         # the new watermark is the max version in this delta — computed

@@ -95,4 +95,10 @@ def test_committed_drift_ab_rows_are_stale_by_now(bench):
     for row in rows:
         assert row["round"] <= cur
         assert row["query"]
+        if row["max_ratio"] is None:
+            # tools/drift_ab.py appends rows with max_ratio=null by
+            # design (the human sets the bound after reading the A/B);
+            # null rows never feed the gate (bench.py requires a truthy
+            # max_ratio), so they are legal here — just not yet active
+            continue
         assert row["max_ratio"] > 1.0

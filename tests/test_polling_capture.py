@@ -177,6 +177,159 @@ deleted_col = "DELETED"
     conn.close()
 
 
+def test_incrementing_capture_default_shape_no_deleted_col(spark, tmp_path):
+    """The STANDARD Kafka-Connect ``incrementing`` config — a version
+    column and nothing else (no soft-delete flag) — must capture
+    inserts+updates end-to-end (VERDICT r11 #1: this exact shape used
+    to crash with NameError on its first poll and no gate saw it)."""
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.ITEMS (K1 INT NOT NULL PRIMARY KEY, "
+        "NAME VARCHAR(30), V BIGINT)"
+    )
+    for k in range(1, 11):
+        st.executeUpdate(f"INSERT INTO APP.ITEMS VALUES ({k}, 'item{k}', {k})")
+
+    capture_toml = """[source.capture_tables.ITEMS]
+version_col = "V"
+"""
+    engine = Engine(
+        load_config(_config(tmp_path, url, "incrementing", capture_toml, include="ITEMS")),
+        spark=spark,
+    )
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+    assert engine.meta.get_pos("derbysrc#capture", sc="APP", tb="ITEMS") == "000000000010"
+
+    # insert + update between polls -> exactly the delta is emitted
+    st.executeUpdate("INSERT INTO APP.ITEMS VALUES (11, 'fresh', 11)")
+    st.executeUpdate("UPDATE APP.ITEMS SET NAME='bumped', V=12 WHERE K1=4")
+    polled = engine.capture_sync()
+    assert polled[(1, "APP", "ITEMS")] == 2
+    assert engine.meta.get_pos("derbysrc#capture", sc="APP", tb="ITEMS") == "000000000012"
+    cols = ("K1", "NAME", "V")
+    assert _mat_rows(engine, "ITEMS", cols) == _db_rows(
+        conn, "SELECT K1, NAME, V FROM APP.ITEMS"
+    )
+
+    # idle poll: zero events, watermark stays
+    polled = engine.capture_sync()
+    assert polled[(1, "APP", "ITEMS")] == 0
+    assert engine.meta.get_pos("derbysrc#capture", sc="APP", tb="ITEMS") == "000000000012"
+    assert _mat_rows(engine, "ITEMS", cols) == _db_rows(
+        conn, "SELECT K1, NAME, V FROM APP.ITEMS"
+    )
+    conn.close()
+
+
+def test_crash_replay_segments_get_fresh_filenames(spark, tmp_path):
+    """Crash between _emit and the watermark advance (ADVICE r11
+    medium): the replay re-emits the same changes PLUS anything that
+    committed in between. Spark's FileStreamSource tracks seen files by
+    path — if the replay reused the original segment names, the
+    already-drained paths would never be re-read and the in-between
+    rows would be lost under an advancing watermark. Unique per-emit
+    filenames make the replay a new, drained, convergent duplicate."""
+    from go_cdc_spark.sources.polling import PollingCapture
+
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.ITEMS (K1 INT NOT NULL PRIMARY KEY, "
+        "NAME VARCHAR(30), V BIGINT)"
+    )
+    for k in range(1, 6):
+        st.executeUpdate(f"INSERT INTO APP.ITEMS VALUES ({k}, 'item{k}', {k})")
+    capture_toml = """[source.capture_tables.ITEMS]
+version_col = "V"
+"""
+    engine = Engine(
+        load_config(_config(tmp_path, url, "incrementing", capture_toml, include="ITEMS")),
+        spark=spark,
+    )
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+
+    # poll with the watermark advance suppressed = crash right after
+    # the emit; the emitted segment still gets DRAINED by the stream
+    st.executeUpdate("INSERT INTO APP.ITEMS VALUES (6, 'six', 6)")
+    st.executeUpdate("INSERT INTO APP.ITEMS VALUES (7, 'seven', 7)")
+    orig = PollingCapture._set_watermark
+    PollingCapture._set_watermark = lambda self, *a, **k: None
+    try:
+        engine.capture_sync()  # emits v6,v7; drains them; watermark stuck at 5
+    finally:
+        PollingCapture._set_watermark = orig
+    assert engine.meta.get_pos("derbysrc#capture", sc="APP", tb="ITEMS") == "000000000005"
+
+    # a row commits between the original poll and the replay
+    st.executeUpdate("INSERT INTO APP.ITEMS VALUES (8, 'eight', 8)")
+    # the replay poll re-emits v6,v7 (same watermark tag!) plus v8 —
+    # with reused filenames the segment would overwrite an
+    # already-seen path and v8 would never reach the stream
+    polled = engine.capture_sync()
+    assert polled[(1, "APP", "ITEMS")] == 3
+    cols = ("K1", "NAME", "V")
+    got = _mat_rows(engine, "ITEMS", cols)
+    assert got == _db_rows(conn, "SELECT K1, NAME, V FROM APP.ITEMS")
+    assert (8, "eight", 8) in got  # the in-between commit survived
+    assert engine.meta.get_pos("derbysrc#capture", sc="APP", tb="ITEMS") == "000000000008"
+    conn.close()
+
+
+def test_overlap_window_recovers_late_commit(spark, tmp_path):
+    """The documented loss case of watermark polling (polling.py): a
+    row committed LATE with an already-polled version. overlap=0
+    reproduces the loss; a configured overlap window re-polls
+    ``v > wm - overlap`` and recovers it (convergent latest-wins
+    duplicates for the re-seen rows)."""
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.ITEMS (K1 INT NOT NULL PRIMARY KEY, "
+        "NAME VARCHAR(30), V BIGINT)"
+    )
+    for k in range(1, 6):
+        st.executeUpdate(f"INSERT INTO APP.ITEMS VALUES ({k}, 'item{k}', {k})")
+
+    capture_toml = """[source.capture_tables.ITEMS]
+version_col = "V"
+"""
+    engine = Engine(
+        load_config(_config(tmp_path, url, "incrementing", capture_toml,
+                            include="ITEMS")),
+        spark=spark,
+    )
+    engine.init_sources()
+
+    # --- zero overlap: the documented loss ---
+    engine.capture_seed()
+    engine.full_sync()
+    st.executeUpdate("INSERT INTO APP.ITEMS VALUES (9, 'fast', 9)")
+    engine.capture_sync()  # watermark -> 9
+    assert engine.meta.get_pos("derbysrc#capture", sc="APP", tb="ITEMS") == "000000000009"
+    # late commit: version 7 assigned before the poll, committed after
+    st.executeUpdate("INSERT INTO APP.ITEMS VALUES (6, 'late', 7)")
+    polled = engine.capture_sync()
+    assert polled[(1, "APP", "ITEMS")] == 0  # the loss, reproduced
+    cols = ("K1", "NAME", "V")
+    assert (6, "late", 7) not in _mat_rows(engine, "ITEMS", cols)
+
+    # --- overlap window on the same source: the late commit is recovered ---
+    engine.registry[1].config.capture_tables["ITEMS"]["overlap"] = 5
+    polled = engine.capture_sync()  # polls v > 9-5 = 4
+    assert polled[(1, "APP", "ITEMS")] == 3  # v∈{5,7,9}: item5, late, fast
+    got = _mat_rows(engine, "ITEMS", cols)
+    assert (6, "late", 7) in got
+    assert got == _db_rows(conn, "SELECT K1, NAME, V FROM APP.ITEMS")
+    # watermark never regresses below the pre-overlap high water
+    assert engine.meta.get_pos("derbysrc#capture", sc="APP", tb="ITEMS") == "000000000009"
+    conn.close()
+
+
 def test_capture_config_validation(tmp_path):
     bad = f"""
 [engine]
@@ -209,6 +362,27 @@ capture = "incrementing"
     )
     p.write_text(bad3)
     with pytest.raises(ValueError, match="version_col"):
+        load_config(str(p))
+
+    # incrementing with an EMPTY capture_tables map is a silent no-op
+    # (version_col is per-table, nothing auto-discovers) — reject at
+    # load time (ADVICE r11 low)
+    bad4 = bad.replace(
+        'capture = "incrementing"',
+        f'capture = "incrementing"\nchangelog = "{tmp_path}/cl"',
+    )
+    p.write_text(bad4)
+    with pytest.raises(ValueError, match="non-empty capture_tables"):
+        load_config(str(p))
+
+    # negative / non-int overlap rejected
+    bad5 = bad.replace(
+        'capture = "incrementing"',
+        f'capture = "incrementing"\nchangelog = "{tmp_path}/cl"\n'
+        '[source.capture_tables.ITEMS]\nversion_col = "V"\noverlap = -3',
+    )
+    p.write_text(bad5)
+    with pytest.raises(ValueError, match="overlap"):
         load_config(str(p))
 
 
