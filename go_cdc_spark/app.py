@@ -43,6 +43,45 @@ from .streaming.restart import RestartPolicy, run_with_restart
 from .streaming.txn_gate import ReadCommittedGate
 
 
+# Demux MERGE fan-out collapse guard (VERDICT r11 #5). Probed on
+# local[32] (SCALE.md round-11): 48 tables × 8 workers collapses to
+# 0.29× sequential (8 concurrent foreachBatch MERGEs × 32-task stages
+# thrash the single JVM's scheduler/GC) while 16 tables × 8 workers is
+# 2.6× FASTER — the hazard is table-count × concurrency on ONE JVM.
+# So the cap applies only to local masters; a multi-executor cluster
+# (concurrent jobs land on otherwise-idle executors) keeps the user's
+# configured value.
+_LOCAL_SAFE_MERGE_WORKERS = 4  # probed optimum at 48 tables (2.20×)
+_LOCAL_MANY_TABLES = 16  # largest probed table count where w8 still won
+
+
+def effective_merge_workers(requested: int, n_touched: int, master: str) -> int:
+    """Bound the demux MERGE fan-out to the probed safe point: on a
+    ``local[*]`` master with more than ``_LOCAL_MANY_TABLES`` touched
+    tables, cap at ``_LOCAL_SAFE_MERGE_WORKERS`` (a user setting 8 on a
+    many-table local source would silently lose 3×, the probed
+    pathological point). Never raises the requested value."""
+    workers = min(int(requested), n_touched)
+    if (
+        master.startswith("local")
+        and n_touched > _LOCAL_MANY_TABLES
+        and workers > _LOCAL_SAFE_MERGE_WORKERS
+    ):
+        import warnings
+
+        warnings.warn(
+            f"merge_concurrency={requested} capped to "
+            f"{_LOCAL_SAFE_MERGE_WORKERS} on a local master with "
+            f"{n_touched} touched tables: the probed local[32] A/B "
+            "(SCALE.md round-11) shows 8 workers at 48 tables running "
+            "0.29× SEQUENTIAL speed; raise the knob on a multi-executor "
+            "cluster instead",
+            stacklevel=2,
+        )
+        return _LOCAL_SAFE_MERGE_WORKERS
+    return workers
+
+
 @dataclass
 class SourceHolder:
     """`DataSourceHolder` analog (`internal/syncdb/data_source.go:42-55`):
@@ -547,7 +586,11 @@ class Engine:
                         # match the sequential loop: the first raise fails
                         # the batch, the replayed batch skips tables whose
                         # applied-batch stamp already advanced.
-                        workers = min(cfg.merge_concurrency, len(work))
+                        workers = effective_merge_workers(
+                            cfg.merge_concurrency,
+                            len(work),
+                            self.spark.sparkContext.master,
+                        )
                         if workers <= 1:
                             for item in work:
                                 apply_one(item)

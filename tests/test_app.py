@@ -886,3 +886,29 @@ include_tables = ["region"]
     engine.incremental_sync()
     names = [v[0] for v in versions()]
     assert names == ["ASIA", "ASIA-v2", "ASIA-v3", "ASIA-v4"]
+
+
+def test_effective_merge_workers_caps_probed_collapse():
+    """VERDICT r11 #5: the probed local[32] collapse (8 workers × 48
+    tables = 0.29× sequential, SCALE.md round-11) must be unreachable
+    through config on a local master; every other probed point keeps
+    the user's value. Cluster masters are never capped."""
+    import warnings
+
+    from go_cdc_spark.app import effective_merge_workers
+
+    # the pathological probed point: capped to the probed optimum
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert effective_merge_workers(8, 48, "local[32]") == 4
+    assert any("0.29" in str(x.message) for x in w)
+
+    # probed-safe points keep the configured value
+    assert effective_merge_workers(8, 16, "local[32]") == 8  # w8 won at 16
+    assert effective_merge_workers(4, 48, "local[32]") == 4  # the default
+    assert effective_merge_workers(2, 48, "local[4]") == 2
+    # never more workers than touched tables
+    assert effective_merge_workers(8, 3, "local[32]") == 3
+    # multi-executor masters: the knob is the user's business
+    assert effective_merge_workers(8, 48, "spark://host:7077") == 8
+    assert effective_merge_workers(8, 48, "yarn") == 8

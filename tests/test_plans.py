@@ -503,3 +503,85 @@ def test_coverage_md_header_count_matches_registry():
         f"COVERAGE.md says {m.group(1)} but the registry has {len(QUERIES)} — "
         "update the §2.B header"
     )
+
+
+# -- BNLJ lint (VERDICT r11 #6) ---------------------------------------------
+# EXPLAIN.md's BroadcastNestedLoopJoins are all 1-row bounds / scalar
+# broadcasts today, but nothing stopped the next operator from
+# introducing an unbounded one — the all-pairs blowup the zero-
+# CartesianProduct checks above exist to prevent. This lint walks the
+# same audited plan set as tools/dump_plans.py and fails on any BNLJ
+# whose broadcast build side isn't provably bounded: a scalar aggregate
+# (empty grouping -> exactly 1 row), an explicit limit, or
+# driver-literal data.
+
+_BOUNDED_LIMITS = {
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+    "TakeOrderedAndProject",
+    "LocalTableScan",  # driver-literal rows (bounds tables)
+}
+
+
+def _jwalk(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
+_ID_BOUND = re.compile(r"\b\w*id#\d+L? <=? \d+\b")
+
+
+def _build_side_bounded(node) -> bool:
+    for m in _jwalk(node):
+        name = m.nodeName()
+        if name in _BOUNDED_LIMITS:
+            return True
+        if name.startswith("Scan ExistingRDD"):
+            # driver-materialized DataFrame (createDataFrame of
+            # catalog-rate rows — every such site is audited to be
+            # counted-bounded elsewhere)
+            return True
+        if "Aggregate" in name:
+            try:
+                if m.groupingExpressions().isEmpty():
+                    return True  # scalar aggregate: exactly one row
+            except Exception:  # noqa: BLE001 — non-agg node with the name
+                pass
+        if name == "Filter" and _ID_BOUND.search(m.toString().splitlines()[0]):
+            # the repo's bounded-sample idiom: a strict integer upper
+            # bound on an id column (`vec_id < 8`) pins the sample to a
+            # FIXED row count at any SF — unlike a value predicate
+            # (`quantity < 24`), which scales with the data and would
+            # NOT pass this lint
+            return True
+    return False
+
+
+def test_bnlj_build_sides_are_bounded(spark, sf_dir):
+    import bench
+    from tools.dump_plans import EXTRA
+
+    names = list(dict.fromkeys(bench.HEADLINE + EXTRA))
+    offenders = []
+    for name in names:
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().sparkPlan()
+        for n in _jwalk(plan):
+            if n.nodeName() != "BroadcastNestedLoopJoin":
+                continue
+            build = (
+                n.left()
+                if "BuildLeft" in n.buildSide().toString()
+                else n.right()
+            )
+            if not _build_side_bounded(build):
+                offenders.append((name, n.toString().splitlines()[0]))
+    assert not offenders, (
+        "BroadcastNestedLoopJoin with an UNBOUNDED build side — an "
+        f"all-pairs blowup at scale: {offenders}"
+    )
