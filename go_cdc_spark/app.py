@@ -355,6 +355,72 @@ class Engine:
                 sleep(next(backoff))
         return rounds
 
+    # -- maintained grid views (VERDICT r11 #4) ----------------------------
+
+    def _grid_for(self, holder: SourceHolder, schema: str, table: str, opts: dict):
+        from .streaming.ivm import IncrementalGrid
+
+        state = os.path.join(
+            self.config.state_dir,
+            f"src{holder.id}",
+            "_views",
+            f"grid-{schema}.{table}",
+        )
+        return IncrementalGrid(
+            self.spark,
+            state,
+            type_col=opts.get("type_col", "event_type"),
+            ts_col=opts.get("ts_col", "ts"),
+            value_col=opts.get("value_col", "value"),
+        )
+
+    def sync_grids(self) -> None:
+        """Advance every configured maintained grid view
+        (``grid_tables`` in source config) from its source changelog —
+        one availableNow drain per view, own checkpoint identity, fold
+        cost O(batch + touched cells) per micro-batch with
+        calendar-bounded state (streaming/ivm.py::IncrementalGrid).
+        Crash/replay safety is the IVM family's run-scoped batch stamp;
+        re-running after a drain is a no-op. The views are DERIVED
+        state: downstream ``ts_*`` consumers read them through
+        :meth:`read_grid` instead of rescanning raw events — at 100 TB
+        the raw event volume is touched exactly once, by this fold."""
+        for holder in self.registry.values():
+            cfg = holder.config
+            for key, opts in cfg.grid_tables.items():
+                sc, tb = key.split(".", 1)
+                grid = self._grid_for(holder, sc, tb, opts)
+                stream = self._changelog_stream(cfg, catchup=True).filter(
+                    (F.col("schema") == sc) & (F.col("table") == tb)
+                )
+                ckpt = os.path.join(
+                    self.config.checkpoint_dir,
+                    f"src{holder.id}",
+                    "_views",
+                    f"grid-{sc}.{tb}",
+                )
+                grid.start(
+                    stream, ckpt, query_name=f"{cfg.name}.grid.{sc}.{tb}"
+                ).awaitTermination()
+
+    def read_grid(self, source_id: int, schema: str, table: str):
+        """The DENSE maintained grid for a configured view — the same
+        (type, hour, n_events, hour_value) surface as
+        ``operators/timeseries._dense_grid``, densified from the
+        maintained sparse cells at read time. Feed it to the df-level
+        time-series cores (e.g. ``operators.timeseries.forecast_core``)
+        for maintained-vs-recomputed parity (tests/test_grid_ivm.py)."""
+        holder = self.registry[source_id]
+        key = f"{schema}.{table}"
+        if key not in holder.config.grid_tables:
+            raise KeyError(
+                f"source {holder.name!r} has no grid view {key!r} "
+                "(configure [source.grid_tables] and run sync_grids)"
+            )
+        return self._grid_for(
+            holder, schema, table, holder.config.grid_tables[key]
+        ).read_table()
+
     # -- step 5: incremental sync -----------------------------------------
 
     def _changelog_stream(self, cfg: SourceConfig, catchup: bool = False):

@@ -112,6 +112,15 @@ class SourceConfig:
     # per-table capture options, keyed by table name (or "schema.table"):
     # incrementing needs {"version_col": ...}, optional "deleted_col"
     capture_tables: dict[str, dict] = field(default_factory=dict)
+    # maintained time-series grid views (streaming/ivm.py::
+    # IncrementalGrid): keys are "schema.table", options type_col /
+    # ts_col / value_col (defaults event_type/ts/value).
+    # Engine.sync_grids folds the changelog into the maintained sparse
+    # grid (O(batch + touched cells) per micro-batch, calendar-bounded
+    # state); Engine.read_grid serves the DENSE grid so the whole ts_*
+    # consumer family runs off maintained state instead of rescanning
+    # raw events — the 100 TB shape for the family (VERDICT r11 #4)
+    grid_tables: dict[str, dict] = field(default_factory=dict)
     # dead-letter quarantine (streaming/dlq.py): one extra per-source
     # stream captures malformed/invalid changelog events with a reason
     # and the raw line into <state_dir>/quarantine/<name>; without it
@@ -210,6 +219,25 @@ def _build(raw: dict) -> EngineConfig:
                             f"source {s.name!r}: capture_tables[{tb!r}] "
                             f"overlap must be a non-negative int, got {ov!r}"
                         )
+        if s.grid_tables:
+            if not s.changelog or s.changelog_format != "native":
+                raise ValueError(
+                    f"source {s.name!r}: grid_tables needs a changelog "
+                    "dir with changelog_format='native' (the grid view "
+                    "folds the change stream)"
+                )
+            for key, opts in s.grid_tables.items():
+                if "." not in key:
+                    raise ValueError(
+                        f"source {s.name!r}: grid_tables key {key!r} "
+                        "must be 'schema.table'"
+                    )
+                bad = set(opts) - {"type_col", "ts_col", "value_col"}
+                if bad:
+                    raise ValueError(
+                        f"source {s.name!r}: grid_tables[{key!r}] has "
+                        f"unknown options {sorted(bad)}"
+                    )
         if s.changelog_format != "debezium":
             # These topics are only unioned into the stream by the
             # debezium branch of Engine._changelog_stream; a native

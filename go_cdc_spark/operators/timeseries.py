@@ -401,39 +401,31 @@ ORDER BY event_type, hour
 """
 
 
-@query("ts_forecast_hourly", oracle=_FORECAST_ORACLE)
-def ts_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly event-count forecast for the grid's last {_FC_H} hours
-    (held out), per event type: OLS linear trend fitted on the train
-    span plus an hour-of-day seasonal index from the trend residuals —
-    seasonal-naive-with-trend, the closed-form sibling of Holt-Winters
-    additive (whose per-step recursion has no bounded-depth
-    SQL/DataFrame form; the closed form IS the fixpoint for constant
-    smoothing of a linear+seasonal series). Output carries the held-out
-    ``actual`` next to ``forecast``, so the holdout error is one
-    subtraction away for any consumer.
+def forecast_core(dense: DataFrame) -> DataFrame:
+    """The forecast fit/seasonal/holdout pipeline over ANY dense grid
+    ``(event_type, hour, n_events)`` — the df-level core shared by the
+    registered :func:`ts_forecast_hourly` (recomputed grid) and the
+    engine's MAINTAINED-grid read path (``Engine.read_grid`` →
+    ``IncrementalGrid`` state → this core), proven output-equal over
+    random change interleavings in tests/test_grid_ivm.py. Numeric
+    policy and scale shape documented on :func:`ts_forecast_hourly`.
 
-    Cross-engine exactness (the ts_decompose_hourly discipline, taken
-    through a regression fit): with u = 2x − (T−1) (integer, Σu = 0 by
-    construction), slope and intercept stay RATIONAL — numerators and
-    denominators are exact DECIMAL(38,0) sums of integers, residual
-    deviations are kept scaled by n·Σu² (exact), the seasonal bucket
-    folds those exact integers, and only the output converts: two
-    correctly-rounded double divisions and one addition, the identical
-    IEEE sequence on both engines. 38-digit headroom: the largest
-    scaled term is n²·Σu²·y ≈ (4/3)n⁵·y — a 10-year hourly span at
-    y=10⁶ events/hour is ~10³¹ < 10³⁸.
-
-    Scale shape: one raw-event aggregation (the shared dense grid);
-    the fit is one (type)-keyed aggregate, the seasonal index one
-    (type, hour-of-day)-keyed aggregate — both map-side-combined over
-    calendar-bounded input — and the forecast join broadcasts the
-    |types|-row fit and |types|×24-row seasonal tables. Nothing after
-    the grid scales with data volume."""
-    dense = _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+    Accepts BOTH hour dtypes the two grid producers emit: the batch
+    grid's TIMESTAMP (instant — epoch cast is tz-independent) and the
+    maintained grid's TIMESTAMP_NTZ (wall clock — ntz forbids the long
+    cast, and a session-zone cast would shift across DST; the calendar
+    form unix_date·86400 + hour·3600 is exact and tz-free for the
+    hour-aligned grid)."""
+    if dict(dense.dtypes).get("hour") == "timestamp_ntz":
+        secs = lambda c: (  # noqa: E731 — local expression alias
+            F.unix_date(F.to_date(F.col(c))).cast("long") * 86400
+            + F.hour(F.col(c)).cast("long") * 3600
+        )
+    else:
+        secs = lambda c: F.col(c).cast("long")  # noqa: E731
     b2 = dense.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
-    hours_of = lambda a, b: (
-        (F.col(a).cast("long") - F.col(b).cast("long")) / F.lit(3600)
+    hours_of = lambda a, b: (  # noqa: E731 — local expression alias
+        (secs(a) - secs(b)) / F.lit(3600)
     ).cast("long")
     g = dense.crossJoin(F.broadcast(b2)).select(
         "event_type",
@@ -491,6 +483,40 @@ def ts_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (level + seasonal).alias("forecast"),
         )
         .orderBy("event_type", "hour")
+    )
+
+
+@query("ts_forecast_hourly", oracle=_FORECAST_ORACLE)
+def ts_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count forecast for the grid's last {_FC_H} hours
+    (held out), per event type: OLS linear trend fitted on the train
+    span plus an hour-of-day seasonal index from the trend residuals —
+    seasonal-naive-with-trend, the closed-form sibling of Holt-Winters
+    additive (whose per-step recursion has no bounded-depth
+    SQL/DataFrame form; the closed form IS the fixpoint for constant
+    smoothing of a linear+seasonal series). Output carries the held-out
+    ``actual`` next to ``forecast``, so the holdout error is one
+    subtraction away for any consumer.
+
+    Cross-engine exactness (the ts_decompose_hourly discipline, taken
+    through a regression fit): with u = 2x − (T−1) (integer, Σu = 0 by
+    construction), slope and intercept stay RATIONAL — numerators and
+    denominators are exact DECIMAL(38,0) sums of integers, residual
+    deviations are kept scaled by n·Σu² (exact), the seasonal bucket
+    folds those exact integers, and only the output converts: two
+    correctly-rounded double divisions and one addition, the identical
+    IEEE sequence on both engines. 38-digit headroom: the largest
+    scaled term is n²·Σu²·y ≈ (4/3)n⁵·y — a 10-year hourly span at
+    y=10⁶ events/hour is ~10³¹ < 10³⁸.
+
+    Scale shape: one raw-event aggregation (the shared dense grid);
+    the fit is one (type)-keyed aggregate, the seasonal index one
+    (type, hour-of-day)-keyed aggregate — both map-side-combined over
+    calendar-bounded input — and the forecast join broadcasts the
+    |types|-row fit and |types|×24-row seasonal tables. Nothing after
+    the grid scales with data volume."""
+    return forecast_core(
+        _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
     )
 
 

@@ -152,3 +152,122 @@ def test_grid_ivm_batch_fold_twin_matches_streaming(spark, tmp_path):
     ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     state = incremental_grid(snapshot, cdf, keys=["event_id"])
     assert _rows(densify_grid(state)) == _rows(grid.read_table())
+
+
+def test_engine_maintained_grid_feeds_forecast_core(spark, tmp_path):
+    """VERDICT r11 #4 — the engine read path: a config-declared grid
+    view (grid_tables) folds the changelog via sync_grids, read_grid
+    serves the DENSE grid, and a downstream consumer (the
+    ts_forecast_hourly core) produces EQUAL output on the maintained
+    grid vs a batch recompute over the surviving events — over a
+    random insert/update/delete interleaving split across segments."""
+    import json
+    import random
+
+    from go_cdc_spark.app import Engine
+    from go_cdc_spark.config import load_config
+    from go_cdc_spark.operators.timeseries import _dense_grid, forecast_core
+
+    # 2 types × 4 days hourly, enough span for the 24h forecast holdout
+    rng = random.Random(42)
+    universe = []
+    eid = 0
+    for et in ("click", "view"):
+        for h in range(96):
+            eid += 1
+            ts = f"2024-03-{1 + h // 24:02d} {h % 24:02d}:15:00"
+            universe.append((eid, et, ts, float(rng.randint(0, 40))))
+    deleted = set(rng.sample([u[0] for u in universe], 15))
+    updated = {
+        u[0]: (u[2], float(rng.randint(0, 40)))
+        for u in rng.sample(universe, 20)
+        if u[0] not in deleted
+    }
+
+    evs = []
+    for eid, et, ts, val in universe:
+        data = {"event_id": str(eid), "event_type": et, "ts": ts,
+                "value": repr(val)}
+        evs.append({"op": "insert", "data": data, "before": None})
+        if eid in updated:
+            new_ts, new_val = updated[eid]
+            after = dict(data, ts=new_ts, value=repr(new_val))
+            evs.append({"op": "update", "data": after, "before": data})
+            data = after
+        if eid in deleted:
+            evs.append({"op": "delete", "data": None, "before": data})
+    rng.shuffle(evs)
+
+    seg_dir = tmp_path / "changelog"
+    seg_dir.mkdir()
+    cfg = f"""
+[engine]
+meta_path      = "{tmp_path}/meta"
+state_dir      = "{tmp_path}/state"
+checkpoint_dir = "{tmp_path}/ckpt"
+
+[[source]]
+id        = 1
+name      = "dev"
+type      = "parquet"
+path      = "/root/testdata/sf0.001"
+changelog = "{seg_dir}"
+[source.grid_tables."main.events"]
+type_col  = "event_type"
+ts_col    = "ts"
+value_col = "value"
+[source.rules.global]
+include_tables = ["region"]
+"""
+    cfg_path = tmp_path / "config.toml"
+    cfg_path.write_text(cfg)
+    for b in range(3):
+        with open(seg_dir / f"seg{b}.json", "w") as f:
+            for i, e in enumerate(evs):
+                if i % 3 != b:
+                    continue
+                f.write(json.dumps(_envelope(e, i)) + "\n")
+
+    engine = Engine(load_config(str(cfg_path)), spark=spark)
+    engine.init_sources()
+    engine.sync_grids()
+    maintained = engine.read_grid(1, "main", "events")
+
+    # recompute from the SURVIVING event set (batch ground truth)
+    rows = []
+    for eid, et, ts, val in universe:
+        if eid in deleted:
+            continue
+        if eid in updated:
+            ts, val = updated[eid]
+        rows.append((eid, ts, eid, et, val, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = str(tmp_path / "sf" / "events.parquet")
+    df.write.mode("overwrite").parquet(out)
+    recomputed = _dense_grid(spark, str(tmp_path / "sf"))
+
+    # grid parity first (cell-level), then the downstream consumer
+    assert _rows(maintained) == _rows(recomputed)
+
+    def fc_rows(dense):
+        return sorted(
+            (r.event_type, str(r.hour), r.actual, round(r.forecast, 9))
+            for r in forecast_core(
+                dense.select("event_type", "hour", "n_events")
+            ).collect()
+        )
+
+    got = fc_rows(maintained)
+    want = fc_rows(recomputed)
+    assert got and got == want  # 2 types × 24 holdout hours
+
+    # replaying the drain is a no-op (checkpoint + batch stamp)
+    engine.sync_grids()
+    assert fc_rows(engine.read_grid(1, "main", "events")) == want
+
+    # unknown view fails loudly
+    with pytest.raises(KeyError, match="grid view"):
+        engine.read_grid(1, "main", "nope")
