@@ -174,7 +174,19 @@ class PollingCapture:
             n = int(lines.count())
             if n == 0:
                 return 0
-            lines.write.mode("overwrite").text(tmp)
+            # Bound the SEGMENT COUNT, not just the event count: the
+            # cached plan writes one part file per pinned shuffle
+            # partition (32 on the default session — AQE does not
+            # re-coalesce cached output), and the downstream drain's
+            # maxFilesPerTrigger turns 64 tiny segments into 16 state
+            # rewrites (measured 10.3s vs 3.6s for the same 7k events,
+            # SCALE.md round-12). JSON-lines segments are splittable,
+            # so few-but-larger files still parallelize at read; cap
+            # per-file volume at ~50k events so a huge bootstrap never
+            # serializes through one writer.
+            lines.coalesce(max(1, min(8, 1 + n // 50_000))).write.mode(
+                "overwrite"
+            ).text(tmp)
             moved = 0
             for name in sorted(os.listdir(tmp)):
                 if not name.startswith("part-"):
@@ -267,33 +279,43 @@ class PollingCapture:
         q = f"SELECT * FROM {schema}.{table}"
         if wm is not None:
             q += f" WHERE {version_col} > {int(wm) - int(overlap)}"
-        delta = self._query(q)
-        cols = list(delta.columns)
-        pos = _pos_col(F.col(version_col))
-        if deleted_col is not None:
-            op = F.when(
-                F.col(deleted_col).cast("boolean"), F.lit(OP_DELETE)
-            ).otherwise(F.lit(OP_UPDATE))
-            data = F.when(
-                ~F.col(deleted_col).cast("boolean"), _string_map(cols)
-            )
-            before = F.when(
-                F.col(deleted_col).cast("boolean"), _string_map(pk_cols)
-            )
-        else:
-            op = F.lit(OP_UPDATE)
-            data = _string_map(cols)
-            before = F.lit(None).cast("map<string,string>")
-        events = self._envelope(delta, schema, table, op, data, before, pos)
-        # the new watermark is the max version in this delta — computed
-        # on the O(delta) read, not a second table scan
-        head = delta.agg(F.max(F.col(version_col).cast("bigint")).alias("v")).first()
-        n = self._emit(events, schema, table, tag=wm or "bootstrap")
-        if head is not None and head[0] is not None:
-            new_wm = str(int(head[0])).zfill(POS_WIDTH)
-            if wm is None or new_wm > wm:
-                self._set_watermark(schema, table, new_wm)
-        return n
+        # PIN the delta for the whole poll: the emit, the event count,
+        # and the new-watermark max all read the SAME JDBC scan. A
+        # fresh re-read for the watermark would race concurrent
+        # commits — a row committed between the emit and the re-read
+        # would advance the watermark PAST itself without ever being
+        # emitted (silent loss). One scan is also the O(delta) cost
+        # story: the database's index serves the predicate once.
+        delta = self._query(q).persist()
+        try:
+            cols = list(delta.columns)
+            pos = _pos_col(F.col(version_col))
+            if deleted_col is not None:
+                op = F.when(
+                    F.col(deleted_col).cast("boolean"), F.lit(OP_DELETE)
+                ).otherwise(F.lit(OP_UPDATE))
+                data = F.when(
+                    ~F.col(deleted_col).cast("boolean"), _string_map(cols)
+                )
+                before = F.when(
+                    F.col(deleted_col).cast("boolean"), _string_map(pk_cols)
+                )
+            else:
+                op = F.lit(OP_UPDATE)
+                data = _string_map(cols)
+                before = F.lit(None).cast("map<string,string>")
+            events = self._envelope(delta, schema, table, op, data, before, pos)
+            head = delta.agg(
+                F.max(F.col(version_col).cast("bigint")).alias("v")
+            ).first()
+            n = self._emit(events, schema, table, tag=wm or "bootstrap")
+            if head is not None and head[0] is not None:
+                new_wm = str(int(head[0])).zfill(POS_WIDTH)
+                if wm is None or new_wm > wm:
+                    self._set_watermark(schema, table, new_wm)
+            return n
+        finally:
+            delta.unpersist()
 
     # -- keydiff mode ----------------------------------------------------
 
@@ -321,9 +343,21 @@ class PollingCapture:
     def poll_keydiff(self, schema: str, table: str, pk_cols: list[str]) -> int:
         """One fingerprint-diff poll: inserts/updates where the PK is
         new or the non-key fingerprint changed, hard DELETEs where a
-        previously-seen PK vanished. One partitioned JDBC scan + one
-        PK-shuffle full-outer join; key state is a parquet table swapped
-        via the storeio crash protocol."""
+        previously-seen PK vanished. ONE partitioned JDBC scan + one
+        PK-shuffle full-outer join, PINNED for the whole poll; key
+        state is a parquet table swapped via the storeio crash
+        protocol.
+
+        The pin is load-bearing twice over. Consistency: the emitted
+        changes, the delete set, and the PROMOTED key state are all
+        views of the same scan — re-reading the table for the state
+        promote (the naive form) races concurrent commits, promoting a
+        row as "seen" that was never emitted (silent loss; same hazard
+        class as the incrementing watermark race). Cost: the naive form
+        scans the table over JDBC three times per poll (diff join,
+        delete emit recompute, state promote); the pinned join is
+        scanned once and every consumer reads the cache — measured
+        ~2.3× on the engine-bench polling phase (SCALE.md round-12)."""
         current = self._read_full(schema, table)
         cols = current.columns
         val_cols = sorted(c for c in cols if c not in pk_cols)
@@ -344,49 +378,58 @@ class PollingCapture:
         pos = F.lit(str(seq).zfill(POS_WIDTH))
 
         if prev is None:
-            changed = cur
+            pinned = cur.persist()
+            changed = pinned
             deletes = None
+            snap = pinned.select(*pk_cols, "__fp")
         else:
             on = [F.col(k) == F.col(f"__prev_{k}") for k in pk_cols]
-            joined = cur.join(
+            pinned = cur.join(
                 prev, on=on[0] if len(on) == 1 else F.expr(" AND ".join(
                     f"{k} = __prev_{k}" for k in pk_cols
                 )), how="full_outer",
-            )
-            changed = joined.filter(
+            ).persist()
+            changed = pinned.filter(
                 F.col(pk_cols[0]).isNotNull()
                 & (
                     F.col(f"__prev_{pk_cols[0]}").isNull()
                     | (F.col("__fp") != F.col("__prev_fp"))
                 )
             ).select(*cols, "__fp")
-            deletes = joined.filter(F.col(pk_cols[0]).isNull()).select(
+            deletes = pinned.filter(F.col(pk_cols[0]).isNull()).select(
                 *[F.col(f"__prev_{k}").alias(k) for k in pk_cols]
             )
-
-        n = self._emit(
-            self._envelope(
-                changed.select(*cols), schema, table,
-                op=F.lit(OP_UPDATE), data=_string_map(cols),
-                before=F.lit(None).cast("map<string,string>"), pos=pos,
-            ),
-            schema, table, tag=f"kd{seq}-u",
-        )
-        if deletes is not None:
-            n += self._emit(
-                self._envelope(
-                    deletes, schema, table,
-                    op=F.lit(OP_DELETE),
-                    data=F.lit(None).cast("map<string,string>"),
-                    before=_string_map(pk_cols), pos=pos,
-                ),
-                schema, table, tag=f"kd{seq}-d",
+            # the current rows of THIS scan (cur side of the outer join)
+            snap = pinned.filter(F.col(pk_cols[0]).isNotNull()).select(
+                *pk_cols, "__fp"
             )
 
-        # advance the sequence BEFORE promoting key state: a crash in
-        # between re-emits (convergent) but never reuses a pos
-        self._set_watermark(schema, table, str(seq).zfill(POS_WIDTH))
-        tmp = f"{state_path}.tmp-{uuid.uuid4().hex[:8]}"
-        cur.select(*pk_cols, "__fp").write.mode("overwrite").parquet(tmp)
-        storeio.promote_tmp(tmp, state_path)
-        return n
+        try:
+            n = self._emit(
+                self._envelope(
+                    changed.select(*cols), schema, table,
+                    op=F.lit(OP_UPDATE), data=_string_map(cols),
+                    before=F.lit(None).cast("map<string,string>"), pos=pos,
+                ),
+                schema, table, tag=f"kd{seq}-u",
+            )
+            if deletes is not None:
+                n += self._emit(
+                    self._envelope(
+                        deletes, schema, table,
+                        op=F.lit(OP_DELETE),
+                        data=F.lit(None).cast("map<string,string>"),
+                        before=_string_map(pk_cols), pos=pos,
+                    ),
+                    schema, table, tag=f"kd{seq}-d",
+                )
+
+            # advance the sequence BEFORE promoting key state: a crash in
+            # between re-emits (convergent) but never reuses a pos
+            self._set_watermark(schema, table, str(seq).zfill(POS_WIDTH))
+            tmp = f"{state_path}.tmp-{uuid.uuid4().hex[:8]}"
+            snap.write.mode("overwrite").parquet(tmp)
+            storeio.promote_tmp(tmp, state_path)
+            return n
+        finally:
+            pinned.unpersist()
