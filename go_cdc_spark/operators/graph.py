@@ -1067,3 +1067,97 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("jaccard"), "pa", "pb").limit(_LP_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities on the DIRECTED customer→supplier purchase
+# graph — the second link-analysis algebra next to PageRank: customers
+# that buy from well-sourced suppliers are strong HUBS, suppliers bought
+# by strong hubs are strong AUTHORITIES (Kleinberg's mutual
+# reinforcement).
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+a1 AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS s FROM pairs GROUP BY sk)
+"""
+    its = []
+    for i in range(1, _HITS_ITERS + 1):
+        its.append(f""",
+h{i} AS (
+  SELECT p.ck, CAST(SUM(a.s) AS BIGINT) AS s
+  FROM pairs p JOIN a{i} a ON p.sk = a.sk GROUP BY p.ck
+)""")
+        if i < _HITS_ITERS:
+            its.append(f""",
+a{i + 1} AS (
+  SELECT p.sk, CAST(SUM(h.s) AS BIGINT) AS s
+  FROM pairs p JOIN h{i} h ON p.ck = h.ck GROUP BY p.sk
+)""")
+    tail = f"""
+SELECT 's:' || sk AS node, 'authority' AS role, s AS score FROM a{_HITS_ITERS}
+UNION ALL
+SELECT 'c:' || ck AS node, 'hub' AS role, s AS score FROM h{_HITS_ITERS}
+ORDER BY role, node
+"""
+    return head + "".join(its) + tail
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_HITS_ITERS} rounds of UNNORMALIZED HITS power iteration over
+    the directed customer→supplier edge set: a₁ = in-degree (h₀ ≡ 1),
+    hᵢ(c) = Σ_{{c→s}} aᵢ(s), aᵢ₊₁(s) = Σ_{{c→s}} hᵢ(c). Skipping the
+    per-round normalization keeps every score an EXACT integer sum
+    (per-iteration ranking is scale-invariant, so the ordering is the
+    textbook one) — bit-identical across engines with zero float
+    accumulation, the pagerank exactness discipline taken all the way
+    to integers. Magnitude bound: scores grow as (d_c·d_s)^iters ≈
+    1e13 at sf1 — inside BIGINT with 5 orders of headroom.
+
+    Scale shape: the distinct edge derivation is one orders⋈lineitem
+    join + distinct (shared shape with pagerank's edge build); each
+    half-step is ONE hash join + ONE keyed aggregate with map-side
+    partials on a LONG key, alternating ck/sk — 2·iters stage-bounded
+    shuffles total, no driver loop, no collect.
+
+    Parity note: derived analytic surface (SURVEY.md §2.B); the
+    reference has no graph operators."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("ck")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    pairs = orders.join(li, "ok").select("ck", "sk").distinct()
+    a = pairs.groupBy("sk").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    for i in range(1, _HITS_ITERS + 1):
+        h = (
+            pairs.join(a, "sk")
+            .groupBy("ck")
+            .agg(F.sum("s").cast("long").alias("s"))
+        )
+        if i < _HITS_ITERS:
+            a = (
+                pairs.join(h, "ck")
+                .groupBy("sk")
+                .agg(F.sum("s").cast("long").alias("s"))
+            )
+    auth = a.select(
+        F.concat(F.lit("s:"), F.col("sk")).alias("node"),
+        F.lit("authority").alias("role"),
+        F.col("s").alias("score"),
+    )
+    hubs = h.select(
+        F.concat(F.lit("c:"), F.col("ck")).alias("node"),
+        F.lit("hub").alias("role"),
+        F.col("s").alias("score"),
+    )
+    return auth.unionByName(hubs).orderBy("role", "node")

@@ -237,3 +237,110 @@ def drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         sl.alias("share_late"),
         ((se - sl) * (se - sl) / (se + sl)).alias("chi_component"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit — the schema-inference side of data
+# quality: does column A determine column B? The CDC angle: a violated
+# FD that "should" hold is the classic symptom of a torn replication or
+# a bad merge key, so replication QA suites run exactly this check.
+# ---------------------------------------------------------------------------
+
+_FD_SQL = """
+WITH fd1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS lhs_values,
+         CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_lhs,
+         CAST(MAX(k) AS BIGINT) AS max_rhs
+  FROM (SELECT n_nationkey, COUNT(DISTINCT n_regionkey) AS k
+        FROM nation GROUP BY n_nationkey)
+),
+fd2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS lhs_values,
+         CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_lhs,
+         CAST(MAX(k) AS BIGINT) AS max_rhs
+  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS k
+        FROM orders GROUP BY o_custkey)
+),
+fd3 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS lhs_values,
+         CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_lhs,
+         CAST(MAX(k) AS BIGINT) AS max_rhs
+  FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS k
+        FROM lineitem GROUP BY l_partkey)
+),
+fd4 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS lhs_values,
+         CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_lhs,
+         CAST(MAX(k) AS BIGINT) AS max_rhs
+  FROM (SELECT c.c_nationkey, COUNT(DISTINCT n.n_name) AS k
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY c.c_nationkey)
+)
+SELECT fd, lhs_values, violating_lhs, max_rhs,
+       violating_lhs = 0 AS holds
+FROM (
+  SELECT 'nation.n_nationkey->n_regionkey' AS fd, * FROM fd1
+  UNION ALL SELECT 'orders.o_custkey->o_orderpriority', * FROM fd2
+  UNION ALL SELECT 'lineitem.l_partkey->l_suppkey', * FROM fd3
+  UNION ALL SELECT 'customer.c_nationkey->nation.n_name', * FROM fd4
+)
+ORDER BY fd
+"""
+
+
+def _fd_summary(grouped: DataFrame, fd: str) -> DataFrame:
+    """grouped = (lhs, k) with k = exact COUNT(DISTINCT rhs)."""
+    return grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("lhs_values"),
+        F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("violating_lhs"),
+        F.max("k").cast("long").alias("max_rhs"),
+    ).select(F.lit(fd).alias("fd"), "lhs_values", "violating_lhs", "max_rhs")
+
+
+@query("dq_functional_deps", oracle=_FD_SQL)
+def dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit four candidate functional dependencies — two that hold
+    (key-determined), two that real data violates — reporting per FD
+    the distinct LHS count, how many LHS values map to >1 RHS, and the
+    worst fan-out. Exact BIGINT counts throughout (hash-checked).
+
+    Scale shape: each FD is ONE keyed COUNT(DISTINCT) aggregate with
+    map-side partials over its table (Spark plans distinct-aggregates
+    as two-phase Expand; no row ever leaves its table scan except the
+    FK join's broadcast dim), then a 1-row summary — the audit output
+    is 4 rows regardless of data volume."""
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+
+    g1 = nation.groupBy("n_nationkey").agg(
+        F.countDistinct("n_regionkey").alias("k")
+    )
+    g2 = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("k")
+    )
+    g3 = li.groupBy("l_partkey").agg(F.countDistinct("l_suppkey").alias("k"))
+    g4 = (
+        cust.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.countDistinct("n_name").alias("k"))
+    )
+    out = (
+        _fd_summary(g1, "nation.n_nationkey->n_regionkey")
+        .unionByName(_fd_summary(g2, "orders.o_custkey->o_orderpriority"))
+        .unionByName(_fd_summary(g3, "lineitem.l_partkey->l_suppkey"))
+        .unionByName(_fd_summary(g4, "customer.c_nationkey->nation.n_name"))
+    )
+    return out.select(
+        "fd",
+        "lhs_values",
+        "violating_lhs",
+        "max_rhs",
+        (F.col("violating_lhs") == 0).alias("holds"),
+    ).orderBy("fd")

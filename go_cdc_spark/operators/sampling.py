@@ -301,3 +301,49 @@ def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(_PRIORITY_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-reservoir: uniform sample WITHOUT replacement of
+# fixed size k, as hash-order top-k — the distributed equivalent of
+# Vitter's reservoir (rank every row by a uniform deterministic key,
+# keep the k smallest; per-partition heaps merge at the driver =
+# exactly TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 500
+
+_RESERVOIR_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+LIMIT {_RESERVOIR_K}
+"""
+
+
+@query("sample_reservoir", oracle=_RESERVOIR_ORACLE)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample (k = {_RESERVOIR_K}) of orders by
+    md5-hash order of the key — deterministic (same sample every run,
+    every engine: md5 renders as lowercase hex on both, and hex strings
+    sort identically), uniform (the hash is equidistributed over keys),
+    and without replacement.
+
+    Scale shape: TakeOrderedAndProject — every partition keeps its
+    local k smallest hash ranks (a bounded heap, no sort of the full
+    partition), the driver merges |partitions|·k rows. No shuffle, no
+    global sort; the classic reservoir's sequential scan becomes
+    embarrassingly parallel. The key tiebreak is unreachable for md5
+    but keeps the ORDER BY total for the hash oracle."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.md5(F.col("o_orderkey").cast("string")).alias("__r"),
+        )
+        .orderBy("__r", "o_orderkey")
+        .limit(_RESERVOIR_K)
+        .drop("__r")
+    )

@@ -988,3 +988,100 @@ def corpus_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_cap")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser–Ney bigram language model over the corpus — the
+# standard n-gram smoothing (Kneser & Ney 1995; Chen & Goodman 1999)
+# every LM-data pipeline uses for perplexity-style quality filtering.
+# Trained fully in-engine from exact counts.
+# ---------------------------------------------------------------------------
+
+# d = 0.75 is the canonical KN discount AND exactly representable in
+# binary (3/4), so the float expression tree stays deterministic; both
+# sides cast it to DOUBLE explicitly (DuckDB would otherwise parse the
+# literal as DECIMAL and multiply in decimal — different rounding).
+_KN_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+lhs AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1w1
+  FROM c12 GROUP BY w1
+),
+rhs AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nw2 FROM c12 GROUP BY w2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM c12)
+SELECT c.w1, c.w2, c.c12, l.c1, l.n1w1, r.nw2,
+       GREATEST(CAST(c.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+         / CAST(l.c1 AS DOUBLE)
+       + ((CAST(0.75 AS DOUBLE) * CAST(l.n1w1 AS DOUBLE)) / CAST(l.c1 AS DOUBLE))
+         * (CAST(r.nw2 AS DOUBLE) / CAST(t.ntot AS DOUBLE)) AS p_kn
+FROM c12 c JOIN lhs l ON c.w1 = l.w1 JOIN rhs r ON c.w2 = r.w2 CROSS JOIN tot t
+ORDER BY c.w1, c.w2
+"""
+
+
+@query("lm_kneser_ney_bigrams", oracle=_KN_ORACLE)
+def lm_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities, d = 3/4:
+
+        P(w2|w1) = max(c(w1,w2) − d, 0)/c(w1)
+                 + d·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·)
+
+    The continuation distribution (how many CONTEXTS a word follows,
+    not how often it occurs) is what distinguishes KN from plain
+    absolute discounting — "Francisco" is frequent but only ever
+    follows "San".
+
+    Cross-engine exactness: every sufficient statistic is an exact
+    BIGINT count over the distinct-bigram table; the probability is one
+    fixed IEEE expression tree (sub, two divisions, mul, add — all
+    correctly rounded) with d = 0.75 exactly representable in binary,
+    so results hash-match bit-exactly.
+
+    Scale shape: bigram extraction is one map-side zip_with+explode
+    (no shuffle); the count tables are three keyed aggregates OVER THE
+    DISTINCT-BIGRAM table (vocabulary-bounded, ≤|V|², never
+    data-volume-bounded past the first agg); N1+(·,·) is a scalar
+    aggregate broadcast (a 1-row bound — BNLJ lint class); the final
+    joins are vocabulary-sized."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("t")
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    lhs = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1w1"),
+    )
+    rhs = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("nw2"))
+    tot = c12.agg(F.count(F.lit(1)).cast("long").alias("ntot"))
+    p = (
+        F.greatest(
+            F.col("c12").cast("double") - F.lit(0.75), F.lit(0.0)
+        )
+        / F.col("c1").cast("double")
+        + (F.lit(0.75) * F.col("n1w1").cast("double"))
+        / F.col("c1").cast("double")
+        * (F.col("nw2").cast("double") / F.col("ntot").cast("double"))
+    )
+    return (
+        c12.join(lhs, "w1")
+        .join(rhs, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", "c1", "n1w1", "nw2", p.alias("p_kn"))
+        .orderBy("w1", "w2")
+    )

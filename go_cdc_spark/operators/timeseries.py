@@ -954,3 +954,118 @@ def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(guard, z).alias("zscore"),
         F.when(guard & (F.abs(z) > 2.0), F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),
     ).orderBy("event_type", "hour")
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation between event-type series: which types LEAD which
+# (e.g. "view" spikes precede "purchase" spikes by k hours) — the
+# cross-series sibling of ts_autocorr_hourly, and another consumer of
+# the shared dense grid / the engine's MAINTAINED grid (read_grid).
+# ---------------------------------------------------------------------------
+
+_CCF_LAGS = (0, 1, 2, 6, 24)
+
+_CCF_ORACLE = f"""
+WITH {_GRID_SQL},
+led AS (
+  SELECT event_type, hour, n_events,
+         {", ".join(f"LEAD(n_events, {k}) OVER (PARTITION BY event_type ORDER BY hour) AS b{k}" for k in _CCF_LAGS)}
+  FROM dense
+),
+pairs AS (
+  {" UNION ALL ".join(
+      f"SELECT a.event_type AS type_a, l.event_type AS type_b, CAST({k} AS INT) AS lag, "
+      f"a.n_events AS x, l.b{k} AS y "
+      "FROM dense a JOIN led l ON a.hour = l.hour AND a.event_type <> l.event_type "
+      f"WHERE l.b{k} IS NOT NULL"
+      for k in _CCF_LAGS)}
+),
+ccfagg AS (
+  SELECT type_a, type_b, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY type_a, type_b, lag
+)
+SELECT type_a, type_b, lag, n_pairs,
+       CASE WHEN (n_pairs * sxx - sx * sx) > 0 AND (n_pairs * syy - sy * sy) > 0
+            THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+       END AS ccf
+FROM ccfagg
+ORDER BY type_a, type_b, lag
+"""
+
+
+def crosscorr_core(dense: DataFrame) -> DataFrame:
+    """Pearson cross-correlation corr(a[h], b[h+k]) for every ORDERED
+    pair of distinct event types at lags {_CCF_LAGS}, over any dense
+    grid (event_type, hour, n_events) — batch-grid and maintained-grid
+    (Engine.read_grid) consumers share this core; parity pinned in
+    tests/test_grid_ivm.py.
+
+    Ordered pairs (both (a,b) and (b,a)) because CCF is direction-
+    sensitive: corr(view[h], purchase[h+2]) high = views LEAD
+    purchases by 2 hours; the transpose reads the opposite lead.
+
+    Exactness: the ts_autocorr_hourly discipline — six exact BIGINT
+    sufficient statistics, one double division by one correctly-rounded
+    sqrt at the output edge; zero-variance windows yield NULL on both
+    engines.
+
+    Scale shape: ONE window sort per type computes every lag's lead
+    column; the type-pair expansion joins grid-sized relations on hour
+    (|hours| × |types|² rows — calendar- and catalog-bounded, never
+    data-bounded); one (pair, lag)-keyed aggregate with map-side
+    partials finishes."""
+    w = Window.partitionBy("event_type").orderBy("hour")
+    led = dense.select(
+        F.col("event_type").alias("type_b"),
+        "hour",
+        *[F.lead("n_events", k).over(w).alias(f"b{k}") for k in _CCF_LAGS],
+    )
+    stack_expr = "stack({n}, {args}) AS (lag, y)".format(
+        n=len(_CCF_LAGS),
+        args=", ".join(f"CAST({k} AS INT), b{k}" for k in _CCF_LAGS),
+    )
+    pairs = (
+        dense.select(
+            F.col("event_type").alias("type_a"),
+            "hour",
+            F.col("n_events").alias("x"),
+        )
+        .join(led, "hour")
+        .filter(F.col("type_a") != F.col("type_b"))
+        .selectExpr("type_a", "type_b", "x", stack_expr)
+        .filter(F.col("y").isNotNull())
+    )
+    agg = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ccf = F.when(
+        (vx > 0) & (vy > 0),
+        num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")),
+    )
+    return agg.select(
+        "type_a", "type_b", "lag", "n_pairs", ccf.alias("ccf")
+    ).orderBy("type_a", "type_b", "lag")
+
+
+@query("ts_crosscorr_hourly", oracle=_CCF_ORACLE)
+def ts_crosscorr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag structure BETWEEN event types (see crosscorr_core) over
+    the recomputed dense grid; the engine serves the same core off the
+    maintained grid (Engine.read_grid)."""
+    return crosscorr_core(
+        _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+    )

@@ -264,6 +264,20 @@ include_tables = ["region"]
     want = fc_rows(recomputed)
     assert got and got == want  # 2 types × 24 holdout hours
 
+    # second consumer: cross-correlation core, same maintained surface
+    from go_cdc_spark.operators.timeseries import crosscorr_core
+
+    def cc_rows(dense):
+        return sorted(
+            (r.type_a, r.type_b, r.lag, r.n_pairs,
+             None if r.ccf is None else round(r.ccf, 9))
+            for r in crosscorr_core(
+                dense.select("event_type", "hour", "n_events")
+            ).collect()
+        )
+
+    assert cc_rows(maintained) == cc_rows(recomputed)
+
     # replaying the drain is a no-op (checkpoint + batch stamp)
     engine.sync_grids()
     assert fc_rows(engine.read_grid(1, "main", "events")) == want
