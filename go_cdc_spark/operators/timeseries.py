@@ -67,6 +67,22 @@ def _w_fwd():
     )
 
 
+def _hour_secs(dense: DataFrame):
+    """Epoch-seconds expression factory for a dense grid's ``hour``
+    column, dispatching on the dtype the two grid producers emit:
+    the batch grid's TIMESTAMP (instant — the long cast is
+    tz-independent) and the maintained grid's TIMESTAMP_NTZ (wall
+    clock — ntz forbids the long cast, and a session-zone cast would
+    shift across DST; the calendar form unix_date·86400 + hour·3600
+    is exact and tz-free for the hour-aligned grid)."""
+    if dict(dense.dtypes).get("hour") == "timestamp_ntz":
+        return lambda c: (
+            F.unix_date(F.to_date(F.col(c))).cast("long") * 86400
+            + F.hour(F.col(c)).cast("long") * 3600
+        )
+    return lambda c: F.col(c).cast("long")
+
+
 def _dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, hour, n_events, hour_value) over the dense hourly grid.
 
@@ -144,12 +160,9 @@ ORDER BY event_type, hour
 """
 
 
-@query("resample_gapfill", oracle=_GAPFILL_ORACLE)
-def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense hourly resample with explicit zero-count gaps and
-    forward-filled values (staircase fill).
-    """
-    dense = _dense_grid(spark, sf_dir)
+def gapfill_core(dense: DataFrame) -> DataFrame:
+    """Staircase fill over ANY dense grid (batch or Engine.read_grid —
+    maintained-grid parity pinned in tests/test_grid_ivm.py)."""
     return dense.select(
         "event_type",
         "hour",
@@ -157,6 +170,14 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_value",
         F.last("hour_value", ignorenulls=True).over(_w_back()).alias("filled_value"),
     ).orderBy("event_type", "hour")
+
+
+@query("resample_gapfill", oracle=_GAPFILL_ORACLE)
+def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with explicit zero-count gaps and
+    forward-filled values (staircase fill).
+    """
+    return gapfill_core(_dense_grid(spark, sf_dir))
 
 
 # Linear interpolation: observed cells keep their value; interior gaps
@@ -194,12 +215,11 @@ ORDER BY event_type, hour
 """
 
 
-@query("resample_interp_linear", oracle=_INTERP_ORACLE)
-def resample_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense hourly resample with interior gaps linearly interpolated
-    between the surrounding observations; boundary gaps stay NULL.
-    """
-    dense = _dense_grid(spark, sf_dir)
+def interp_core(dense: DataFrame) -> DataFrame:
+    """Interior linear interpolation over ANY dense grid (hour-dtype
+    tolerant via :func:`_hour_secs`; maintained-grid parity pinned in
+    tests/test_grid_ivm.py)."""
+    secs = _hour_secs(dense)
     obs_hour = F.when(F.col("hour_value").isNotNull(), F.col("hour"))
     anchored = dense.select(
         "event_type",
@@ -214,12 +234,8 @@ def resample_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hour distances: exact small integers in double; the divide/multiply/
     # add tree is written in the same shape as the oracle so both engines
     # execute the identical IEEE operation sequence.
-    elapsed = (
-        F.col("hour").cast("long") - F.col("prev_h").cast("long")
-    ).cast("double") / F.lit(3600.0)
-    gap = (
-        F.col("next_h").cast("long") - F.col("prev_h").cast("long")
-    ).cast("double") / F.lit(3600.0)
+    elapsed = (secs("hour") - secs("prev_h")).cast("double") / F.lit(3600.0)
+    gap = (secs("next_h") - secs("prev_h")).cast("double") / F.lit(3600.0)
     interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (elapsed / gap)
     return anchored.select(
         "event_type",
@@ -230,6 +246,14 @@ def resample_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), interp)
         .alias("interp_value"),
     ).orderBy("event_type", "hour")
+
+
+@query("resample_interp_linear", oracle=_INTERP_ORACLE)
+def resample_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with interior gaps linearly interpolated
+    between the surrounding observations; boundary gaps stay NULL.
+    """
+    return interp_core(_dense_grid(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -296,7 +320,15 @@ def ts_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with data volume. The decomposition is the standard
     pre-stage for anomaly scoring on seasonal series (score the
     RESIDUAL, not the raw count — anomaly_zscore's docstring trade)."""
-    dense = _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+    return decompose_core(
+        _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+    )
+
+
+def decompose_core(dense: DataFrame) -> DataFrame:
+    """Additive decomposition over ANY dense grid (batch or
+    Engine.read_grid — maintained-grid parity in tests/test_grid_ivm);
+    numeric policy documented on :func:`ts_decompose_hourly`."""
     w25 = (
         Window.partitionBy("event_type")
         .orderBy("hour")
@@ -409,20 +441,9 @@ def forecast_core(dense: DataFrame) -> DataFrame:
     ``IncrementalGrid`` state → this core), proven output-equal over
     random change interleavings in tests/test_grid_ivm.py. Numeric
     policy and scale shape documented on :func:`ts_forecast_hourly`.
-
-    Accepts BOTH hour dtypes the two grid producers emit: the batch
-    grid's TIMESTAMP (instant — epoch cast is tz-independent) and the
-    maintained grid's TIMESTAMP_NTZ (wall clock — ntz forbids the long
-    cast, and a session-zone cast would shift across DST; the calendar
-    form unix_date·86400 + hour·3600 is exact and tz-free for the
-    hour-aligned grid)."""
-    if dict(dense.dtypes).get("hour") == "timestamp_ntz":
-        secs = lambda c: (  # noqa: E731 — local expression alias
-            F.unix_date(F.to_date(F.col(c))).cast("long") * 86400
-            + F.hour(F.col(c)).cast("long") * 3600
-        )
-    else:
-        secs = lambda c: F.col(c).cast("long")  # noqa: E731
+    Hour-dtype tolerant via :func:`_hour_secs` (batch grid TIMESTAMP /
+    maintained grid TIMESTAMP_NTZ)."""
+    secs = _hour_secs(dense)
     b2 = dense.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
     hours_of = lambda a, b: (  # noqa: E731 — local expression alias
         (secs(a) - secs(b)) / F.lit(3600)
@@ -576,7 +597,14 @@ def ts_autocorr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sort per type computing all {len(_ACF_LAGS)} leads, a
     map-side stack, and one (type, lag)-keyed aggregate with partials
     — nothing after the grid scales with data volume."""
-    dense = _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+    return autocorr_core(
+        _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+    )
+
+
+def autocorr_core(dense: DataFrame) -> DataFrame:
+    """ACF over ANY dense grid (batch or Engine.read_grid); numeric
+    policy on :func:`ts_autocorr_hourly`."""
     w = Window.partitionBy("event_type").orderBy("hour")
     led = dense.select(
         "event_type",
@@ -661,7 +689,14 @@ def ts_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|-row total, one cumulative window per calendar-bounded type
     partition, and a WindowGroupLimit-prunable top-1 — nothing after
     the grid scales with data volume."""
-    dense = _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+    return changepoint_core(
+        _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+    )
+
+
+def changepoint_core(dense: DataFrame) -> DataFrame:
+    """CUSUM peak locator over ANY dense grid (batch or
+    Engine.read_grid); numeric policy on :func:`ts_changepoint_hourly`."""
     tot = dense.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("n_events").cast("long").alias("sy"),
@@ -926,9 +961,15 @@ def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one raw-event aggregation builds the grid; the
     seasonal window partitions by (type, hour-of-day) over
     calendar-bounded cells — O(grid), never O(events)."""
-    from pyspark.sql.window import Window
+    return anomaly_seasonal_core(
+        _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+    )
 
-    dense = _dense_grid(spark, sf_dir).select("event_type", "hour", "n_events")
+
+def anomaly_seasonal_core(dense: DataFrame) -> DataFrame:
+    """Per-(type, hour-of-day) z-score anomalies over ANY dense grid
+    (batch or Engine.read_grid); numeric policy on
+    :func:`ts_anomaly_seasonal`."""
     seas = dense.withColumn("hod", F.hour("hour").cast("int"))
     w = Window.partitionBy("event_type", "hod")
     nd = F.col("n_events").cast("decimal(19,0)")

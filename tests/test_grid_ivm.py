@@ -264,19 +264,40 @@ include_tables = ["region"]
     want = fc_rows(recomputed)
     assert got and got == want  # 2 types × 24 holdout hours
 
-    # second consumer: cross-correlation core, same maintained surface
-    from go_cdc_spark.operators.timeseries import crosscorr_core
+    # the WHOLE downstream family reads the maintained grid: every
+    # df-level core produces EQUAL output on maintained vs recomputed
+    from go_cdc_spark.operators.timeseries import (
+        anomaly_seasonal_core,
+        autocorr_core,
+        changepoint_core,
+        crosscorr_core,
+        decompose_core,
+        gapfill_core,
+        interp_core,
+    )
 
-    def cc_rows(dense):
+    def norm(df):
         return sorted(
-            (r.type_a, r.type_b, r.lag, r.n_pairs,
-             None if r.ccf is None else round(r.ccf, 9))
-            for r in crosscorr_core(
-                dense.select("event_type", "hour", "n_events")
-            ).collect()
+            tuple(
+                round(v, 9) if isinstance(v, float) else str(v)
+                for v in row
+            )
+            for row in df.collect()
         )
 
-    assert cc_rows(maintained) == cc_rows(recomputed)
+    three = lambda d: d.select("event_type", "hour", "n_events")
+    for core, proj in [
+        (crosscorr_core, three),
+        (autocorr_core, three),
+        (changepoint_core, three),
+        (anomaly_seasonal_core, three),
+        (decompose_core, three),
+        (gapfill_core, lambda d: d),
+        (interp_core, lambda d: d),
+    ]:
+        got_c = norm(core(proj(maintained)))
+        want_c = norm(core(proj(recomputed)))
+        assert got_c == want_c, core.__name__
 
     # replaying the drain is a no-op (checkpoint + batch stamp)
     engine.sync_grids()
