@@ -144,6 +144,15 @@ HEADLINE = [
     "ts_forecast_hourly",
     "ts_autocorr_hourly",
     "ts_changepoint_hourly",
+    # round-11 surface
+    "cdc_incremental_grid",
+    "ts_anomaly_seasonal",
+    # round-12 surface
+    "ts_crosscorr_hourly",
+    "graph_hits",
+    "lm_kneser_ney_bigrams",
+    "dq_functional_deps",
+    "sample_reservoir",
 ]
 
 

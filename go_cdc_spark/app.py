@@ -802,6 +802,90 @@ class Engine:
         ``pos`` (interval containment over the SCD2 history)."""
         return self._history_mat(source_id, schema, table).asof(pos)
 
+    def freshness(self) -> dict:
+        """Replication-lag report per materialized table — the
+        monitoring face of the reference's GTID watermark bookkeeping
+        (A21, `internal/cannal/incremental.go:195-208`): how far the
+        source changelog has advanced past what each table has APPLIED.
+
+        Per (source_id, schema, table):
+
+        - ``applied_pos`` — the table's incremental watermark (falls
+          back to its snapshot position, the same resolution order as
+          the purge-safety watermark in :meth:`_attach_watermark`);
+        - ``latest_pos`` — the max event position currently in the
+          changelog for that table (None if the changelog carries
+          nothing for it);
+        - ``events_behind`` — events in the changelog above
+          ``applied_pos`` (what one :meth:`incremental_sync` drain
+          would apply);
+        - ``fresh`` — nothing pending.
+
+        Cost: ONE distributed scan of each native-format changelog dir
+        (counts aggregate map-side; the applied-watermark table is a
+        catalog-rate broadcast); output is catalog-rate. Debezium-format
+        sources are skipped (their lag lives in the Kafka consumer
+        offset, not a file dir)."""
+        from .sources.changelog import CHANGE_EVENT_SCHEMA
+
+        rows = self.meta.all()
+        out: dict = {}
+        for holder in self.registry.values():
+            cfg = holder.config
+            if (
+                not cfg.changelog
+                or cfg.changelog_format != "native"
+                or not os.path.isdir(cfg.changelog)
+            ):
+                continue
+            mats = [
+                (sc, tb) for (sid, sc, tb) in self.tables if sid == holder.id
+            ]
+            if not mats:
+                continue
+            applied = {}
+            for sc, tb in mats:
+                row = rows.get((holder.name, None, tb)) or rows.get(
+                    (holder.name, sc, tb)
+                )
+                applied[(sc, tb)] = None if row is None else row.last_pos
+            app_df = self.spark.createDataFrame(
+                [(sc, tb, applied[(sc, tb)]) for sc, tb in mats],
+                "schema string, table string, applied_pos string",
+            )
+            ev = (
+                self.spark.read.schema(CHANGE_EVENT_SCHEMA)
+                .json(cfg.changelog)
+                .select("schema", "table", "pos")
+            )
+            agg = (
+                ev.join(F.broadcast(app_df), ["schema", "table"])
+                .groupBy("schema", "table", "applied_pos")
+                .agg(
+                    F.max("pos").alias("latest_pos"),
+                    F.sum(
+                        F.when(
+                            F.col("applied_pos").isNull()
+                            | (F.col("pos") > F.col("applied_pos")),
+                            1,
+                        ).otherwise(0)
+                    )
+                    .cast("long")
+                    .alias("events_behind"),
+                )
+            )
+            got = {(r["schema"], r["table"]): r for r in agg.collect()}
+            for sc, tb in mats:
+                r = got.get((sc, tb))
+                behind = 0 if r is None else int(r["events_behind"])
+                out[(holder.id, sc, tb)] = {
+                    "applied_pos": applied[(sc, tb)],
+                    "latest_pos": None if r is None else r["latest_pos"],
+                    "events_behind": behind,
+                    "fresh": behind == 0,
+                }
+        return out
+
     def quarantine_path(self, source_name: str) -> str:
         return os.path.join(self.config.state_dir, "quarantine", source_name)
 

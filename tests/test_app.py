@@ -912,3 +912,38 @@ def test_effective_merge_workers_caps_probed_collapse():
     # multi-executor masters: the knob is the user's business
     assert effective_merge_workers(8, 48, "spark://host:7077") == 8
     assert effective_merge_workers(8, 48, "yarn") == 8
+
+
+def test_freshness_reports_lag_and_drains_to_fresh(spark, tmp_path):
+    """Engine.freshness: events land in the changelog -> the touched
+    table reads behind with an exact pending count; a drain returns the
+    report to fresh; untouched tables stay fresh throughout."""
+    seg_dir = tmp_path / "changelog"
+    seg_dir.mkdir()
+    engine = Engine(load_config(_write_config(tmp_path, seg_dir)), spark=spark)
+    engine.init_sources()
+    snaps = engine.full_sync()
+    p = int({s.table: s.pos for s in snaps[1]}["region"])
+
+    # nothing in the changelog: everything fresh, no latest_pos
+    fr = engine.freshness()
+    assert set(fr) == {(1, "main", "region"), (1, "main", "nation")}
+    assert all(v["fresh"] and v["events_behind"] == 0 for v in fr.values())
+
+    with open(seg_dir / "a.json", "w") as f:
+        for i in range(3):
+            f.write(json.dumps(_event(p + 1 + i, "insert",
+                                      {"r_regionkey": str(90 + i),
+                                       "r_name": f"X{i}"})) + "\n")
+    fr = engine.freshness()
+    assert fr[(1, "main", "region")]["events_behind"] == 3
+    assert fr[(1, "main", "region")]["fresh"] is False
+    assert fr[(1, "main", "region")]["latest_pos"] == str(p + 3).zfill(12)
+    assert fr[(1, "main", "nation")]["fresh"] is True
+
+    engine.incremental_sync()
+    fr = engine.freshness()
+    assert fr[(1, "main", "region")]["fresh"] is True
+    assert fr[(1, "main", "region")]["events_behind"] == 0
+    # applied watermark advanced to the drained head
+    assert fr[(1, "main", "region")]["applied_pos"] >= str(p + 3).zfill(12)
