@@ -92,6 +92,7 @@ _KNOWN_KINDS = (
     "dedup_paragraphs",
     "sample_stratified",
     "sample_pps",
+    "sample_reservoir",
     "sample_dsir",
     "shards",
 )
@@ -189,6 +190,19 @@ def _apply_stage(spark: SparkSession, kind: str, params: dict, sf_dir: str) -> D
             docs,
             rate_per_10000=int(params.get("rate_per_10000", sampling._PPS_RATE)),
         ).select("doc_id")
+        return docs.join(keep, "doc_id", "left_semi")
+    if kind == "sample_reservoir":
+        # deterministic fixed-k uniform reservoir (md5-hash-order
+        # top-k; TakeOrderedAndProject — no shuffle, no global sort)
+        k = int(params.get("k", 500))
+        keep = (
+            docs.select(
+                "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__r")
+            )
+            .orderBy("__r", "doc_id")
+            .limit(k)
+            .select("doc_id")
+        )
         return docs.join(keep, "doc_id", "left_semi")
     if kind == "sample_dsir":
         # resample raw docs toward the trusted slice; the slice itself

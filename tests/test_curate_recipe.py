@@ -237,3 +237,21 @@ def test_dedup_phash_near_stage(spark, sf_dir, tmp_path):
     expect = {r["doc_id"] for r in media_phash_survivors(spark, sf_dir).collect()}
     assert kept == expect
     assert manifest[0]["rows_out"] <= manifest[0]["rows_in"]
+
+
+def test_sample_reservoir_stage(spark, sf_dir, tmp_path):
+    """Fixed-k deterministic reservoir as a recipe stage: exactly k
+    docs survive (k < corpus), same set every run."""
+    def run_one(body, out):
+        rec = tmp_path / f"{out}.toml"
+        rec.write_text(
+            f'[corpus]\ninput = "{sf_dir}"\noutput = "{tmp_path}/{out}"\n' + body
+        )
+        return run_recipe(spark, str(rec))[0]
+
+    a = run_one('[[stage]]\nkind = "sample_reservoir"\nk = 17\n', "resv_a")
+    b = run_one('[[stage]]\nkind = "sample_reservoir"\nk = 17\n', "resv_b")
+    assert a["rows_out"] == b["rows_out"] == 17
+    ids_a = {r["doc_id"] for r in load(spark, a["path"], "documents").collect()}
+    ids_b = {r["doc_id"] for r in load(spark, b["path"], "documents").collect()}
+    assert ids_a == ids_b and len(ids_a) == 17
