@@ -295,6 +295,7 @@ class Engine:
             cap = self._capture_for(holder)
             for sc, tb, opts in self._capture_targets(holder):
                 pks = holder.source.get_table_primary_keys(sc, tb)
+                self._capture_schema_drift(holder, cap, sc, tb)
                 if cfg.capture == "incrementing":
                     n = cap.poll_incrementing(
                         sc, tb, pks,
@@ -306,6 +307,41 @@ class Engine:
                     n = cap.poll_keydiff(sc, tb, pks)
                 out[(holder.id, sc, tb)] = n
         return out
+
+    def _capture_schema_drift(self, holder: SourceHolder, cap, sc: str, tb: str) -> None:
+        """Query-based capture's half of A19's schema evolution: a
+        replication log carries DDL as QueryEvents, but polling only
+        ever sees the CURRENT table — so new live columns would ride
+        the data maps and be silently dropped by the materializer's
+        typed cast until the next full snapshot. Before each poll,
+        diff the live column set (one JDBC *metadata* round trip — no
+        rows) against the materialized schema and forward each new
+        column as the ALTER statement the log would have carried; the
+        drain's ``evolve_schema`` applies it idempotently, so re-polls
+        after a failed drain converge. Dropped source columns are left
+        in place (destructive narrowing is not guessed at — the column
+        simply stops receiving values, matching the log-based path's
+        behavior for un-forwarded drops)."""
+        from .sources.changelog import POS_WIDTH
+        from .sources.polling import spark_decl
+
+        mat = self.tables.get((holder.id, sc, tb))
+        if mat is None:
+            return
+        have = set(self.read_table(holder.id, sc, tb).columns)
+        live = cap._query(f"SELECT * FROM {sc}.{tb}").schema
+        new = [f for f in live.fields if f.name not in have]
+        if not new:
+            return
+        pos = str(int(cap._watermark(sc, tb) or 0) + 1).zfill(POS_WIDTH)
+        for f in new:
+            cap.emit_ddl(
+                sc,
+                tb,
+                f"ALTER TABLE {tb} ADD COLUMN {f.name} "
+                f"{spark_decl(f.dataType.simpleString())}",
+                pos,
+            )
 
     def capture_sync(self) -> dict[tuple[int, str, str], int]:
         """Poll every captured source, then drain what the poll wrote

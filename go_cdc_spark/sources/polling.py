@@ -52,6 +52,7 @@ half-promoted poll can re-emit but can never reuse a pos.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -80,6 +81,31 @@ def _string_map(cols: list[str], prefix: str = "") -> F.Column:
         F.array(*[F.lit(c) for c in cols]),
         F.array(*[F.col(prefix + c).cast("string") for c in cols]),
     )
+
+
+def spark_decl(dtype: str) -> str:
+    """Spark ``simpleString`` dtype → the MySQL-ish column declaration
+    ``functions.ddl.evolve_schema`` parses — used when capture
+    synthesizes ALTER events for drifted source schemas. Integer
+    families widen (the envelope is stringly; widening is free)."""
+    if dtype.startswith("decimal"):
+        return dtype.upper()
+    if dtype.startswith(("timestamp", "datetime")):
+        return "DATETIME"
+    if dtype.startswith(("varchar", "char", "string")):
+        return "TEXT"
+    return {
+        "long": "BIGINT",
+        "bigint": "BIGINT",
+        "int": "INT",
+        "smallint": "SMALLINT",
+        "tinyint": "SMALLINT",
+        "double": "DOUBLE",
+        "float": "FLOAT",
+        "boolean": "BOOLEAN",
+        "date": "DATE",
+        "binary": "BLOB",
+    }.get(dtype, "TEXT")
 
 
 class PollingCapture:
@@ -206,6 +232,39 @@ class PollingCapture:
             lines.unpersist()
             shutil.rmtree(tmp, ignore_errors=True)
         return n
+
+    def emit_ddl(self, schema: str, table: str, query: str, pos: str) -> None:
+        """Land ONE synthesized DDL envelope event (catalog-rate,
+        driver-side write — no Spark job): query-based capture has no
+        binlog QueryEvents, so schema drift observed at poll time
+        (Engine.capture_poll) is forwarded as the ALTER statement the
+        log-based path would have carried; the drain's
+        ``_apply_ddl``/``evolve_schema`` is idempotent, so a re-poll
+        re-emitting the same ALTER under a new filename is a no-op."""
+        line = json.dumps(
+            {
+                "data_source": self.data_source,
+                "schema": schema,
+                "table": table,
+                "op": "ddl",
+                "data": {"query": query},
+                "before": None,
+                "ts": None,
+                "pos": pos,
+                "txn_id": None,
+            }
+        )
+        parent = os.path.dirname(os.path.abspath(self.changelog_dir))
+        emit_id = uuid.uuid4().hex[:8]
+        tmp = os.path.join(parent, f".cap-ddl-{emit_id}")
+        with open(tmp, "w") as f:
+            f.write(line + "\n")
+        os.rename(
+            tmp,
+            os.path.join(
+                self.changelog_dir, f"cap-{schema}.{table}-ddl-{emit_id}.json"
+            ),
+        )
 
     def _envelope(
         self,

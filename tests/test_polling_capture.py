@@ -451,3 +451,49 @@ def test_capture_run_polls_with_backoff_reset(spark, tmp_path):
             restart_policy=RestartPolicy(max_attempts=3, base_delay=0.0),
             sleep=lambda _d: None,
         )
+
+
+def test_schema_drift_new_column_flows_through_capture(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN between polls (query-based capture's A19
+    half): the poll forwards the drift as a synthesized DDL event, the
+    drain evolves the materialized schema, and the new column's values
+    arrive — where before they were silently dropped until the next
+    full snapshot. Pre-drift rows read NULL (the log-based contract)."""
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.ITEMS (K1 INT NOT NULL PRIMARY KEY, "
+        "NAME VARCHAR(30), V BIGINT)"
+    )
+    for k in range(1, 6):
+        st.executeUpdate(f"INSERT INTO APP.ITEMS VALUES ({k}, 'n{k}', {k})")
+    capture_toml = """[source.capture_tables.ITEMS]
+version_col = "V"
+"""
+    engine = Engine(
+        load_config(_config(tmp_path, url, "incrementing", capture_toml, include="ITEMS")),
+        spark=spark,
+    )
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+
+    st.executeUpdate("ALTER TABLE APP.ITEMS ADD COLUMN TIER INT")
+    st.executeUpdate(
+        "INSERT INTO APP.ITEMS (K1, NAME, V, TIER) VALUES (6, 'six', 6, 2)"
+    )
+    st.executeUpdate("UPDATE APP.ITEMS SET NAME='b4', V=7, TIER=9 WHERE K1=4")
+    engine.capture_sync()
+
+    df = engine.read_table(1, "APP", "ITEMS")
+    assert "TIER" in df.columns
+    got = {r.K1: (r.NAME, r.V, r.TIER) for r in df.collect()}
+    assert got[6] == ("six", 6, 2)
+    assert got[4] == ("b4", 7, 9)
+    assert got[1] == ("n1", 1, None)  # pre-drift row: honest NULL
+
+    # idle re-poll: no duplicate-DDL failure, state stable
+    engine.capture_sync()
+    assert {r.K1: (r.NAME, r.V, r.TIER) for r in engine.read_table(
+        1, "APP", "ITEMS").collect()} == got
+    conn.close()
