@@ -153,6 +153,10 @@ HEADLINE = [
     "lm_kneser_ney_bigrams",
     "dq_functional_deps",
     "sample_reservoir",
+    "win_streaks",
+    "text_readability",
+    "agg_weighted_median",
+    "corpus_simpson_diversity",
 ]
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import query
 from ..tables import load
@@ -908,4 +909,97 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("decile", "threshold", "customers_above", "revenue_share")
         .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-customer ordering streaks: longest run of CONSECUTIVE calendar
+# days with at least one order — the user-level gaps-and-islands
+# (seq_gaps_islands audits the key sequence; this one measures
+# engagement cadence, the retention sibling of cohort_retention).
+# ---------------------------------------------------------------------------
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT o_custkey AS ck, o_orderdate AS d FROM orders
+),
+marked AS (
+  SELECT ck, d,
+         CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)
+           - ROW_NUMBER() OVER (PARTITION BY ck ORDER BY d) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT ck, grp,
+         CAST(COUNT(*) AS BIGINT) AS len,
+         MIN(d) AS streak_start
+  FROM marked GROUP BY ck, grp
+),
+best AS (
+  SELECT ck, len, streak_start,
+         ROW_NUMBER() OVER (PARTITION BY ck
+                            ORDER BY len DESC, streak_start ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY ck) AS BIGINT) AS n_streaks
+  FROM streaks
+)
+SELECT ck AS o_custkey, len AS longest_streak,
+       streak_start AS best_start, n_streaks
+FROM best WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+@query("win_streaks", oracle=_STREAKS_ORACLE)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day order streak per customer via the
+    day-index-minus-row-number grouping (the standard gaps-and-islands
+    identity: consecutive days share ``day_int − rn``), plus the
+    customer's total streak count. Deterministic best-streak pick:
+    length DESC, earliest start.
+
+    Exactness: day indexes are exact integers (datediff from a fixed
+    epoch), every output an exact BIGINT/DATE — full hash oracle.
+
+    Scale shape: ONE shuffle on the customer key serves the distinct,
+    both windows, and the streak aggregate (all partition by ck);
+    streak rows are bounded by distinct (customer, day) pairs. The
+    top-1 pick is WindowGroupLimit-prunable."""
+    days = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("ck"), F.col("o_orderdate").alias("d"))
+        .distinct()
+    )
+    w_rn = Window.partitionBy("ck").orderBy("d")
+    marked = days.select(
+        "ck",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long")
+            - F.row_number().over(w_rn)
+        ).alias("grp"),
+    )
+    streaks = marked.groupBy("ck", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    w_best = Window.partitionBy("ck").orderBy(
+        F.desc("len"), F.asc("streak_start")
+    )
+    w_cnt = Window.partitionBy("ck")
+    return (
+        streaks.select(
+            "ck",
+            "len",
+            "streak_start",
+            F.row_number().over(w_best).alias("rn"),
+            F.count(F.lit(1)).over(w_cnt).cast("long").alias("n_streaks"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ck").alias("o_custkey"),
+            F.col("len").alias("longest_streak"),
+            F.col("streak_start").alias("best_start"),
+            "n_streaks",
+        )
+        .orderBy("o_custkey")
     )

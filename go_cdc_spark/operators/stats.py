@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import query
 from ..tables import load
@@ -575,4 +576,90 @@ def ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.col("n").cast("long").alias("n_events"),
         (num / den).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median — the aggregate the plain percentile family
+# can't express: each row counts with its own mass (quantity-weighted
+# price = "the price at which half the VOLUME trades below").
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         CAST(l_quantity AS DECIMAL(18,2)) AS w,
+         l_orderkey AS k1, l_linenumber AS k2
+  FROM lineitem
+),
+c AS (
+  SELECT g, v, k1, k2,
+         SUM(w) OVER (PARTITION BY g ORDER BY v, k1, k2
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY g) AS tw
+  FROM t
+),
+sel AS (
+  SELECT g, v, tw,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, k1, k2) AS rn
+  FROM c WHERE cw * 2 >= tw
+)
+SELECT g AS l_returnflag, v AS w_median_price,
+       CAST(CAST(tw AS VARCHAR) AS DOUBLE) AS total_weight
+FROM sel WHERE rn = 1
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_weighted_median", oracle=_WMEDIAN_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of extended price per return flag, with
+    line quantity as the mass: the smallest price whose cumulative
+    weight reaches half the group total (lower weighted median — the
+    standard definite choice).
+
+    Exactness: weights accumulate in DECIMAL (order-independent over
+    the TOTAL cumulative order v, k1, k2 — the window order is a total
+    order, so the running sum is deterministic); the half-mass test is
+    ``2·cw ≥ tw`` in exact decimal, no division anywhere. Full hash
+    oracle.
+
+    Scale shape: ONE shuffle on the group key serves both windows and
+    the pick; the qualifying-row top-1 is WindowGroupLimit-prunable.
+    At 100 TB with few groups, per-group partitions are large — the
+    two-pass alternative (histogram per group, then scan the median
+    bucket) is the documented skew escape, same answer."""
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_ord = (
+        Window.partitionBy("g")
+        .orderBy("v", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("g")
+    c = t.select(
+        "g",
+        "v",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("w").over(w_ord).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    w_pick = Window.partitionBy("g").orderBy("v", "l_orderkey", "l_linenumber")
+    return (
+        c.filter(F.col("cw") * 2 >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("v").alias("w_median_price"),
+            F.col("tw").cast("string").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
     )

@@ -1092,3 +1092,150 @@ def lm_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "c12", "c1", "n1w1", "nw2", p.alias("p_kn"))
         .orderBy("w1", "w2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease readability — the classic document-quality
+# signal (syllables approximated by vowel groups, the standard
+# SQL-computable proxy).
+# ---------------------------------------------------------------------------
+
+# Constants are parsed from identical literals through an explicit
+# DOUBLE cast on both engines (the 0.15 lesson: DuckDB would otherwise
+# fold decimal literals where Python/Spark compute in binary).
+_READABILITY_ORACLE = """
+WITH feat AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206.835 AS DOUBLE)
+       - CAST(1.015 AS DOUBLE)
+         * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+       - CAST(84.6 AS DOUBLE)
+         * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         AS flesch
+FROM feat
+WHERE n_words > 0
+ORDER BY doc_id
+"""
+
+
+@query("text_readability", oracle=_READABILITY_ORACLE)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`` with
+    syllables approximated by vowel groups (``[aeiouy]+`` runs) and
+    sentences by terminal-punctuation runs (min 1) — the standard
+    relational proxy for the classic readability score.
+
+    Cross-engine exactness: the three counts are exact BIGINTs from
+    identical regexes; the score is one fixed IEEE expression tree
+    whose constants go through explicit double casts on both engines
+    (decimal-literal folding differs otherwise — the 0.15 lesson).
+
+    Scale shape: pure map — three regexp counts per document, no
+    shuffle at all (the ORDER BY is presentation)."""
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
+            F.lit(1),
+        ).cast("long").alias("n_sentences"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+        ).cast("long").alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+    )
+    return (
+        feat.filter(F.col("n_words") > 0)
+        .select(
+            "doc_id", "n_words", "n_sentences", "n_syllables",
+            flesch.alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of the token distribution per language — the
+# LOG-FREE corpus-diversity measure (entropy needs ln, which drifts a
+# ulp between libms — the verify-notes rule; Simpson's Σpᵢ² is pure
+# rational arithmetic).
+# ---------------------------------------------------------------------------
+
+_SIMPSON_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+cnt AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY lang, w
+),
+agg AS (
+  SELECT lang,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(c * c) AS BIGINT) AS sum_sq
+  FROM cnt GROUP BY lang
+)
+SELECT lang, n_tokens, vocab, sum_sq,
+       CAST(sum_sq AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+         AS simpson,
+       CAST(1.0 AS DOUBLE)
+       - CAST(sum_sq AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+         AS gini_simpson
+FROM agg
+ORDER BY lang
+"""
+
+
+@query("corpus_simpson_diversity", oracle=_SIMPSON_ORACLE)
+def corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration Σpᵢ² and Gini–Simpson diversity 1 − Σpᵢ²
+    of the token distribution per language — the corpus-mixing
+    diagnostic that needs no logarithm (Shannon entropy's ln drifts
+    between libms and is banned from oracle-checked output; Simpson is
+    the standard rational substitute and orders mixtures the same way).
+
+    Exactness: token counts and Σc² are exact BIGINTs (c ≤ n ≤ ~10⁹
+    tokens/lang before c² strains BIGINT; at 100 TB swap the square
+    accumulation to DECIMAL(38,0) — the stats_moments discipline);
+    the index is two double casts and one division per output row.
+
+    Scale shape: one explode + one (lang, token)-keyed count with
+    map-side partials, then a |vocab|-bounded per-lang fold; output is
+    |langs| rows."""
+    tok = load(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    cnt = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    agg = cnt.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+    simpson = F.col("sum_sq").cast("double") / (
+        F.col("n_tokens").cast("double") * F.col("n_tokens").cast("double")
+    )
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        "sum_sq",
+        simpson.alias("simpson"),
+        (F.lit(1.0) - simpson).alias("gini_simpson"),
+    ).orderBy("lang")

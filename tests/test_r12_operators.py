@@ -127,3 +127,98 @@ def test_sample_reservoir_is_deterministic_uniform_k(spark, sf_dir):
     assert s1 == s2 and len(s1) == len(set(s1)) == 500
     # hash order ≠ key order (it actually sampled, not head-k)
     assert s1 != sorted(s1)
+
+
+def test_win_streaks_constructed_calendar(spark, tmp_path):
+    """Known calendar: customer 1 orders on days 1,2,3, 7,8, 12 →
+    longest streak 3 starting day 1, three streaks; customer 2 orders
+    once; multiple orders on one day collapse."""
+    rows = [
+        (1, "2024-03-01"), (1, "2024-03-02"), (1, "2024-03-03"),
+        (1, "2024-03-07"), (1, "2024-03-08"), (1, "2024-03-12"),
+        (1, "2024-03-02"),  # duplicate day — must collapse
+        (2, "2024-05-20"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ck, d) for i, (ck, d) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    out_dir = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    got = {
+        r.o_custkey: (r.longest_streak, str(r.best_start), r.n_streaks)
+        for r in QUERIES["win_streaks"](spark, out_dir).collect()
+    }
+    assert got[1] == (3, "2024-03-01", 3)
+    assert got[2] == (1, "2024-05-20", 1)
+
+
+def test_weighted_median_constructed(spark, tmp_path):
+    """Hand-checked masses: prices 10,20,30 with weights 1,1,10 → half
+    of total mass 12 is 6, first price whose cumulative weight ≥ 6 is
+    30. Unweighted median would say 20."""
+    rows = [
+        (1, 1, "A", "10.00", "1.00"),
+        (2, 1, "A", "20.00", "1.00"),
+        (3, 1, "A", "30.00", "10.00"),
+        (4, 1, "R", "5.00", "2.00"),
+        (5, 1, "R", "7.00", "2.00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_extendedprice string, l_quantity string",
+    ).select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(15,2)").alias("l_extendedprice"),
+        F.col("l_quantity").cast("decimal(15,2)").alias("l_quantity"),
+    )
+    out_dir = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (float(r.w_median_price), r.total_weight)
+        for r in QUERIES["agg_weighted_median"](spark, out_dir).collect()
+    }
+    assert got["A"] == (30.0, 12.0)
+    # R: cumulative 2 then 4; half of 4 is 2 → first qualifying is 5.00
+    assert got["R"] == (5.0, 4.0)
+
+
+def test_readability_formula_matches_python(spark, sf_dir):
+    """Recompute Flesch for a sample of fixture docs independently."""
+    import re as _re
+
+    out = {r.doc_id: r for r in QUERIES["text_readability"](spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").limit(25).collect()}
+    for did, text in docs.items():
+        w = len(text.split(" "))
+        s = max(len(_re.findall(r"[.!?]+", text)), 1)
+        y = len(_re.findall(r"[aeiouy]+", text.lower()))
+        want = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        r = out[did]
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (w, s, y)
+        assert math.isclose(r.flesch, want, rel_tol=1e-12)
+
+
+def test_simpson_diversity_properties(spark, sf_dir):
+    """Σpᵢ² recomputed independently per lang; bounds 1/vocab ≤ S ≤ 1."""
+    from collections import Counter, defaultdict
+
+    toks = defaultdict(Counter)
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", "text"
+    ).collect():
+        toks[r.lang].update(r.text.split(" "))
+    out = {r.lang: r for r in
+           QUERIES["corpus_simpson_diversity"](spark, sf_dir).collect()}
+    assert set(out) == set(toks)
+    for lang, c in toks.items():
+        n = sum(c.values())
+        ss = sum(v * v for v in c.values())
+        r = out[lang]
+        assert (r.n_tokens, r.vocab, r.sum_sq) == (n, len(c), ss)
+        assert math.isclose(r.simpson, ss / (n * n), rel_tol=1e-12)
+        assert 1.0 / len(c) <= r.simpson <= 1.0
+        assert math.isclose(r.gini_simpson, 1.0 - r.simpson, rel_tol=1e-9)
