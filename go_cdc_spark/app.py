@@ -922,6 +922,66 @@ class Engine:
                 }
         return out
 
+    def capture_lag(self) -> dict:
+        """The capture-side half of the lag story (:meth:`freshness`
+        covers changelog→table): how far each POLLED table's source
+        database has advanced past the capture watermark — i.e. what
+        the next poll would emit. ``incrementing`` compares the stored
+        watermark to the live MAX(version) (one pushed-down scalar
+        aggregate per table, O(index) in the database); ``keydiff``
+        has no version axis, so it reports the live row count vs the
+        key-state size (a drifted count proves pending changes; equal
+        counts prove nothing — documented as ``approximate=True``).
+
+        Per (source_id, schema, table): ``watermark``, ``source_head``,
+        ``behind`` (versions / |rowcount delta|), ``approximate``."""
+        out: dict = {}
+        for holder in self.registry.values():
+            cfg = holder.config
+            if not cfg.capture:
+                continue
+            cap = self._capture_for(holder)
+            for sc, tb, opts in self._capture_targets(holder):
+                wm = cap._watermark(sc, tb)
+                if cfg.capture == "incrementing":
+                    vc = opts["version_col"]
+                    row = cap._query(
+                        f"SELECT MAX({vc}) AS v FROM {sc}.{tb}"
+                    ).first()
+                    head = None if row is None or row[0] is None else int(row[0])
+                    behind = (
+                        0
+                        if head is None
+                        else max(0, head - int(wm or 0))
+                    )
+                    out[(holder.id, sc, tb)] = {
+                        "watermark": wm,
+                        "source_head": head,
+                        "behind": behind,
+                        "approximate": False,
+                    }
+                else:
+                    from . import storeio
+
+                    row = cap._query(
+                        f"SELECT COUNT(*) AS n FROM {sc}.{tb}"
+                    ).first()
+                    live_n = 0 if row is None else int(row[0])
+                    state_path = cap._key_state_path(sc, tb)
+                    storeio.recover(state_path)
+                    state_n = (
+                        self.spark.read.parquet(state_path).count()
+                        if os.path.exists(state_path)
+                        else 0
+                    )
+                    out[(holder.id, sc, tb)] = {
+                        "watermark": wm,
+                        "source_head": live_n,
+                        "behind": abs(live_n - state_n),
+                        "approximate": True,
+                    }
+        return out
+
     def quarantine_path(self, source_name: str) -> str:
         return os.path.join(self.config.state_dir, "quarantine", source_name)
 

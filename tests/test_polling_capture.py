@@ -497,3 +497,39 @@ version_col = "V"
     assert {r.K1: (r.NAME, r.V, r.TIER) for r in engine.read_table(
         1, "APP", "ITEMS").collect()} == got
     conn.close()
+
+
+def test_capture_lag_reports_pending_versions(spark, tmp_path):
+    """Engine.capture_lag: the capture-side lag monitor — versions
+    committed past the watermark read as `behind`, a poll returns the
+    report to zero; keydiff reports the approximate rowcount drift."""
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.ITEMS (K1 INT NOT NULL PRIMARY KEY, "
+        "NAME VARCHAR(30), V BIGINT)"
+    )
+    for k in range(1, 6):
+        st.executeUpdate(f"INSERT INTO APP.ITEMS VALUES ({k}, 'n{k}', {k})")
+    capture_toml = """[source.capture_tables.ITEMS]
+version_col = "V"
+"""
+    engine = Engine(
+        load_config(_config(tmp_path, url, "incrementing", capture_toml, include="ITEMS")),
+        spark=spark,
+    )
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+
+    lag = engine.capture_lag()[(1, "APP", "ITEMS")]
+    assert lag["behind"] == 0 and lag["approximate"] is False
+
+    st.executeUpdate("INSERT INTO APP.ITEMS VALUES (6, 'six', 8)")
+    lag = engine.capture_lag()[(1, "APP", "ITEMS")]
+    assert lag["behind"] == 3  # head 8 vs watermark 5
+    assert lag["source_head"] == 8 and lag["watermark"] == "000000000005"
+
+    engine.capture_sync()
+    assert engine.capture_lag()[(1, "APP", "ITEMS")]["behind"] == 0
+    conn.close()
