@@ -121,6 +121,14 @@ def test_keydiff_capture_converges_with_hard_deletes(spark, tmp_path):
     assert _mat_rows(engine, "CUST", cols) == _db_rows(
         conn, "SELECT K1, NAME, BAL FROM APP.CUST"
     )
+
+    # keydiff capture_lag: rowcount drift is approximate lag evidence
+    lag = engine.capture_lag()[(1, "APP", "CUST")]
+    assert lag["approximate"] is True and lag["behind"] == 0
+    st.executeUpdate("INSERT INTO APP.CUST VALUES (30, 'drift', 1.0)")
+    assert engine.capture_lag()[(1, "APP", "CUST")]["behind"] == 1
+    engine.capture_sync()
+    assert engine.capture_lag()[(1, "APP", "CUST")]["behind"] == 0
     conn.close()
 
 
