@@ -62,8 +62,13 @@ def effective_merge_workers(requested: int, n_touched: int, master: str) -> int:
     many-table local source would silently lose 3×, the probed
     pathological point). Never raises the requested value."""
     workers = min(int(requested), n_touched)
+    # single-JVM masters only: "local" / "local[N]" / "local[N,F]".
+    # "local-cluster[n,c,m]" is MULTI-JVM (one executor process per
+    # worker) — the probed single-JVM scheduler collapse does not apply
+    # there, so the user's configured value stands (ADVICE r12)
+    single_jvm = master == "local" or master.startswith("local[")
     if (
-        master.startswith("local")
+        single_jvm
         and n_touched > _LOCAL_MANY_TABLES
         and workers > _LOCAL_SAFE_MERGE_WORKERS
     ):
@@ -333,7 +338,15 @@ class Engine:
         new = [f for f in live.fields if f.name not in have]
         if not new:
             return
-        pos = str(int(cap._watermark(sc, tb) or 0) + 1).zfill(POS_WIDTH)
+        # Emit at the CURRENT watermark, not watermark+1 (ADVICE r12):
+        # wm+1 is exactly the next version incrementing capture will
+        # assign, so after the drain _advance_meta would mark a
+        # not-yet-emitted position as applied — weakening the
+        # "positions <= watermark are applied" invariant purge safety
+        # rests on. The current watermark still drains (pos_threshold
+        # is the SNAPSHOT pos, a different axis) and _apply_ddl runs
+        # before DML within the batch, so ordering is unchanged.
+        pos = (cap._watermark(sc, tb) or "0" * POS_WIDTH).zfill(POS_WIDTH)
         for f in new:
             cap.emit_ddl(
                 sc,

@@ -206,11 +206,18 @@ class PollingCapture:
             # re-coalesce cached output), and the downstream drain's
             # maxFilesPerTrigger turns 64 tiny segments into 16 state
             # rewrites (measured 10.3s vs 3.6s for the same 7k events,
-            # SCALE.md round-12). JSON-lines segments are splittable,
-            # so few-but-larger files still parallelize at read; cap
-            # per-file volume at ~50k events so a huge bootstrap never
-            # serializes through one writer.
-            lines.coalesce(max(1, min(8, 1 + n // 50_000))).write.mode(
+            # SCALE.md round-12). File count = ceil(n / 50k), UNCAPPED
+            # (ADVICE r12: a fixed min(8, …) ceiling silently broke the
+            # per-file bound past 400k events): a poll is almost always
+            # a small delta (1 file); a huge bootstrap gets one file
+            # per ~50k events, and the drain's catchup_files_per_trigger
+            # batches them. coalesce cannot EXCEED the plan's partition
+            # count, so past (partitions × 50k) events per-file volume
+            # grows proportionally — but the write stays parallel across
+            # every partition, which is the hazard the bound exists for
+            # (never serialize a bootstrap through one writer; never
+            # fragment a poll into per-partition confetti).
+            lines.coalesce(max(1, -(-n // 50_000))).write.mode(
                 "overwrite"
             ).text(tmp)
             moved = 0
@@ -416,7 +423,26 @@ class PollingCapture:
         scans the table over JDBC three times per poll (diff join,
         delete emit recompute, state promote); the pinned join is
         scanned once and every consumer reads the cache — measured
-        ~2.3× on the engine-bench polling phase (SCALE.md round-12)."""
+        ~2.3× on the engine-bench polling phase (SCALE.md round-12).
+
+        Schema drift (ADVICE r12, deliberate): after an ADD COLUMN the
+        first poll fingerprints over val_cols that now include the new
+        column while the stored state's fingerprints were computed
+        without it — so every row whose new column is NON-NULL diffs as
+        changed and re-emits in one burst (``to_json`` omits NULL
+        fields, so rows still NULL in the new column keep their
+        pre-drift fingerprint and do NOT re-emit — the burst is
+        O(backfilled rows), not O(table)). That burst is the CORRECT
+        behavior, not an oversight: it is the only convergent way to
+        deliver the new column's existing values (e.g. an ALTER followed
+        by a backfill UPDATE). The tempting "refresh the stored
+        fingerprints in place without emitting" is SILENTLY LOSSY — a
+        row whose only change since the last poll is in the new column
+        would re-fingerprint as current without its value ever being
+        emitted, and later polls (fp now includes the value) would see
+        it as unchanged forever. The burst is convergent under the
+        latest-wins MERGE, bounded by one table scan, and happens once
+        per drift event (tests/test_polling_capture.py backfill test)."""
         current = self._read_full(schema, table)
         cols = current.columns
         val_cols = sorted(c for c in cols if c not in pk_cols)

@@ -117,9 +117,31 @@ class Scd2Materializer(StreamingMaterializer):
             self._quarantine_split(
                 changes.filter(F.col("op").isin("insert", "update", "delete"))
             )
-        ).dropDuplicates([*self.keys, POS_COL])  # redelivery guard
+        ).dropDuplicates([*self.keys, POS_COL])  # within-batch redelivery guard
         state = self.state()
         fields = [f.name for f in self.schema.fields]
+        # CROSS-batch redelivery guard (ADVICE r12 medium): drop incoming
+        # events whose (key, pos) already opened an interval in state.
+        # Query-based capture's `overlap` window re-emits already-seen
+        # rows AT THEIR ORIGINAL pos on every poll; without this guard
+        # each re-emit ties with the open interval's pseudo-event at the
+        # same pos and the lead() window appends a degenerate zero-length
+        # closed interval per re-emitted key per poll — unbounded history
+        # growth and phantom rows in read_history. An event at a pos the
+        # key already versioned at is BY CONTRACT the same event (pos is
+        # the per-source total order), so dropping it is exact, not
+        # heuristic. Scale: state is first semi-joined down to the
+        # batch's keys (broadcast of catalog-rate batch keys — one
+        # state scan, which this merge already pays), so the anti-join's
+        # right side is |batch keys| × their version counts, not history.
+        batch_keys = typed.select(*self.keys).distinct()
+        seen = (
+            state.join(F.broadcast(batch_keys), on=self.keys, how="left_semi")
+            .select(*self.keys, F.col(VF_COL).alias(POS_COL))
+        )
+        typed = typed.join(
+            F.broadcast(seen), on=[*self.keys, POS_COL], how="left_anti"
+        )
         open_rows = state.filter(F.col(VT_COL).isNull())
         closed_rows = state.filter(F.col(VT_COL).isNotNull())
         # open intervals re-enter the window as pseudo-events at their

@@ -912,6 +912,14 @@ def test_effective_merge_workers_caps_probed_collapse():
     # multi-executor masters: the knob is the user's business
     assert effective_merge_workers(8, 48, "spark://host:7077") == 8
     assert effective_merge_workers(8, 48, "yarn") == 8
+    # local-cluster is MULTI-JVM (one executor process per worker): the
+    # single-JVM collapse does not apply, so no cap (ADVICE r12)
+    assert effective_merge_workers(8, 48, "local-cluster[2,4,1024]") == 8
+    # bare "local" and retry-suffixed forms are still single-JVM
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert effective_merge_workers(8, 48, "local") == 4
+        assert effective_merge_workers(8, 48, "local[4,2]") == 4
 
 
 def test_freshness_reports_lag_and_drains_to_fresh(spark, tmp_path):

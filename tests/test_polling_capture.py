@@ -541,3 +541,50 @@ version_col = "V"
     engine.capture_sync()
     assert engine.capture_lag()[(1, "APP", "ITEMS")]["behind"] == 0
     conn.close()
+
+
+def test_keydiff_drift_reemit_burst_delivers_backfill(spark, tmp_path):
+    """ADVICE r12 (documented-deliberate): after ADD COLUMN, keydiff's
+    next poll fingerprints over val_cols that now include the new
+    column, so every row with a NON-NULL new value re-emits once
+    (to_json omits NULL fields: still-NULL rows keep their pre-drift
+    fingerprint — the burst is O(backfilled rows), not O(table)). That
+    burst is the only convergent way to deliver backfilled values: a
+    row whose only change since the last poll is in the NEW column (the
+    classic ALTER + backfill UPDATE) must land exactly; the tempting
+    refresh-fingerprints-without-emitting alternative would lose it
+    forever (see poll_keydiff's docstring)."""
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.CUST (K1 INT NOT NULL PRIMARY KEY, "
+        "NAME VARCHAR(30), BAL DOUBLE)"
+    )
+    for k in range(1, 11):
+        st.executeUpdate(f"INSERT INTO APP.CUST VALUES ({k}, 'n{k}', {k}.5)")
+
+    engine = Engine(load_config(_config(tmp_path, url, "keydiff")), spark=spark)
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+
+    # drift + backfill touching ONLY the new column
+    st.executeUpdate("ALTER TABLE APP.CUST ADD COLUMN TIER INT")
+    st.executeUpdate("UPDATE APP.CUST SET TIER = K1 * 10 WHERE K1 <= 5")
+    polled = engine.capture_sync()
+    # the documented burst: exactly the backfilled rows re-emit once
+    # (NULL-valued rows keep their pre-drift fingerprint via to_json)
+    assert polled[(1, "APP", "CUST")] == 5
+    df = engine.read_table(1, "APP", "CUST")
+    assert "TIER" in df.columns
+    got = {r.K1: r.TIER for r in df.collect()}
+    assert got == {k: (k * 10 if k <= 5 else None) for k in range(1, 11)}
+
+    # burst happens ONCE: the next idle poll emits nothing
+    assert engine.capture_sync()[(1, "APP", "CUST")] == 0
+    # and a later only-new-column update is a normal 1-event poll
+    st.executeUpdate("UPDATE APP.CUST SET TIER = 99 WHERE K1 = 7")
+    assert engine.capture_sync()[(1, "APP", "CUST")] == 1
+    assert {r.K1: r.TIER for r in engine.read_table(
+        1, "APP", "CUST").collect()}[7] == 99
+    conn.close()

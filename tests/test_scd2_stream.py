@@ -185,3 +185,51 @@ def test_scd2_fresh_checkpoint_ignores_stale_stamp(spark, tmp_path):
     before = sorted(map(tuple, mat2.history().collect()))
     mat2.process_batch(b([_ev("insert", 7, 150, name="gina", balance="2.0")]), 0)
     assert sorted(map(tuple, mat2.history().collect())) == before
+
+
+def test_scd2_cross_batch_redelivery_at_same_pos_is_noop(spark, tmp_path):
+    """ADVICE r12 (medium): query-based capture's `overlap` window
+    re-emits already-seen rows AT THEIR ORIGINAL pos on every poll, in
+    a LATER batch — past the batch-stamp guard. Without the (key, pos)
+    state guard each re-emit ties with the open interval's pseudo-event
+    and appends a degenerate zero-length closed interval per poll."""
+    from go_cdc_spark.sources.changelog import changelog_df
+
+    def b(events):
+        rows = []
+        for e in events:
+            e = dict(e)
+            e["ts"] = None
+            rows.append(e)
+        return changelog_df(spark, rows)
+
+    mat = Scd2Materializer(
+        spark, _snapshot(spark, SNAP), ["id"],
+        str(tmp_path / "scd2_state"), pos_threshold=THRESHOLD,
+    )
+    ev110 = _ev("update", 1, 110, name="alice2", balance="11.0")
+    ev120 = _ev("update", 1, 120, name="alice3", balance="12.0")
+    mat.process_batch(b([ev110]), 0)
+    clean = sorted(map(tuple, mat.history().collect()))
+    # poll 2 re-emits the overlap window (same event, same pos) in a NEW batch
+    mat.process_batch(b([ev110]), 1)
+    assert sorted(map(tuple, mat.history().collect())) == clean, (
+        "re-emitted (key,pos) against the OPEN interval must not append "
+        "a zero-length closed version"
+    )
+    # no zero-length intervals anywhere
+    assert not [
+        r for r in mat.history().collect() if r[VF_COL] == r[VT_COL]
+    ]
+    # a genuinely new event in the same batch as a re-emit still applies
+    mat.process_batch(b([ev110, ev120]), 2)
+    hist = {(r["id"], r[VF_COL]): r for r in mat.history().collect()}
+    assert hist[(1, format_pos(110))][VT_COL] == format_pos(120)
+    assert hist[(1, format_pos(120))][VT_COL] is None
+    clean2 = sorted(map(tuple, mat.history().collect()))
+    # re-emit against a CLOSED interval must not duplicate the closed row
+    mat.process_batch(b([ev110]), 3)
+    assert sorted(map(tuple, mat.history().collect())) == clean2
+    assert not [
+        r for r in mat.history().collect() if r[VF_COL] == r[VT_COL]
+    ]
