@@ -588,3 +588,185 @@ def test_keydiff_drift_reemit_burst_delivers_backfill(spark, tmp_path):
     assert {r.K1: r.TIER for r in engine.read_table(
         1, "APP", "CUST").collect()}[7] == 99
     conn.close()
+
+
+# --------------------------------------------------------------------------
+# concurrent-writer chaos (VERDICT r12 #2): the pinned-scan consistency
+# argument raced for real
+# --------------------------------------------------------------------------
+
+
+class _ChaosWriter:
+    """A writer thread committing INSERT/UPDATE/DELETE continuously
+    against Derby on its OWN JDBC connection while capture polls run —
+    every statement autocommits, so commits land DURING poll scans.
+    Tracks live keys / the version counter in Python so the final
+    convergence assert has an exact expectation axis."""
+
+    def __init__(self, jvm, url, table, mode, seed_keys, start_version=0):
+        import threading
+
+        self.jvm = jvm
+        self.url = url
+        self.table = table
+        self.mode = mode  # "keydiff" (hard deletes) | "incrementing"
+        self.keys = set(seed_keys)
+        self.version = start_version
+        self.next_key = max(seed_keys) + 100
+        self.stop = threading.Event()
+        self.error = None
+        self.statements = 0
+        self.thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        import random
+        import time
+
+        rng = random.Random(42)
+        conn = self.jvm.java.sql.DriverManager.getConnection(self.url)
+        st = conn.createStatement()
+        try:
+            while not self.stop.is_set() and self.statements < 3000:
+                roll = rng.random()
+                if roll < 0.45 or len(self.keys) < 5:
+                    k = self.next_key
+                    self.next_key += 1
+                    self.version += 1
+                    if self.mode == "incrementing":
+                        st.executeUpdate(
+                            f"INSERT INTO APP.{self.table} VALUES "
+                            f"({k}, 'w{k}', {self.version})"
+                        )
+                    else:
+                        st.executeUpdate(
+                            f"INSERT INTO APP.{self.table} VALUES "
+                            f"({k}, 'w{k}', {k}.25)"
+                        )
+                    self.keys.add(k)
+                elif roll < 0.85 or self.mode == "incrementing":
+                    k = rng.choice(sorted(self.keys))
+                    self.version += 1
+                    if self.mode == "incrementing":
+                        st.executeUpdate(
+                            f"UPDATE APP.{self.table} SET NAME='u{self.version}', "
+                            f"V={self.version} WHERE K1={k}"
+                        )
+                    else:
+                        st.executeUpdate(
+                            f"UPDATE APP.{self.table} SET NAME='u{self.statements}', "
+                            f"BAL={self.statements}.5 WHERE K1={k}"
+                        )
+                else:
+                    k = rng.choice(sorted(self.keys))
+                    st.executeUpdate(f"DELETE FROM APP.{self.table} WHERE K1={k}")
+                    self.keys.discard(k)
+                self.statements += 1
+                time.sleep(0.004)
+        except Exception as exc:  # noqa: BLE001 — surfaced in the main thread
+            self.error = exc
+        finally:
+            conn.close()
+
+
+def test_chaos_keydiff_concurrent_writer_converges(spark, tmp_path):
+    """A writer thread inserts/updates/hard-deletes CONTINUOUSLY while
+    capture_run polls keydiff mode: commits land during the pinned
+    diff scans. After the writer stops, one quiescent poll must
+    converge the materialized table row-for-row with the source — if
+    the pin were broken (state promoted from a fresh re-read racing
+    the emit), rows committed mid-poll would be promoted as seen
+    without ever being emitted and the final poll could not repair
+    them."""
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.CUST (K1 INT NOT NULL PRIMARY KEY, "
+        "NAME VARCHAR(30), BAL DOUBLE)"
+    )
+    for k in range(1, 21):
+        st.executeUpdate(f"INSERT INTO APP.CUST VALUES ({k}, 'n{k}', {k}.0)")
+
+    engine = Engine(load_config(_config(tmp_path, url, "keydiff")), spark=spark)
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+
+    w = _ChaosWriter(
+        spark.sparkContext._jvm, url, "CUST", "keydiff", seed_keys=range(1, 21)
+    )
+    w.thread.start()
+    try:
+        # poll continuously WHILE the writer commits (the race window)
+        engine.capture_run(interval_s=0.0, max_polls=4)
+    finally:
+        w.stop.set()
+        w.thread.join(timeout=60)
+    assert w.error is None, f"writer thread failed: {w.error}"
+    assert w.statements > 100, "writer must actually overlap the polls"
+
+    # quiescent repair poll + drain, then exact convergence
+    engine.capture_sync()
+    cols = ("K1", "NAME", "BAL")
+    assert _mat_rows(engine, "CUST", cols) == _db_rows(
+        conn, "SELECT K1, NAME, BAL FROM APP.CUST"
+    )
+    # and the state is stable: one more idle round changes nothing
+    assert engine.capture_sync()[(1, "APP", "CUST")] == 0
+    conn.close()
+
+
+def test_chaos_incrementing_overlap_concurrent_writer_converges(spark, tmp_path):
+    """The same chaos against incrementing mode WITH an overlap window
+    (VERDICT r12 #2's second half): a single-writer version counter
+    commits continuously during polls; overlap re-emits the trailing
+    window every poll (convergent duplicates) and the final quiescent
+    poll must converge exactly."""
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.ITEMS (K1 INT NOT NULL PRIMARY KEY, "
+        "NAME VARCHAR(30), V BIGINT)"
+    )
+    for k in range(1, 21):
+        st.executeUpdate(f"INSERT INTO APP.ITEMS VALUES ({k}, 'n{k}', {k})")
+    capture_toml = """[source.capture_tables.ITEMS]
+version_col = "V"
+overlap = 8
+"""
+    engine = Engine(
+        load_config(_config(tmp_path, url, "incrementing", capture_toml, include="ITEMS")),
+        spark=spark,
+    )
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+
+    w = _ChaosWriter(
+        spark.sparkContext._jvm, url, "ITEMS", "incrementing",
+        seed_keys=range(1, 21), start_version=20,
+    )
+    w.thread.start()
+    try:
+        engine.capture_run(interval_s=0.0, max_polls=4)
+    finally:
+        w.stop.set()
+        w.thread.join(timeout=60)
+    assert w.error is None, f"writer thread failed: {w.error}"
+    assert w.statements > 100, "writer must actually overlap the polls"
+
+    engine.capture_sync()
+    cols = ("K1", "NAME", "V")
+    assert _mat_rows(engine, "ITEMS", cols) == _db_rows(
+        conn, "SELECT K1, NAME, V FROM APP.ITEMS"
+    )
+    # watermark reached the writer's final version
+    assert engine.meta.get_pos("derbysrc#capture", sc="APP", tb="ITEMS") == str(
+        w.version
+    ).zfill(12)
+    # idle round: only the overlap window re-emits (bounded, convergent)
+    n = engine.capture_sync()[(1, "APP", "ITEMS")]
+    assert n <= 8
+    assert _mat_rows(engine, "ITEMS", cols) == _db_rows(
+        conn, "SELECT K1, NAME, V FROM APP.ITEMS"
+    )
+    conn.close()
