@@ -282,6 +282,11 @@ class Engine:
             for sc, tb, opts in self._capture_targets(holder):
                 if cfg.capture == "incrementing":
                     cap.seed(sc, tb, opts["version_col"])
+                elif cfg.capture == "timestamp":
+                    cap.seed_timestamp(
+                        sc, tb, opts["timestamp_col"],
+                        incrementing_col=opts.get("incrementing_col"),
+                    )
                 else:
                     cap.seed_keydiff(
                         sc, tb, holder.source.get_table_primary_keys(sc, tb)
@@ -307,6 +312,14 @@ class Engine:
                         version_col=opts["version_col"],
                         deleted_col=opts.get("deleted_col"),
                         overlap=int(opts.get("overlap", 0)),
+                    )
+                elif cfg.capture == "timestamp":
+                    n = cap.poll_timestamp(
+                        sc, tb, pks,
+                        timestamp_col=opts["timestamp_col"],
+                        incrementing_col=opts.get("incrementing_col"),
+                        deleted_col=opts.get("deleted_col"),
+                        overlap_ms=int(opts.get("overlap_ms", 0)),
                     )
                 else:
                     n = cap.poll_keydiff(sc, tb, pks)
@@ -941,7 +954,9 @@ class Engine:
         database has advanced past the capture watermark — i.e. what
         the next poll would emit. ``incrementing`` compares the stored
         watermark to the live MAX(version) (one pushed-down scalar
-        aggregate per table, O(index) in the database); ``keydiff``
+        aggregate per table, O(index) in the database); ``timestamp``
+        does the same over MAX(timestamp_col) and reports ``behind``
+        in SECONDS of lag; ``keydiff``
         has no version axis, so it reports the live row count vs the
         key-state size (a drifted count proves pending changes; equal
         counts prove nothing — documented as ``approximate=True``).
@@ -966,6 +981,26 @@ class Engine:
                         0
                         if head is None
                         else max(0, head - int(wm or 0))
+                    )
+                    out[(holder.id, sc, tb)] = {
+                        "watermark": wm,
+                        "source_head": head,
+                        "behind": behind,
+                        "approximate": False,
+                    }
+                elif cfg.capture == "timestamp":
+                    # behind is SECONDS of replication lag (live
+                    # MAX(ts) vs the watermarked ts) — the natural
+                    # monitoring unit for a last-modified axis
+                    tc = opts["timestamp_col"]
+                    df = cap._query(f"SELECT MAX({tc}) AS t FROM {sc}.{tb}")
+                    row = df.select(F.unix_micros(df[df.columns[0]])).first()
+                    head = None if row is None or row[0] is None else int(row[0])
+                    wm_micros = int(wm[:20]) if wm else 0
+                    behind = (
+                        0.0
+                        if head is None
+                        else max(0, head - wm_micros) / 1_000_000
                     )
                     out[(holder.id, sc, tb)] = {
                         "watermark": wm,

@@ -184,10 +184,10 @@ def _build(raw: dict) -> EngineConfig:
                 "changelog_format='native'"
             )
         if s.capture is not None:
-            if s.capture not in ("incrementing", "keydiff"):
+            if s.capture not in ("incrementing", "timestamp", "keydiff"):
                 raise ValueError(
                     f"source {s.name!r}: unknown capture {s.capture!r} "
-                    "(incrementing | keydiff)"
+                    "(incrementing | timestamp | keydiff)"
                 )
             if not s.changelog or s.changelog_format != "native":
                 raise ValueError(
@@ -218,6 +218,27 @@ def _build(raw: dict) -> EngineConfig:
                         raise ValueError(
                             f"source {s.name!r}: capture_tables[{tb!r}] "
                             f"overlap must be a non-negative int, got {ov!r}"
+                        )
+            if s.capture == "timestamp":
+                if not s.capture_tables:
+                    # same reasoning as incrementing: timestamp_col is
+                    # inherently per-table, nothing auto-discovers
+                    raise ValueError(
+                        f"source {s.name!r}: timestamp capture needs a "
+                        "non-empty capture_tables map (timestamp_col is "
+                        "per-table; nothing can be auto-discovered)"
+                    )
+                for tb, opts in s.capture_tables.items():
+                    if "timestamp_col" not in opts:
+                        raise ValueError(
+                            f"source {s.name!r}: capture_tables[{tb!r}] "
+                            "needs timestamp_col for timestamp capture"
+                        )
+                    ov = opts.get("overlap_ms", 0)
+                    if not isinstance(ov, int) or ov < 0:
+                        raise ValueError(
+                            f"source {s.name!r}: capture_tables[{tb!r}] "
+                            f"overlap_ms must be a non-negative int, got {ov!r}"
                         )
         if s.grid_tables:
             if not s.changelog or s.changelog_format != "native":

@@ -295,6 +295,36 @@ class PollingCapture:
             F.lit(None).cast("string").alias("txn_id"),
         )
 
+    def _versioned_events(
+        self,
+        delta: DataFrame,
+        schema: str,
+        table: str,
+        pk_cols: list[str],
+        pos: F.Column,
+        deleted_col: str | None,
+    ) -> DataFrame:
+        """Watermark-mode delta rows → envelope events: updates carry
+        the full row image; soft-deleted rows (``deleted_col`` truthy)
+        tombstone with the PK in the before-image (shared by the
+        incrementing and timestamp modes)."""
+        cols = list(delta.columns)
+        if deleted_col is not None:
+            op = F.when(
+                F.col(deleted_col).cast("boolean"), F.lit(OP_DELETE)
+            ).otherwise(F.lit(OP_UPDATE))
+            data = F.when(
+                ~F.col(deleted_col).cast("boolean"), _string_map(cols)
+            )
+            before = F.when(
+                F.col(deleted_col).cast("boolean"), _string_map(pk_cols)
+            )
+        else:
+            op = F.lit(OP_UPDATE)
+            data = _string_map(cols)
+            before = F.lit(None).cast("map<string,string>")
+        return self._envelope(delta, schema, table, op, data, before, pos)
+
     # -- incrementing mode ---------------------------------------------------
 
     def seed(self, schema: str, table: str, version_col: str) -> str:
@@ -354,29 +384,163 @@ class PollingCapture:
         # story: the database's index serves the predicate once.
         delta = self._query(q).persist()
         try:
-            cols = list(delta.columns)
-            pos = _pos_col(F.col(version_col))
-            if deleted_col is not None:
-                op = F.when(
-                    F.col(deleted_col).cast("boolean"), F.lit(OP_DELETE)
-                ).otherwise(F.lit(OP_UPDATE))
-                data = F.when(
-                    ~F.col(deleted_col).cast("boolean"), _string_map(cols)
-                )
-                before = F.when(
-                    F.col(deleted_col).cast("boolean"), _string_map(pk_cols)
-                )
-            else:
-                op = F.lit(OP_UPDATE)
-                data = _string_map(cols)
-                before = F.lit(None).cast("map<string,string>")
-            events = self._envelope(delta, schema, table, op, data, before, pos)
+            events = self._versioned_events(
+                delta, schema, table, pk_cols,
+                pos=_pos_col(F.col(version_col)), deleted_col=deleted_col,
+            )
             head = delta.agg(
                 F.max(F.col(version_col).cast("bigint")).alias("v")
             ).first()
             n = self._emit(events, schema, table, tag=wm or "bootstrap")
             if head is not None and head[0] is not None:
                 new_wm = str(int(head[0])).zfill(POS_WIDTH)
+                if wm is None or new_wm > wm:
+                    self._set_watermark(schema, table, new_wm)
+            return n
+        finally:
+            delta.unpersist()
+
+    # -- timestamp / timestamp+incrementing mode ---------------------------
+
+    def _jvm_wallclock_literal(self, micros: int) -> str:
+        """Epoch micros → the DATABASE's wall-clock literal, rendered
+        through the JVM's default zone — the exact inverse of the JDBC
+        ingest conversion (the driver parses the DB's wall clock with
+        the JVM default calendar; Spark's session timeZone only governs
+        RENDERING, so ``date_format``/``cast(string)`` would shift the
+        wall clock whenever session tz != JVM tz — e.g. this engine's
+        UTC-pinned session on a non-UTC host). Catalog-rate (one py4j
+        round trip per poll)."""
+        jvm = self.spark.sparkContext._jvm
+        inst = jvm.java.time.Instant.ofEpochSecond(
+            micros // 1_000_000, (micros % 1_000_000) * 1000
+        )
+        ldt = jvm.java.time.LocalDateTime.ofInstant(
+            inst, jvm.java.time.ZoneId.systemDefault()
+        )
+        return ldt.format(
+            jvm.java.time.format.DateTimeFormatter.ofPattern(
+                "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            )
+        )
+
+    @staticmethod
+    def _ts_wm(micros: int, inc: int | None) -> str:
+        """Watermark/pos encoding for timestamp mode: 20-digit epoch
+        micros (+ 12-digit incrementing tiebreak) — fixed width, so
+        lexicographic order == (ts, inc) order, tz-free by
+        construction."""
+        body = str(micros).zfill(20)
+        return body if inc is None else body + str(inc).zfill(POS_WIDTH)
+
+    def seed_timestamp(
+        self,
+        schema: str,
+        table: str,
+        timestamp_col: str,
+        incrementing_col: str | None = None,
+    ) -> str:
+        """Record the CURRENT max (timestamp[, incrementing]) as the
+        capture watermark without emitting — seed-then-snapshot, same
+        ordering rule as :meth:`seed`. Empty table seeds at epoch 0 so
+        the first poll is a delta, not a bootstrap."""
+        df = self._query(
+            f"SELECT MAX({timestamp_col}) AS t FROM {schema}.{table}"
+        )
+        row = df.select(F.unix_micros(df[df.columns[0]])).first()
+        micros = 0 if row is None or row[0] is None else int(row[0])
+        inc = None
+        if incrementing_col is not None:
+            inc = 0
+            if micros:
+                lit = self._jvm_wallclock_literal(micros)
+                r = self._query(
+                    f"SELECT MAX({incrementing_col}) AS i FROM {schema}.{table} "
+                    f"WHERE {timestamp_col} = TIMESTAMP('{lit}')"
+                ).first()
+                inc = 0 if r is None or r[0] is None else int(r[0])
+        wm = self._ts_wm(micros, inc)
+        self._set_watermark(schema, table, wm)
+        return wm
+
+    def poll_timestamp(
+        self,
+        schema: str,
+        table: str,
+        pk_cols: list[str],
+        timestamp_col: str,
+        incrementing_col: str | None = None,
+        deleted_col: str | None = None,
+        overlap_ms: int = 0,
+    ) -> int:
+        """One timestamp-watermark poll — the OTHER standard
+        Kafka-Connect-JDBC configuration (``timestamp`` /
+        ``timestamp+incrementing`` modes): real tables usually carry
+        ``last_modified TIMESTAMP``, not a monotonic version.
+
+        - With ``incrementing_col``: the composite watermark
+          ``(ts, inc)`` captures equal-timestamp ties EXACTLY —
+          ``WHERE ts > :wm_ts OR (ts = :wm_ts AND inc > :wm_inc)``,
+          both halves pushed to the database's index.
+        - Without it: ``WHERE ts > :wm_ts``; rows that later commit AT
+          the watermarked timestamp are invisible (the documented
+          Connect restriction) unless ``overlap_ms > 0`` re-reads the
+          trailing window — the ``timestamp.delay.interval.ms`` analog,
+          convergent duplicates under the latest-wins MERGE.
+
+        ``pos`` is the row's epoch-micros (+ incrementing tiebreak),
+        zero-padded — tz-free, so the UTC-pinned engine session and a
+        non-UTC JVM agree (see :meth:`_jvm_wallclock_literal` for why
+        wall-clock strings would not). Rows with NULL ``timestamp_col``
+        never match the predicate and are never captured — the
+        documented restriction of every timestamp-polling CDC. One
+        PINNED scan per poll, same race-closing rule as
+        :meth:`poll_incrementing`."""
+        wm = self._watermark(schema, table)
+        q = f"SELECT * FROM {schema}.{table}"
+        if wm is not None:
+            wm_micros = int(wm[:20])
+            wm_inc = int(wm[20:]) if len(wm) > 20 else None
+            if overlap_ms > 0:
+                # the widened window subsumes the tie clause: ties at
+                # the exact watermark are inside (wm-overlap, wm]
+                lit = self._jvm_wallclock_literal(
+                    max(0, wm_micros - overlap_ms * 1000)
+                )
+                q += f" WHERE {timestamp_col} > TIMESTAMP('{lit}')"
+            elif wm_inc is not None:
+                lit = self._jvm_wallclock_literal(wm_micros)
+                q += (
+                    f" WHERE {timestamp_col} > TIMESTAMP('{lit}')"
+                    f" OR ({timestamp_col} = TIMESTAMP('{lit}')"
+                    f" AND {incrementing_col} > {wm_inc})"
+                )
+            else:
+                lit = self._jvm_wallclock_literal(wm_micros)
+                q += f" WHERE {timestamp_col} > TIMESTAMP('{lit}')"
+        delta = self._query(q).persist()
+        try:
+            pos = F.lpad(
+                F.unix_micros(F.col(timestamp_col)).cast("string"), 20, "0"
+            )
+            head_cols = [F.unix_micros(F.col(timestamp_col)).alias("t")]
+            if incrementing_col is not None:
+                pos = F.concat(pos, _pos_col(F.col(incrementing_col)))
+                head_cols.append(
+                    F.col(incrementing_col).cast("bigint").alias("i")
+                )
+            events = self._versioned_events(
+                delta, schema, table, pk_cols, pos, deleted_col
+            )
+            head = (
+                delta.select(F.max(F.struct(*head_cols)).alias("h")).first()
+            )
+            n = self._emit(events, schema, table, tag=wm or "bootstrap")
+            if head is not None and head[0] is not None and head[0]["t"] is not None:
+                new_wm = self._ts_wm(
+                    int(head[0]["t"]),
+                    int(head[0]["i"]) if incrementing_col is not None else None,
+                )
                 if wm is None or new_wm > wm:
                     self._set_watermark(schema, table, new_wm)
             return n

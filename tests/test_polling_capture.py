@@ -770,3 +770,198 @@ overlap = 8
         conn, "SELECT K1, NAME, V FROM APP.ITEMS"
     )
     conn.close()
+
+
+# --------------------------------------------------------------------------
+# timestamp / timestamp+incrementing mode (VERDICT r12 #3)
+# --------------------------------------------------------------------------
+
+
+def _ts_table(conn, rows):
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.DOCS (K1 INT NOT NULL PRIMARY KEY, "
+        "NAME VARCHAR(30), TS TIMESTAMP, SEQ BIGINT)"
+    )
+    for k, name, ts, seq in rows:
+        st.executeUpdate(
+            f"INSERT INTO APP.DOCS VALUES ({k}, '{name}', "
+            f"TIMESTAMP('{ts}'), {seq})"
+        )
+    return st
+
+
+def test_timestamp_incrementing_capture_exact_ties(spark, tmp_path):
+    """timestamp+incrementing (the Kafka-Connect composite watermark):
+    equal-timestamp rows arriving ACROSS polls are captured exactly by
+    the (ts, inc) tie clause — no overlap window needed; the idle poll
+    emits nothing."""
+    url, conn = _derby(spark, tmp_path)
+    T0, T1 = "2024-01-01 10:00:00.000000", "2024-01-01 10:00:05.500000"
+    st = _ts_table(conn, [
+        (1, "a", T0, 1), (2, "b", T0, 2), (3, "c", T0, 3),
+    ])
+    capture_toml = """[source.capture_tables.DOCS]
+timestamp_col = "TS"
+incrementing_col = "SEQ"
+"""
+    engine = Engine(
+        load_config(_config(tmp_path, url, "timestamp", capture_toml, include="DOCS")),
+        spark=spark,
+    )
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+    # watermark seeded at (T0, 3): 20-digit micros + 12-digit seq
+    wm = engine.meta.get_pos("derbysrc#capture", sc="APP", tb="DOCS")
+    assert len(wm) == 32 and wm.endswith("000000000003")
+
+    cols = ("K1", "NAME", "SEQ")
+    # poll 1: two rows at the SAME new timestamp T1
+    st.executeUpdate(f"INSERT INTO APP.DOCS VALUES (4, 'd', TIMESTAMP('{T1}'), 4)")
+    st.executeUpdate(f"INSERT INTO APP.DOCS VALUES (5, 'e', TIMESTAMP('{T1}'), 5)")
+    assert engine.capture_sync()[(1, "APP", "DOCS")] == 2
+    # poll 2: a LATE tie lands at exactly the watermarked timestamp T1
+    # — the composite watermark captures it exactly
+    st.executeUpdate(f"INSERT INTO APP.DOCS VALUES (6, 'f', TIMESTAMP('{T1}'), 6)")
+    assert engine.capture_sync()[(1, "APP", "DOCS")] == 1
+    assert _mat_rows(engine, "DOCS", cols) == _db_rows(
+        conn, "SELECT K1, NAME, SEQ FROM APP.DOCS"
+    )
+    # idle poll: exact mode emits NOTHING
+    assert engine.capture_sync()[(1, "APP", "DOCS")] == 0
+    # an update bumping ts+seq flows
+    st.executeUpdate(
+        "UPDATE APP.DOCS SET NAME='a2', "
+        "TS=TIMESTAMP('2024-01-01 10:00:09.000000'), SEQ=7 WHERE K1=1"
+    )
+    assert engine.capture_sync()[(1, "APP", "DOCS")] == 1
+    assert _mat_rows(engine, "DOCS", cols) == _db_rows(
+        conn, "SELECT K1, NAME, SEQ FROM APP.DOCS"
+    )
+    # capture_lag: behind reads in SECONDS
+    st.executeUpdate(
+        "UPDATE APP.DOCS SET TS=TIMESTAMP('2024-01-01 10:00:19.000000'), "
+        "SEQ=8 WHERE K1=2"
+    )
+    lag = engine.capture_lag()[(1, "APP", "DOCS")]
+    assert lag["approximate"] is False and lag["behind"] == 10.0
+    engine.capture_sync()
+    assert engine.capture_lag()[(1, "APP", "DOCS")]["behind"] == 0.0
+    conn.close()
+
+
+def test_timestamp_only_misses_late_tie_without_overlap(spark, tmp_path):
+    """timestamp-only with overlap_ms=0: a row committing LATE at an
+    already-watermarked timestamp is invisible — the documented
+    restriction of every timestamp-polling CDC (Connect's docs say the
+    same); the idle poll emits nothing."""
+    url, conn = _derby(spark, tmp_path)
+    T0, T1 = "2024-01-01 10:00:00.000000", "2024-01-01 10:00:05.000000"
+    st = _ts_table(conn, [(1, "a", T0, 1)])
+    capture_toml = """[source.capture_tables.DOCS]
+timestamp_col = "TS"
+"""
+    engine = Engine(
+        load_config(_config(tmp_path, url, "timestamp", capture_toml, include="DOCS")),
+        spark=spark,
+    )
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+
+    st.executeUpdate(f"INSERT INTO APP.DOCS VALUES (2, 'b', TIMESTAMP('{T1}'), 2)")
+    assert engine.capture_sync()[(1, "APP", "DOCS")] == 1
+    # late tie at the watermarked timestamp: MISSED (documented)
+    st.executeUpdate(f"INSERT INTO APP.DOCS VALUES (3, 'late', TIMESTAMP('{T1}'), 3)")
+    assert engine.capture_sync()[(1, "APP", "DOCS")] == 0
+    got = {r[0] for r in _mat_rows(engine, "DOCS", ("K1",))}
+    assert 3 not in got
+    assert engine.capture_sync()[(1, "APP", "DOCS")] == 0  # idle: nothing
+    conn.close()
+
+
+def test_timestamp_overlap_recovers_late_commits(spark, tmp_path):
+    """timestamp-only with overlap_ms (the timestamp.delay.interval.ms
+    analog): commits landing up to the window behind the watermark —
+    including exact ties — are recovered on the next poll as convergent
+    duplicates; soft deletes tombstone through the same path."""
+    url, conn = _derby(spark, tmp_path)
+    T0 = "2024-01-01 10:00:00.000000"
+    T1 = "2024-01-01 10:00:05.000000"
+    T1_LATE = "2024-01-01 10:00:03.250000"  # 1.75 s behind the watermark
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.DOCS (K1 INT NOT NULL PRIMARY KEY, "
+        "NAME VARCHAR(30), TS TIMESTAMP, SEQ BIGINT, DELETED SMALLINT)"
+    )
+    st.executeUpdate(
+        f"INSERT INTO APP.DOCS VALUES (1, 'a', TIMESTAMP('{T0}'), 1, 0)"
+    )
+    capture_toml = """[source.capture_tables.DOCS]
+timestamp_col = "TS"
+deleted_col = "DELETED"
+overlap_ms = 2000
+"""
+    engine = Engine(
+        load_config(_config(tmp_path, url, "timestamp", capture_toml, include="DOCS")),
+        spark=spark,
+    )
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+
+    st.executeUpdate(f"INSERT INTO APP.DOCS VALUES (2, 'b', TIMESTAMP('{T1}'), 2, 0)")
+    # new row 2 + seeded row 1 (inside the watermark's trailing window,
+    # a convergent duplicate)
+    assert engine.capture_sync()[(1, "APP", "DOCS")] == 2
+    # two late commits: one 1.75 s behind the watermark, one an exact tie
+    st.executeUpdate(
+        f"INSERT INTO APP.DOCS VALUES (3, 'late', TIMESTAMP('{T1_LATE}'), 3, 0)"
+    )
+    st.executeUpdate(
+        f"INSERT INTO APP.DOCS VALUES (4, 'tie', TIMESTAMP('{T1}'), 4, 0)"
+    )
+    # the window re-emits row 2 as a convergent duplicate alongside both
+    assert engine.capture_sync()[(1, "APP", "DOCS")] == 3
+    cols = ("K1", "NAME", "SEQ")
+    assert _mat_rows(engine, "DOCS", cols) == _db_rows(
+        conn, "SELECT K1, NAME, SEQ FROM APP.DOCS WHERE DELETED = 0"
+    )
+    # soft delete flows as a tombstone
+    st.executeUpdate(
+        "UPDATE APP.DOCS SET DELETED=1, "
+        "TS=TIMESTAMP('2024-01-01 10:00:08.000000') WHERE K1=1"
+    )
+    engine.capture_sync()
+    assert _mat_rows(engine, "DOCS", cols) == _db_rows(
+        conn, "SELECT K1, NAME, SEQ FROM APP.DOCS WHERE DELETED = 0"
+    )
+    assert not any(r[0] == 1 for r in _mat_rows(engine, "DOCS", cols))
+    # steady state: only the overlap window re-emits, convergently
+    n = engine.capture_sync()[(1, "APP", "DOCS")]
+    assert n <= 2
+    assert _mat_rows(engine, "DOCS", cols) == _db_rows(
+        conn, "SELECT K1, NAME, SEQ FROM APP.DOCS WHERE DELETED = 0"
+    )
+    conn.close()
+
+
+def test_timestamp_capture_config_validation(tmp_path):
+    """timestamp capture: empty capture_tables and missing
+    timestamp_col / bad overlap_ms fail at load time."""
+    import pytest as _pytest
+
+    url = f"jdbc:derby:{tmp_path}/nodb"
+    with _pytest.raises(ValueError, match="non-empty capture_tables"):
+        load_config(_config(tmp_path, url, "timestamp"))
+    with _pytest.raises(ValueError, match="timestamp_col"):
+        load_config(_config(
+            tmp_path, url, "timestamp",
+            '[source.capture_tables.DOCS]\nincrementing_col = "SEQ"\n',
+        ))
+    with _pytest.raises(ValueError, match="overlap_ms"):
+        load_config(_config(
+            tmp_path, url, "timestamp",
+            '[source.capture_tables.DOCS]\ntimestamp_col = "TS"\noverlap_ms = -5\n',
+        ))

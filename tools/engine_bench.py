@@ -226,6 +226,16 @@ def run(spark, n_events: int = None, sf_dir: str = None) -> dict:
         report["polling_incrementing"] = _polling_incrementing_phase(spark, root)
     except Exception as exc:  # noqa: BLE001 — optional phase, never fatal
         report["polling_incrementing"] = {"error": str(exc)[:200]}
+    # --- phase 7: timestamp+incrementing polling (VERDICT r12 #3) ---
+    try:
+        report["polling_timestamp"] = _polling_timestamp_phase(spark, root)
+    except Exception as exc:  # noqa: BLE001 — optional phase, never fatal
+        report["polling_timestamp"] = {"error": str(exc)[:200]}
+    # --- phase 8: binlog wire-format decode (VERDICT r12 #1) ---
+    try:
+        report["binlog_decode"] = _binlog_decode_phase(spark, root)
+    except Exception as exc:  # noqa: BLE001 — optional phase, never fatal
+        report["binlog_decode"] = {"error": str(exc)[:200]}
     report["value"] = round(full_s + inc_s + restart_s, 2)
     report["unit"] = "sec"
     shutil.rmtree(root, ignore_errors=True)
@@ -418,6 +428,191 @@ include_tables = ["FACTS"]
         "drain_seconds": round(drain_s, 2),
         "poll_and_drain_seconds": round(total, 2),
         "events_per_s": int(n_events / total) if total > 0 else None,
+        "readback_verified": True,
+    }
+
+
+def _polling_timestamp_phase(spark, root: str) -> dict:
+    """timestamp+incrementing capture (VERDICT r12 #3) against live
+    Derby: the composite (LAST_MOD, SEQ) watermark — the realistic
+    last-modified-column shape — with the same timed poll/drain split
+    as the incrementing phase."""
+    url = f"jdbc:derby:{root}/polltsdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    jvm = spark.sparkContext._jvm
+    jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.EVENTS (K INT NOT NULL PRIMARY KEY, "
+        "NAME VARCHAR(30), BAL DOUBLE, LAST_MOD TIMESTAMP, SEQ BIGINT)"
+    )
+    from pyspark.sql import functions as F
+
+    spark.range(1, POLL_ROWS + 1).select(
+        F.col("id").cast("int").alias("K"),
+        F.concat(F.lit("name"), F.col("id")).alias("NAME"),
+        (F.col("id") * 1.25).alias("BAL"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000
+        ).alias("LAST_MOD"),
+        F.col("id").alias("SEQ"),
+    ).write.mode("append").jdbc(url, "APP.EVENTS", properties={"driver": driver})
+
+    cfg = f"""
+[engine]
+meta_path      = "{root}/pts_meta"
+state_dir      = "{root}/pts_state"
+checkpoint_dir = "{root}/pts_ckpt"
+
+[[source]]
+id        = 1
+name      = "ptssrc"
+type      = "jdbc_metadata"
+url       = "{url}"
+changelog = "{root}/pts_changelog"
+capture   = "timestamp"
+[source.properties]
+driver = "{driver}"
+[source.capture_tables.EVENTS]
+timestamp_col = "LAST_MOD"
+incrementing_col = "SEQ"
+[source.rules.global]
+include_tables = ["EVENTS"]
+"""
+    cfg_path = os.path.join(root, "pts_config.toml")
+    with open(cfg_path, "w") as f:
+        f.write(cfg)
+    os.makedirs(os.path.join(root, "pts_changelog"), exist_ok=True)
+
+    engine = Engine(load_config(cfg_path), spark=spark)
+    engine.init_sources()
+    t0 = time.perf_counter()
+    engine.capture_seed()
+    engine.full_sync()
+    snap_s = time.perf_counter() - t0
+
+    # set-based last-modified-advancing mutations: update 20%, insert 5%
+    st.executeUpdate(
+        "UPDATE APP.EVENTS SET BAL = BAL + 1.5, "
+        "LAST_MOD = TIMESTAMP('2024-06-01 00:00:00'), "
+        f"SEQ = K + {POLL_ROWS} WHERE MOD(K, 5) = 0"
+    )
+    st.executeUpdate(
+        "INSERT INTO APP.EVENTS "
+        f"SELECT K + {POLL_ROWS}, NAME, BAL, "
+        "TIMESTAMP('2024-06-01 00:00:01'), "
+        f"K + {2 * POLL_ROWS} FROM APP.EVENTS WHERE MOD(K, 20) = 2"
+    )
+    t0 = time.perf_counter()
+    polled = engine.capture_poll()
+    poll_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    engine.incremental_sync()
+    drain_s = time.perf_counter() - t0
+    n_events = sum(polled.values())
+
+    rs = st.executeQuery("SELECT COUNT(*) FROM APP.EVENTS")
+    rs.next()
+    want = rs.getInt(1)
+    got = engine.read_table(1, "APP", "EVENTS").count()
+    conn.close()
+    assert got == want, (got, want)
+    total = poll_s + drain_s
+    return {
+        "mode": "timestamp+incrementing",
+        "table_rows": want,
+        "snapshot_seconds": round(snap_s, 2),
+        "change_events": n_events,
+        "poll_seconds": round(poll_s, 2),
+        "drain_seconds": round(drain_s, 2),
+        "poll_and_drain_seconds": round(total, 2),
+        "events_per_s": int(n_events / total) if total > 0 else None,
+        "readback_verified": True,
+    }
+
+
+def _binlog_decode_phase(spark, root: str) -> dict:
+    """Binlog wire-format path (VERDICT r12 #1): synthesize a binary
+    binlog (CRC32, GTID-per-txn, 50-row WRITE_ROWS statements), time
+    the pure-Python decode → changelog segment, then the distributed
+    drain → exact readback. decode_events_per_s is the single-core
+    CAPTURE bound (the replication-socket analog); the apply side
+    stays distributed."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import types as T
+
+    from go_cdc_spark.sources.binlog import binlog_to_changelog
+    from go_cdc_spark.streaming.pipeline import (
+        StreamingMaterializer,
+        read_changelog_stream,
+    )
+    from tests.binlog_fixture import (
+        MYSQL_TYPE_LONGLONG,
+        MYSQL_TYPE_NEWDECIMAL,
+        MYSQL_TYPE_VARCHAR,
+        BinlogWriter,
+        Col,
+    )
+
+    n_rows = 50_000
+    cols = [
+        Col("id", MYSQL_TYPE_LONGLONG),
+        Col("name", MYSQL_TYPE_VARCHAR, 64),
+        Col("balance", MYSQL_TYPE_NEWDECIMAL, (12, 2)),
+    ]
+    t0 = time.perf_counter()
+    w = BinlogWriter()
+    w.table_map(5, "bank", "accounts", cols, pk=[0])
+    gno = 0
+    for start in range(1, n_rows + 1, 50):
+        gno += 1
+        w.gtid("3e11fa47-71ca-11e1-9e33-c80aa9429562", gno)
+        w.write_rows(5, [
+            {"id": k, "name": f"acct{k}", "balance": f"{k}.25"}
+            for k in range(start, min(start + 50, n_rows + 1))
+        ])
+        w.xid(gno)
+    binlog_path = os.path.join(root, "binlog.000001")
+    w.write(binlog_path)
+    synth_s = time.perf_counter() - t0
+    size_mb = os.path.getsize(binlog_path) / 1e6
+
+    changelog = os.path.join(root, "binlog_changelog")
+    os.makedirs(changelog, exist_ok=True)
+    t0 = time.perf_counter()
+    n_events = binlog_to_changelog(binlog_path, changelog, "binsrc")
+    decode_s = time.perf_counter() - t0
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("balance", T.DecimalType(12, 2)),
+    ])
+    mat = StreamingMaterializer(
+        spark, spark.createDataFrame([], schema), ["id"],
+        os.path.join(root, "binlog_state"),
+    )
+    t0 = time.perf_counter()
+    q = mat.start(
+        read_changelog_stream(spark, changelog, 100),
+        os.path.join(root, "binlog_ckpt"),
+    )
+    q.awaitTermination()
+    drain_s = time.perf_counter() - t0
+    got = mat.read_table().count()
+    assert got == n_rows, (got, n_rows)
+    return {
+        "rows": n_rows,
+        "change_events": n_events,
+        "binlog_mb": round(size_mb, 1),
+        "synth_seconds": round(synth_s, 2),
+        "decode_seconds": round(decode_s, 2),
+        "decode_events_per_s": int(n_events / decode_s) if decode_s else None,
+        "drain_seconds": round(drain_s, 2),
+        "end_to_end_events_per_s": int(n_events / (decode_s + drain_s)),
         "readback_verified": True,
     }
 
