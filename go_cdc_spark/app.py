@@ -329,45 +329,94 @@ class Engine:
     def _capture_schema_drift(self, holder: SourceHolder, cap, sc: str, tb: str) -> None:
         """Query-based capture's half of A19's schema evolution: a
         replication log carries DDL as QueryEvents, but polling only
-        ever sees the CURRENT table — so new live columns would ride
-        the data maps and be silently dropped by the materializer's
-        typed cast until the next full snapshot. Before each poll,
-        diff the live column set (one JDBC *metadata* round trip — no
-        rows) against the materialized schema and forward each new
-        column as the ALTER statement the log would have carried; the
-        drain's ``evolve_schema`` applies it idempotently, so re-polls
-        after a failed drain converge. Dropped source columns are left
-        in place (destructive narrowing is not guessed at — the column
-        simply stops receiving values, matching the log-based path's
-        behavior for un-forwarded drops)."""
+        ever sees the CURRENT table — so live schema drift would be
+        silently mangled by the materializer's typed cast until the
+        next full snapshot. Before each poll, diff the live schema
+        (one JDBC *metadata* round trip — no rows) against the
+        materialized one and forward what the log would have carried;
+        the drain's ``evolve_schema`` applies it idempotently, so
+        re-polls after a failed drain converge.
+
+        - NEW live columns → ``ADD COLUMN`` (pre-drift rows read NULL);
+        - live column TYPE drift that is provably WIDENING
+          (``functions.ddl.is_widening``: e.g. INT→BIGINT,
+          DECIMAL(10,2)→DECIMAL(14,2)) → ``CHANGE col col <decl>``
+          (VERDICT r12 #4: before this, values kept flowing through
+          the stringly envelope while the materializer cast to the
+          OLD type — silent overflow/precision loss);
+        - NON-widening drift (e.g. BIGINT→INT) warns LOUDLY and is not
+          forwarded — destructive narrowing is the operator's call
+          (values keep casting to the old, wider type, which loses
+          nothing);
+        - dropped source columns are left in place (the column simply
+          stops receiving values, matching the log-based path's
+          behavior for un-forwarded drops).
+
+        Events are emitted at the CURRENT watermark, not watermark+1
+        (ADVICE r12): wm+1 is exactly the next version incrementing
+        capture will assign, so after the drain ``_advance_meta``
+        would mark a not-yet-emitted position as applied — weakening
+        the "positions <= watermark are applied" invariant purge
+        safety rests on. The current watermark still drains
+        (pos_threshold is the SNAPSHOT pos, a different axis) and
+        ``_apply_ddl`` runs before DML within the batch."""
+        from .functions.ddl import is_widening
         from .sources.changelog import POS_WIDTH
         from .sources.polling import spark_decl
 
         mat = self.tables.get((holder.id, sc, tb))
         if mat is None:
             return
-        have = set(self.read_table(holder.id, sc, tb).columns)
+        have = {
+            f.name: f.dataType
+            for f in self.read_table(holder.id, sc, tb).schema.fields
+        }
         live = cap._query(f"SELECT * FROM {sc}.{tb}").schema
-        new = [f for f in live.fields if f.name not in have]
-        if not new:
-            return
-        # Emit at the CURRENT watermark, not watermark+1 (ADVICE r12):
-        # wm+1 is exactly the next version incrementing capture will
-        # assign, so after the drain _advance_meta would mark a
-        # not-yet-emitted position as applied — weakening the
-        # "positions <= watermark are applied" invariant purge safety
-        # rests on. The current watermark still drains (pos_threshold
-        # is the SNAPSHOT pos, a different axis) and _apply_ddl runs
-        # before DML within the batch, so ordering is unchanged.
         pos = (cap._watermark(sc, tb) or "0" * POS_WIDTH).zfill(POS_WIDTH)
-        for f in new:
-            cap.emit_ddl(
-                sc,
-                tb,
-                f"ALTER TABLE {tb} ADD COLUMN {f.name} "
-                f"{spark_decl(f.dataType.simpleString())}",
-                pos,
-            )
+        from pyspark.sql import types as T
+
+        for f in live.fields:
+            if f.name not in have:
+                cap.emit_ddl(
+                    sc,
+                    tb,
+                    f"ALTER TABLE {tb} ADD COLUMN {f.name} "
+                    f"{spark_decl(f.dataType.simpleString())}",
+                    pos,
+                )
+                continue
+            cur = have[f.name]
+            if f.dataType == cur:
+                continue
+            # same transport axis, different session rendering — the
+            # JDBC reader yields LTZ timestamps while DDL declarations
+            # decode to NTZ; the stringly envelope carries the same
+            # wall clock either way, so this is not drift
+            if {type(cur), type(f.dataType)} == {
+                T.TimestampType, T.TimestampNTZType
+            }:
+                continue
+            if is_widening(cur, f.dataType):
+                cap.emit_ddl(
+                    sc,
+                    tb,
+                    f"ALTER TABLE {tb} CHANGE COLUMN {f.name} {f.name} "
+                    f"{spark_decl(f.dataType.simpleString())}",
+                    pos,
+                )
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"capture {holder.name}: live column {sc}.{tb}."
+                    f"{f.name} drifted {cur.simpleString()} -> "
+                    f"{f.dataType.simpleString()}, which is NOT a "
+                    "lossless widening — not forwarded; the "
+                    "materializer keeps casting to the old type. "
+                    "Re-snapshot the table to adopt the narrower type "
+                    "deliberately.",
+                    stacklevel=2,
+                )
 
     def capture_sync(self) -> dict[tuple[int, str, str], int]:
         """Poll every captured source, then drain what the poll wrote

@@ -31,6 +31,7 @@ __all__ = [
     "mysql_to_spark_type",
     "parse_alter",
     "evolve_schema",
+    "is_widening",
 ]
 
 
@@ -122,6 +123,49 @@ def mysql_to_spark_type(decl: str) -> T.DataType:
     if base in _BINARY_TYPES:
         return T.BinaryType()
     raise UnsupportedDdl(f"unmapped MySQL type {base!r}")
+
+
+_INT_RANK = {T.ByteType: 1, T.ShortType: 2, T.IntegerType: 3, T.LongType: 4}
+# max decimal digits an integer type can need (for int → DECIMAL)
+_INT_DIGITS = {T.ByteType: 3, T.ShortType: 5, T.IntegerType: 10, T.LongType: 19}
+
+
+def is_widening(src: T.DataType, dst: T.DataType) -> bool:
+    """True when casting every ``src`` value through the stringly
+    envelope into ``dst`` is lossless — the only type drifts capture
+    may forward automatically (VERDICT r12 #4). Conservative by
+    design: anything not provably lossless is False (the caller warns
+    instead of guessing).
+
+    - integer rank widening (TINYINT < SMALLINT < INT < BIGINT);
+    - FLOAT → DOUBLE; integers up to INT → DOUBLE (exact below 2^53 —
+      LONG → DOUBLE is NOT widening, values past 2^53 round);
+    - integer → DECIMAL with enough integer digits;
+    - DECIMAL(p1,s1) → DECIMAL(p2,s2) with p2-s2 ≥ p1-s1 and s2 ≥ s1;
+    - any non-binary type → STRING (the envelope already proves the
+      string form is faithful — binary is excluded because its
+      envelope form is base64, not the value itself).
+    """
+    if src == dst:
+        return False
+    if isinstance(dst, T.StringType):
+        return not isinstance(src, T.BinaryType)
+    sr, dr = _INT_RANK.get(type(src)), _INT_RANK.get(type(dst))
+    if sr is not None and dr is not None:
+        return dr > sr
+    if isinstance(dst, T.DoubleType):
+        if isinstance(src, T.FloatType):
+            return True
+        return sr is not None and sr <= _INT_RANK[T.IntegerType]
+    if isinstance(dst, T.DecimalType):
+        if sr is not None:
+            return dst.precision - dst.scale >= _INT_DIGITS[type(src)]
+        if isinstance(src, T.DecimalType):
+            return (
+                dst.precision - dst.scale >= src.precision - src.scale
+                and dst.scale >= src.scale
+            )
+    return False
 
 
 def _parse_default(clause: str):

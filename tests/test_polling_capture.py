@@ -965,3 +965,137 @@ def test_timestamp_capture_config_validation(tmp_path):
             tmp_path, url, "timestamp",
             '[source.capture_tables.DOCS]\ntimestamp_col = "TS"\noverlap_ms = -5\n',
         ))
+
+
+# --------------------------------------------------------------------------
+# type-widening schema drift (VERDICT r12 #4)
+# --------------------------------------------------------------------------
+
+
+def test_is_widening_policy():
+    from pyspark.sql import types as T
+
+    from go_cdc_spark.functions.ddl import is_widening
+
+    # integer rank
+    assert is_widening(T.IntegerType(), T.LongType())
+    assert is_widening(T.ShortType(), T.IntegerType())
+    assert not is_widening(T.LongType(), T.IntegerType())
+    assert not is_widening(T.IntegerType(), T.IntegerType())
+    # float family: LONG->DOUBLE rounds past 2^53 — not widening
+    assert is_widening(T.FloatType(), T.DoubleType())
+    assert is_widening(T.IntegerType(), T.DoubleType())
+    assert not is_widening(T.LongType(), T.DoubleType())
+    assert not is_widening(T.DoubleType(), T.FloatType())
+    # decimal
+    assert is_widening(T.DecimalType(10, 2), T.DecimalType(14, 2))
+    assert is_widening(T.DecimalType(10, 2), T.DecimalType(14, 4))
+    assert not is_widening(T.DecimalType(14, 2), T.DecimalType(10, 2))
+    assert not is_widening(T.DecimalType(10, 2), T.DecimalType(11, 4))  # int digits shrink
+    assert is_widening(T.LongType(), T.DecimalType(19, 0))
+    assert not is_widening(T.LongType(), T.DecimalType(18, 0))
+    # anything non-binary -> string; binary's envelope form is base64
+    assert is_widening(T.LongType(), T.StringType())
+    assert is_widening(T.TimestampType(), T.StringType())
+    assert not is_widening(T.BinaryType(), T.StringType())
+    assert not is_widening(T.StringType(), T.LongType())
+
+
+def test_widening_drift_int_to_bigint_lands_without_loss(spark, tmp_path):
+    """VERDICT r12 #4: a live INT→BIGINT column migration (Derby can't
+    retype in place, so the real-world copy/drop/rename migration) is
+    detected at poll time, forwarded as an idempotent CHANGE, and a
+    value past 2^31 lands exactly — before this, the materializer kept
+    casting to INT and the overflow was silent."""
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.ITEMS (K1 INT NOT NULL PRIMARY KEY, "
+        "N INT, V BIGINT)"
+    )
+    for k in range(1, 6):
+        st.executeUpdate(f"INSERT INTO APP.ITEMS VALUES ({k}, {k * 10}, {k})")
+    capture_toml = """[source.capture_tables.ITEMS]
+version_col = "V"
+"""
+    engine = Engine(
+        load_config(_config(tmp_path, url, "incrementing", capture_toml, include="ITEMS")),
+        spark=spark,
+    )
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+    from pyspark.sql import types as T
+
+    assert isinstance(
+        engine.read_table(1, "APP", "ITEMS").schema["N"].dataType, T.IntegerType
+    )
+
+    # live migration N: INT -> BIGINT (copy/drop/rename), then a value
+    # only BIGINT can hold
+    st.executeUpdate(
+        "CREATE TABLE APP.ITEMS2 (K1 INT NOT NULL PRIMARY KEY, "
+        "N BIGINT, V BIGINT)"
+    )
+    st.executeUpdate("INSERT INTO APP.ITEMS2 SELECT K1, N, V FROM APP.ITEMS")
+    st.executeUpdate("DROP TABLE APP.ITEMS")
+    st.executeUpdate("RENAME TABLE APP.ITEMS2 TO ITEMS")
+    st.executeUpdate(
+        "UPDATE APP.ITEMS SET N = 3000000000, V = 6 WHERE K1 = 2"
+    )
+    engine.capture_sync()
+    df = engine.read_table(1, "APP", "ITEMS")
+    assert isinstance(df.schema["N"].dataType, T.LongType)
+    got = {r.K1: r.N for r in df.collect()}
+    assert got[2] == 3000000000  # no overflow, no loss
+    assert got[1] == 10  # pre-drift values intact
+    # idempotent: the next poll re-detects nothing, state stable
+    assert engine.capture_sync()[(1, "APP", "ITEMS")] == 0
+    assert {r.K1: r.N for r in engine.read_table(1, "APP", "ITEMS").collect()} == got
+    conn.close()
+
+
+def test_nonwidening_drift_warns_and_keeps_old_type(spark, tmp_path):
+    """BIGINT→INT live narrowing: warned loudly, NOT forwarded — the
+    materializer keeps the wider type (loses nothing), and data keeps
+    flowing."""
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.ITEMS (K1 INT NOT NULL PRIMARY KEY, "
+        "N BIGINT, V BIGINT)"
+    )
+    for k in range(1, 4):
+        st.executeUpdate(f"INSERT INTO APP.ITEMS VALUES ({k}, {k * 10}, {k})")
+    capture_toml = """[source.capture_tables.ITEMS]
+version_col = "V"
+"""
+    engine = Engine(
+        load_config(_config(tmp_path, url, "incrementing", capture_toml, include="ITEMS")),
+        spark=spark,
+    )
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+
+    st.executeUpdate(
+        "CREATE TABLE APP.ITEMS2 (K1 INT NOT NULL PRIMARY KEY, "
+        "N INT, V BIGINT)"
+    )
+    st.executeUpdate("INSERT INTO APP.ITEMS2 SELECT K1, CAST(N AS INT), V FROM APP.ITEMS")
+    st.executeUpdate("DROP TABLE APP.ITEMS")
+    st.executeUpdate("RENAME TABLE APP.ITEMS2 TO ITEMS")
+    st.executeUpdate("UPDATE APP.ITEMS SET N = 77, V = 4 WHERE K1 = 1")
+
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        engine.capture_sync()
+    assert any("NOT a lossless widening" in str(x.message) for x in w)
+    from pyspark.sql import types as T
+
+    df = engine.read_table(1, "APP", "ITEMS")
+    assert isinstance(df.schema["N"].dataType, T.LongType)  # kept wide
+    assert {r.K1: r.N for r in df.collect()}[1] == 77  # data still flows
+    conn.close()
