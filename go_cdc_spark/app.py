@@ -913,6 +913,50 @@ class Engine:
         ``pos`` (interval containment over the SCD2 history)."""
         return self._history_mat(source_id, schema, table).asof(pos)
 
+    def _monitored_tables(self, holder: SourceHolder) -> list[tuple[str, str]]:
+        """(schema, table) pairs to monitor: the live registry when
+        this engine ran full_sync, else the state-directory layout a
+        PRIOR run materialized (``state_dir/src{id}/{schema}/{table}``)
+        — so ``status`` works on an existing deployment without
+        re-snapshotting anything."""
+        mats = [(sc, tb) for (sid, sc, tb) in self.tables if sid == holder.id]
+        if mats:
+            return mats
+        base = os.path.join(self.config.state_dir, f"src{holder.id}")
+        out: list[tuple[str, str]] = []
+        if os.path.isdir(base):
+            for sc in sorted(os.listdir(base)):
+                scdir = os.path.join(base, sc)
+                # _capture / _views are engine-internal state families
+                if sc.startswith("_") or not os.path.isdir(scdir):
+                    continue
+                for tb in sorted(os.listdir(scdir)):
+                    p = os.path.join(scdir, tb)
+                    # skip sidecars: {table}.pending (txn gate),
+                    # {table}.aliases.json, storeio tmp dirs
+                    if os.path.isdir(p) and "." not in tb:
+                        out.append((sc, tb))
+        return out
+
+    def status(self) -> dict:
+        """The operational one-stop report (`status` CLI): per source,
+        both lag faces — :meth:`freshness` (changelog → table) and
+        :meth:`capture_lag` (database → changelog). Keys are stringly
+        (JSON-friendly)."""
+        fresh = self.freshness()
+        cap = self.capture_lag()
+        out: dict = {}
+        for holder in self.registry.values():
+            entry: dict = {"id": holder.id, "tables": {}, "capture": {}}
+            for (sid, sc, tb), rep in fresh.items():
+                if sid == holder.id:
+                    entry["tables"][f"{sc}.{tb}"] = rep
+            for (sid, sc, tb), rep in cap.items():
+                if sid == holder.id:
+                    entry["capture"][f"{sc}.{tb}"] = rep
+            out[holder.name] = entry
+        return out
+
     def freshness(self) -> dict:
         """Replication-lag report per materialized table — the
         monitoring face of the reference's GTID watermark bookkeeping
@@ -949,9 +993,7 @@ class Engine:
                 or not os.path.isdir(cfg.changelog)
             ):
                 continue
-            mats = [
-                (sc, tb) for (sid, sc, tb) in self.tables if sid == holder.id
-            ]
+            mats = self._monitored_tables(holder)
             if not mats:
                 continue
             applied = {}

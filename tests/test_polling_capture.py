@@ -1099,3 +1099,74 @@ version_col = "V"
     assert isinstance(df.schema["N"].dataType, T.LongType)  # kept wide
     assert {r.K1: r.N for r in df.collect()}[1] == 77  # data still flows
     conn.close()
+
+
+# --------------------------------------------------------------------------
+# status CLI (VERDICT r12 #6): the monitoring face
+# --------------------------------------------------------------------------
+
+
+def test_status_cli_reports_both_lag_faces(spark, tmp_path, capsys):
+    """`python -m go_cdc_spark status config.toml`: a FRESH engine (no
+    full_sync — tables discovered from the prior run's state dir)
+    reports replication lag and capture lag per source, human-readable
+    and as JSON."""
+    import json as _json
+
+    from go_cdc_spark.__main__ import main
+
+    url, conn = _derby(spark, tmp_path)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.ITEMS (K1 INT NOT NULL PRIMARY KEY, "
+        "NAME VARCHAR(30), V BIGINT)"
+    )
+    for k in range(1, 6):
+        st.executeUpdate(f"INSERT INTO APP.ITEMS VALUES ({k}, 'n{k}', {k})")
+    capture_toml = """[source.capture_tables.ITEMS]
+version_col = "V"
+"""
+    cfg = _config(tmp_path, url, "incrementing", capture_toml, include="ITEMS")
+    engine = Engine(load_config(cfg), spark=spark)
+    engine.init_sources()
+    engine.capture_seed()
+    engine.full_sync()
+    engine.capture_sync()
+
+    # pending work on BOTH axes: an unpolled version (capture lag) and
+    # an undrained changelog segment (replication lag)
+    st.executeUpdate("INSERT INTO APP.ITEMS VALUES (6, 'six', 8)")
+    import json as _j
+    import os as _os
+
+    seg = {
+        "data_source": "derbysrc", "schema": "APP", "table": "ITEMS",
+        "op": "update", "data": {"K1": "7", "NAME": "seg", "V": "9"},
+        "before": None, "ts": None, "pos": "000000000009", "txn_id": None,
+    }
+    with open(_os.path.join(str(tmp_path), "changelog", "manual.json"), "w") as f:
+        f.write(_j.dumps(seg) + "\n")
+
+    # the status command builds its OWN engine: no full_sync ran on it
+    assert main(["status", cfg, "--json"]) == 0
+    report = _json.loads(capsys.readouterr().out)
+    entry = report["derbysrc"]
+    t = entry["tables"]["APP.ITEMS"]
+    assert t["fresh"] is False and t["events_behind"] == 1
+    c = entry["capture"]["APP.ITEMS"]
+    assert c["behind"] == 3 and c["approximate"] is False  # head 8 vs wm 5
+
+    # human-readable face
+    assert main(["status", cfg]) == 0
+    out = capsys.readouterr().out
+    assert "source derbysrc (id 1)" in out
+    assert "1 events behind" in out
+    assert "behind=3" in out
+
+    # drain + poll -> both faces go green
+    engine.capture_sync()
+    assert main(["status", cfg, "--json"]) == 0
+    report = _json.loads(capsys.readouterr().out)
+    assert report["derbysrc"]["tables"]["APP.ITEMS"]["fresh"] is True
+    assert report["derbysrc"]["capture"]["APP.ITEMS"]["behind"] == 0
+    conn.close()
