@@ -1003,3 +1003,76 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time distribution per event type (round 13).
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - CAST(FLOOR(epoch(LAG(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+       CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+       quantile_cont(gap_s, 0.5) AS median_gap_s
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("events_interarrival", oracle=_INTERARRIVAL_ORACLE)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: the gap in
+    whole seconds between a user's consecutive events of the same
+    type — the cadence profile behind retention models, rate-limit
+    tuning, and bot detection (machine traffic shows near-constant
+    gaps; the median/min spread exposes it).
+
+    Exactness: seconds come from tz-free calendar fields
+    (unix_date·86400 + h·3600 + m·60 + s — the timestamp column is
+    NTZ, and a session-tz-dependent unix_timestamp would shift under
+    the TZ probe), matching DuckDB's FLOOR(epoch(ts)) on the same
+    wall clock; ties on ts order by event_id so the lag pairs are
+    deterministic; the median rides the proven exact
+    percentile == quantile_cont equivalence.
+
+    Scale shape: one (user_id, event_type)-partitioned window pass
+    derives the gaps; the rollup keys on |types| groups. The exact
+    median is the one non-map-side aggregate — it collects per-group
+    gap multisets, bounded per group by that type's event share; at
+    100 TB swap to approx_percentile (the exact form is the
+    oracle-checkable one)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    secs = (
+        F.unix_date(F.to_date("ts")).cast("long") * 86400
+        + F.hour("ts").cast("long") * 3600
+        + F.minute("ts").cast("long") * 60
+        + F.second("ts").cast("long")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type", (secs - F.lag(secs).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").cast("long").alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+            F.sum("gap_s").cast("long").alias("sum_gap_s"),
+            F.percentile("gap_s", F.lit(0.5)).alias("median_gap_s"),
+        )
+        .orderBy("event_type")
+    )

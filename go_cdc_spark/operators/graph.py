@@ -1167,3 +1167,207 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("score"),
     )
     return auth.unionByName(hubs).orderBy("role", "node")
+
+
+# ---------------------------------------------------------------------------
+# Directed-graph reciprocity over the event-transition digraph (round 13).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_reciprocity",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    edges AS (
+      SELECT DISTINCT event_type AS a, next_type AS b
+      FROM seq WHERE next_type IS NOT NULL AND next_type <> event_type
+    )
+    SELECT e.a AS from_type,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(CASE WHEN r.a IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_reciprocated,
+           CAST(SUM(CASE WHEN r.a IS NULL THEN 0 ELSE 1 END) * 1000000
+                // COUNT(*) AS BIGINT) AS reciprocity_ppm
+    FROM edges e LEFT JOIN edges r ON e.a = r.b AND e.b = r.a
+    GROUP BY e.a ORDER BY from_type
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity of the event-transition digraph: per
+    source event type, how many of its distinct outgoing transitions
+    (self-loops excluded) also occur reversed — the Markov-symmetry
+    audit (a funnel step with near-zero reciprocity is a one-way
+    door; high reciprocity marks oscillating states).
+
+    Scale shape: the transition derivation is event_transitions' one
+    user-partitioned window; the DISTINCT collapses to the |types|²
+    grid BEFORE the reverse-edge self-join, and the collapsed edge
+    relation is lazily pinned (it feeds both join sides — without the
+    pin each side re-runs the window over the whole stream;
+    scan-count audited 2→1)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type").over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull() & (F.col("b") != F.col("a")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rev = edges.select(F.col("a").alias("__ra"), F.col("b").alias("__rb"))
+    return (
+        edges.join(
+            F.broadcast(rev),
+            (F.col("a") == F.col("__rb")) & (F.col("b") == F.col("__ra")),
+            "left",
+        )
+        .groupBy(F.col("a").alias("from_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            F.sum(F.when(F.col("__ra").isNull(), 0).otherwise(1))
+            .cast("long")
+            .alias("n_reciprocated"),
+        )
+        .select(
+            "from_type", "n_out", "n_reciprocated",
+            F.expr(
+                "CAST(n_reciprocated * 1000000 DIV n_out AS BIGINT)"
+            ).alias("reciprocity_ppm"),
+        )
+        .orderBy("from_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the purchase graph (round 13).
+# ---------------------------------------------------------------------------
+
+# Pearson r over edge-endpoint degree pairs needs n·Σxy − Σx·Σy, which
+# overflows DOUBLE's exact-integer range long before BIGINT strains —
+# so every product is computed in DECIMAL(38,0) (exact, both engines)
+# and only the three FINAL scalars cross to DOUBLE, through the VARCHAR
+# hop (DuckDB's decimal→double double-rounds past 2^53; see _CSUM).
+_ASSORT_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT 'c:' || ck AS src, 's:' || sk AS dst FROM pairs
+  UNION ALL
+  SELECT 's:' || sk, 'c:' || ck FROM pairs
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+xy AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM edges e JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM xy
+)
+SELECT m, sx, sy,
+       CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
+       CAST(syy AS BIGINT) AS syy,
+       CAST(CAST(CAST(m AS DECIMAL(38,0)) * sxy
+                 - CAST(sx AS DECIMAL(38,0)) * sy AS VARCHAR) AS DOUBLE)
+       / (sqrt(CAST(CAST(CAST(m AS DECIMAL(38,0)) * sxx
+                 - CAST(sx AS DECIMAL(38,0)) * sx AS VARCHAR) AS DOUBLE))
+          * sqrt(CAST(CAST(CAST(m AS DECIMAL(38,0)) * syy
+                 - CAST(sy AS DECIMAL(38,0)) * sy AS VARCHAR) AS DOUBLE)))
+         AS assortativity
+FROM s
+"""
+
+
+@query("graph_assortativity", oracle=_ASSORT_ORACLE)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected customer↔supplier
+    purchase graph (Newman's r): the Pearson correlation of degrees
+    across edge endpoints, computed from six EXACT integer sufficient
+    statistics (the ts_crosscorr_hourly discipline) — bipartite
+    purchase graphs are characteristically DISassortative (hub
+    suppliers connect to low-degree customers), and r quantifies it
+    in one row.
+
+    Exactness: x·y products and the n·Σxy − ΣxΣy combinations run in
+    DECIMAL(38,0) (exact in both engines); the three final scalars
+    cross to DOUBLE via the VARCHAR hop; sqrt is IEEE
+    correctly-rounded in both (verify notes), so the single DOUBLE
+    output hash-matches.
+
+    Scale shape: degree is one node-keyed count; the endpoint-degree
+    join hits the edge relation twice with the aggregate-sized degree
+    table BROADCAST both times; the moment rollup is a scalar
+    aggregate with map-side partials. The distinct pair relation feeds
+    four consumers (both union branches × deg + xy), so it is lazily
+    pinned — one orders⋈lineitem computation instead of six
+    (scan-count audited)."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    xy = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("x"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(dec("x") * F.col("y")).cast("decimal(38,0)").alias("__sxy"),
+        F.sum(dec("x") * F.col("x")).cast("decimal(38,0)").alias("__sxx"),
+        F.sum(dec("y") * F.col("y")).cast("decimal(38,0)").alias("__syy"),
+    )
+    vh = lambda e: F.expr(e).cast("string").cast("double")  # noqa: E731
+    return s.select(
+        "m", "sx", "sy",
+        F.col("__sxy").cast("long").alias("sxy"),
+        F.col("__sxx").cast("long").alias("sxx"),
+        F.col("__syy").cast("long").alias("syy"),
+        (
+            vh("CAST(m AS DECIMAL(38,0)) * __sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+            / (
+                F.sqrt(vh(
+                    "CAST(m AS DECIMAL(38,0)) * __sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+                ))
+                * F.sqrt(vh(
+                    "CAST(m AS DECIMAL(38,0)) * __syy - CAST(sy AS DECIMAL(38,0)) * sy"
+                ))
+            )
+        ).alias("assortativity"),
+    )

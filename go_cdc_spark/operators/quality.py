@@ -344,3 +344,119 @@ def dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_rhs",
         (F.col("violating_lhs") == 0).alias("holds"),
     ).orderBy("fd")
+
+
+# ---------------------------------------------------------------------------
+# Column completeness / cardinality profile (round 13).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "quality_null_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST((COUNT(*) - COUNT({c})) * 1000000 // COUNT(*) AS BIGINT)
+                 AS null_ppm
+        FROM events
+        """
+        for c in _PROFILE_COLS
+    )
+    + " ORDER BY column_name",
+)
+def quality_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of the events stream: row count, null
+    count, exact distinct cardinality, null rate (ppm) — the first
+    audit run on any newly landed table, one row per column.
+
+    Scale shape: ONE pass computes every per-column count (Spark's
+    multi-distinct aggregate expands the input once per distinct
+    column but keeps map-side partials; at 6 columns the expansion is
+    a constant factor, not a join chain), then a 6-literal ``stack``
+    unpivots driver-free. At 100 TB swap exact distincts for
+    approx_count_distinct per column — the exact form is the
+    oracle-checkable one."""
+    ev = load(spark, sf_dir, "events")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"__rows_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"__null_{c}"),
+            F.countDistinct(c).cast("long").alias(f"__dist_{c}"),
+        ]
+    wide = ev.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __rows_{c}, __null_{c}, __dist_{c}" for c in _PROFILE_COLS
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack}) "
+                "AS (column_name, n_rows, n_null, n_distinct)"
+            )
+        )
+        .select(
+            "column_name", "n_rows", "n_null", "n_distinct",
+            F.expr("CAST(n_null * 1000000 DIV n_rows AS BIGINT)").alias("null_ppm"),
+        )
+        .orderBy("column_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit audit (round 13).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_benford",
+    oracle="""
+    SELECT digit, n,
+           CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS share_ppm
+    FROM (
+      SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+               AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_totalprice > 0
+      GROUP BY 1
+    ) ORDER BY digit
+    """,
+)
+def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit audit of order totals: the observed
+    first-significant-digit distribution (fabricated or truncated
+    monetary data drifts from Benford's log curve; the expected curve
+    needs log10 and stays with the consumer — ln/log are libm-drifty
+    cross-engine). The leading digit is taken from the DECIMAL(18,2)
+    string rendering, which is exact and identical in both engines —
+    never from float formatting or a log10 bucket, both of which
+    drift at digit boundaries.
+
+    Scale shape: digit extraction is map-side; the aggregate has ≤9
+    groups; the share normalizes with a window over that 9-row
+    aggregate (one scan, no second pass for the total)."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(
+            F.substring(
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        counts.withColumn("__tot", F.sum("n").over(Window.partitionBy()))
+        .select(
+            "digit", "n",
+            F.expr("CAST(n * 1000000 DIV __tot AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -1239,3 +1239,315 @@ def corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         simpson.alias("simpson"),
         (F.lit(1.0) - simpson).alias("gini_simpson"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocations: adjacency counts + unigram margins (round 13).
+# ---------------------------------------------------------------------------
+
+_COLLOC_MIN_C12 = 5
+_COLLOC_TOPK = 50
+
+
+@query(
+    "text_collocations",
+    oracle=f"""
+    WITH bg AS (
+      SELECT UNNEST(ts[1:len(ts)-1]) AS w1, UNNEST(ts[2:len(ts)]) AS w2
+      FROM (SELECT string_split(text, ' ') AS ts FROM documents)
+      WHERE len(ts) >= 2
+    ),
+    uni AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+      WHERE LENGTH(token) > 0 GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+      WHERE LENGTH(token) > 0
+    ),
+    pairs AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg WHERE LENGTH(w1) > 0 AND LENGTH(w2) > 0
+      GROUP BY w1, w2 HAVING COUNT(*) >= {_COLLOC_MIN_C12}
+    )
+    SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2, tot.n AS n_tokens
+    FROM pairs
+    JOIN uni u1 ON pairs.w1 = u1.token
+    JOIN uni u2 ON pairs.w2 = u2.token
+    CROSS JOIN tot
+    ORDER BY c12 DESC, w1, w2 LIMIT {_COLLOC_TOPK}
+    """,
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining: adjacent-token pair counts joined to
+    their unigram margins and the corpus token total — the exact
+    sufficient statistics of every association score (PMI, log-
+    likelihood, lift), emitted as BIGINTs so the oracle compare is
+    bit-exact (the scores themselves are one log away and belong to
+    the consumer; ln is libm-drifty cross-engine, see bpe_*).
+
+    Scale shape: bigram generation is a map-side array transform (no
+    positional self-join); the pair count is one (w1,w2)-keyed shuffle
+    with map-side partials, pre-shrunk by the min-count filter before
+    the unigram joins; unigram margins and the scalar total broadcast
+    (vocabulary-sized; the total folds from the margins — no third
+    corpus pass). The token-array relation feeds BOTH the unigram and
+    bigram branches, so it is lazily pinned (localCheckpoint) — one
+    documents scan instead of four (scan-count audited). Top-K is
+    TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    arr = docs.select(F.split("text", " ").alias("ts")).localCheckpoint(
+        eager=False
+    )
+    toks = arr.select(F.explode("ts").alias("token")).filter(
+        F.length("token") > 0
+    )
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = uni.agg(F.sum("c").cast("long").alias("n_tokens"))
+    bg = (
+        arr.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+    pairs = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= _COLLOC_MIN_C12)
+    )
+    return (
+        pairs.join(F.broadcast(uni.withColumnRenamed("token", "w1")
+                               .withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("token", "w2")
+                          .withColumnRenamed("c", "c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", "c1", "c2", "n_tokens")
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(_COLLOC_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword word-scores via gaps-and-islands phrases (round 13).
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = ("the", "a", "an", "of", "and", "to", "in", "is")
+_RAKE_TOPK = 40
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(ts) AS token,
+             UNNEST(range(1, len(ts) + 1)) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+    ),
+    nonstop AS (
+      SELECT doc_id, token, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS phrase_key
+      FROM toks
+      WHERE LENGTH(token) > 0 AND token NOT IN ({_RAKE_STOP_SQL})
+    ),
+    sized AS (
+      SELECT token,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id, phrase_key) AS BIGINT)
+               AS phrase_len
+      FROM nonstop
+    ),
+    scores AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(phrase_len) AS BIGINT) AS degree
+      FROM sized GROUP BY token
+    )
+    SELECT token, freq, degree,
+           CAST(degree * 1000000 // freq AS BIGINT) AS score_ppm
+    FROM scores
+    ORDER BY score_ppm DESC, freq DESC, token LIMIT {_RAKE_TOPK}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword word-scores (Rose et al., the public formulation):
+    candidate phrases are maximal stopword-free token runs — derived
+    with the gaps-and-islands trick (pos − row_number over non-stop
+    tokens is constant within a run), no per-phrase parsing — and each
+    word scores degree/frequency where degree sums the lengths of the
+    phrases it appears in. The ratio ships as integer ppm (both
+    engines floor positive integer division), keeping the compare
+    hash-exact.
+
+    Scale shape: tokenize + stopword filter are map-side; the island
+    key is one (doc)-partitioned window; phrase sizing is a second
+    window over the same partitioning (one shuffle, reused sort);
+    the word rollup is a token-keyed aggregate with map-side partials;
+    top-K is TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select("doc_id", "token", (F.col("pos0") + 1).alias("pos"))
+    nonstop = toks.filter(
+        (F.length("token") > 0) & (~F.col("token").isin(*_RAKE_STOP))
+    ).withColumn(
+        "phrase_key",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    sized = nonstop.withColumn(
+        "phrase_len",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("doc_id", "phrase_key"))
+        .cast("long"),
+    )
+    scores = sized.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("phrase_len").cast("long").alias("degree"),
+    )
+    return (
+        scores.select(
+            "token", "freq", "degree",
+            F.expr("CAST(degree * 1000000 DIV freq AS BIGINT)").alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), F.desc("freq"), "token")
+        .limit(_RAKE_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-fold split audit (round 13; split_train_holdout's k-way
+# sibling).
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+@query(
+    "split_kfold",
+    oracle=f"""
+    SELECT fold, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM (
+      SELECT doc_id, text,
+             CAST(CAST(concat('0x', substr(md5(concat('fold',
+                    CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT)
+                  % {_KFOLD_K} AS BIGINT) AS fold
+      FROM documents
+    )
+    GROUP BY fold
+    ORDER BY fold
+    """,
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {_KFOLD_K}-fold assignment by salted md5 bucket —
+    split_train_holdout's k-way sibling for cross-validation: a
+    document's fold never changes as the corpus grows, folds are
+    disjoint by construction, and the audit rollup proves the balance
+    (each fold carries ~1/k of docs and tokens).
+
+    Scale shape: the fold label is a map-side hash projection; the
+    rollup is a k-group aggregate with map-side partials."""
+    docs = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold"), F.col("doc_id").cast("string"))),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % _KFOLD_K
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", "text", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-vocabulary coverage: OOV rate per source (round 13).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+        WHERE LENGTH(token) > 0 GROUP BY token
+      ) WHERE n >= {_VOCAB_MIN_COUNT}
+    ),
+    toks AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm
+    FROM toks LEFT JOIN vocab ON toks.token = vocab.token
+    WHERE LENGTH(toks.token) > 0
+    GROUP BY source ORDER BY source
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: the out-of-vocabulary token
+    rate per document source against the corpus vocabulary
+    (count ≥ {_VOCAB_MIN_COUNT}, the vocab_index criterion) — the
+    coverage check run before committing to a tokenizer, surfacing
+    sources the vocab underserves.
+
+    Scale shape: the vocabulary is aggregate-sized and BROADCAST into
+    a left join against the token stream (no token-keyed shuffle of
+    the corpus); the rollup is |sources| groups with map-side
+    partials. At 100 TB the vocab build is the only corpus-wide
+    shuffle, already paid by vocab_index."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _VOCAB_MIN_COUNT)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source", "n_tokens", "n_oov",
+            F.expr("CAST(n_oov * 1000000 DIV n_tokens AS BIGINT)").alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )
