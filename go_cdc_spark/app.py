@@ -466,6 +466,72 @@ class Engine:
                 sleep(next(backoff))
         return rounds
 
+    # -- binlog file ingestion (wire-format decoder, sources/binlog.py) ----
+
+    BINLOG_NS = "#binlog"
+
+    def ingest_binlogs(self) -> dict[tuple[int, str], int]:
+        """Decode every NEW binlog file under each source's
+        ``binlog_dir`` into its changelog (the replication-socket
+        analog for file-shipped binlogs: mysqlbinlog output dirs,
+        relay logs, object-store archives). Per source the method
+        keeps two meta families under ``{name}#binlog``:
+
+        - a GTID watermark row (the A17 set, JSON) — the decoder skips
+          transactions the watermark already covers, so OVERLAPPING
+          archive files (the common mysqlbinlog-dump shape) and crash
+          re-ingests emit nothing twice (`incremental.go:141-149`,
+          ``StartSyncGTID`` resume);
+        - one row per fully-ingested FILE, so completed files are
+          never re-read at all.
+
+        Crash ordering: segment lands → GTID watermark advances →
+        file marked done. A crash between the first two re-decodes
+        the file into convergent latest-wins duplicates; between the
+        last two, the re-decode is fully GTID-skipped and the file
+        just gets re-marked. Follow with :meth:`incremental_sync` (or
+        call :meth:`binlog_sync`)."""
+        from .functions.gtid import GtidSet
+        from .sources.binlog import BinlogEnvelopeDecoder, binlog_to_changelog
+
+        out: dict[tuple[int, str], int] = {}
+        for holder in self.registry.values():
+            cfg = holder.config
+            if not cfg.binlog_dir:
+                continue
+            ns = f"{cfg.name}{self.BINLOG_NS}"
+            wm_json = self.meta.get_pos(ns)
+            wm = GtidSet.from_json(wm_json) if wm_json else GtidSet()
+            col_names = {
+                tuple(k.split(".", 1)): v for k, v in cfg.binlog_tables.items()
+            }
+            for fname in sorted(os.listdir(cfg.binlog_dir)):
+                path = os.path.join(cfg.binlog_dir, fname)
+                if not os.path.isfile(path):
+                    continue
+                if self.meta.get_pos(ns, sc="_file", tb=fname) is not None:
+                    continue  # fully ingested in a prior run
+                dec = BinlogEnvelopeDecoder(
+                    cfg.name, column_names=col_names or None, skip_covered=wm
+                )
+                n = binlog_to_changelog(
+                    path, cfg.changelog, cfg.name, decoder=dec
+                )
+                wm = wm.union(dec.gtids_seen)
+                self.meta.upsert(ns, wm.to_json(), sync_type="binlog")
+                self.meta.upsert(
+                    ns, str(n), sc="_file", tb=fname, sync_type="binlog"
+                )
+                out[(holder.id, fname)] = n
+        return out
+
+    def binlog_sync(self) -> dict[tuple[int, str], int]:
+        """Ingest new binlog files, then drain what they wrote
+        (availableNow) — one end-to-end binary-capture round."""
+        ingested = self.ingest_binlogs()
+        self.incremental_sync()
+        return ingested
+
     # -- maintained grid views (VERDICT r11 #4) ----------------------------
 
     def _grid_for(self, holder: SourceHolder, schema: str, table: str, opts: dict):

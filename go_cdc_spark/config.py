@@ -112,6 +112,16 @@ class SourceConfig:
     # per-table capture options, keyed by table name (or "schema.table"):
     # incrementing needs {"version_col": ...}, optional "deleted_col"
     capture_tables: dict[str, dict] = field(default_factory=dict)
+    # MySQL binlog FILE ingestion (sources/binlog.py): a directory of
+    # raw binlog v4 files (mysqlbinlog output, relay logs, S3 binlog
+    # archives). Engine.ingest_binlogs decodes new files into the
+    # changelog dir (wire-format decoder, CRC-verified), resuming by
+    # GTID watermark — transactions already ingested are skipped even
+    # when archive files overlap. Requires changelog_format='native'.
+    binlog_dir: str | None = None
+    # column-name fallback registry for 5.x binlogs (no COLUMN_NAME
+    # optional metadata), keyed "schema.table" -> ordered column list
+    binlog_tables: dict[str, list[str]] = field(default_factory=dict)
     # maintained time-series grid views (streaming/ivm.py::
     # IncrementalGrid): keys are "schema.table", options type_col /
     # ts_col / value_col (defaults event_type/ts/value).
@@ -240,6 +250,24 @@ def _build(raw: dict) -> EngineConfig:
                             f"source {s.name!r}: capture_tables[{tb!r}] "
                             f"overlap_ms must be a non-negative int, got {ov!r}"
                         )
+        if s.binlog_dir is not None:
+            if not s.changelog or s.changelog_format != "native":
+                raise ValueError(
+                    f"source {s.name!r}: binlog_dir needs a changelog dir "
+                    "with changelog_format='native' (the decoder WRITES "
+                    "the changelog the incremental drain reads)"
+                )
+            for key, cols in s.binlog_tables.items():
+                if "." not in key:
+                    raise ValueError(
+                        f"source {s.name!r}: binlog_tables key {key!r} "
+                        "must be 'schema.table'"
+                    )
+                if not isinstance(cols, list) or not cols:
+                    raise ValueError(
+                        f"source {s.name!r}: binlog_tables[{key!r}] must "
+                        "be a non-empty ordered column-name list"
+                    )
         if s.grid_tables:
             if not s.changelog or s.changelog_format != "native":
                 raise ValueError(

@@ -690,15 +690,27 @@ class BinlogEnvelopeDecoder:
     ``pos`` = zero-padded ``log_pos`` (the event's real binlog end
     position). All rows of one statement share its event's pos — the
     downstream latest-wins collapse orders by (pos) per key, and one
-    statement never touches the same PK twice."""
+    statement never touches the same PK twice.
+
+    ``skip_covered`` (a ``GtidSet``) is the ``StartSyncGTID`` resume
+    semantic (`incremental.go:141-149`): transactions whose
+    ``uuid:gno`` the watermark already covers produce NO events —
+    overlapping binlog archives and crash re-ingests replay for free.
+    ``gtids_seen`` accumulates the transactions actually emitted, for
+    the caller to fold into its watermark (A17/A21)."""
 
     data_source: str
     column_names: dict[tuple[str, str], list[str]] | None = None
+    skip_covered: object | None = None  # GtidSet, avoided as an import cycle
     reader: BinlogReader = field(init=False)
     txn_id: str | None = field(default=None, init=False)
+    _skipping: bool = field(default=False, init=False)
 
     def __post_init__(self):
         self.reader = BinlogReader(column_names=self.column_names)
+        from ..functions.gtid import GtidSet
+
+        self.gtids_seen = GtidSet()
 
     def decode_file(self, path: str) -> list[dict]:
         return list(self.decode_bytes(open(path, "rb").read()))
@@ -709,8 +721,16 @@ class BinlogEnvelopeDecoder:
             if kind == "gtid":
                 _, sid, gno = parsed
                 self.txn_id = f"{sid}:{gno}"
+                self._skipping = (
+                    self.skip_covered is not None
+                    and self.skip_covered.covers(sid, gno)
+                )
+                if not self._skipping:
+                    self.gtids_seen.add(sid, gno)
                 continue
             if kind == "table_map":
+                continue
+            if self._skipping:
                 continue
             pos = str(hdr.log_pos).zfill(POS_WIDTH)
             ts = hdr.timestamp or None
@@ -786,16 +806,19 @@ def binlog_to_changelog(
     changelog_dir: str,
     data_source: str,
     column_names: dict[tuple[str, str], list[str]] | None = None,
+    decoder: BinlogEnvelopeDecoder | None = None,
 ) -> int:
     """Decode one binlog file into a changelog segment the existing
     drain consumes (JSON-lines envelope, atomic rename-in like the
     polling capture's ``_emit``). Returns the event count. Idempotent
     under re-runs the same way every capture path is: re-decoding the
     same file lands a NEW segment whose events carry the SAME pos, so
-    the latest-wins MERGE absorbs the duplicates."""
+    the latest-wins MERGE absorbs the duplicates. Pass ``decoder`` to
+    supply a GTID-resume decoder (and read ``decoder.gtids_seen``
+    afterwards)."""
     import uuid as _u
 
-    dec = BinlogEnvelopeDecoder(data_source, column_names=column_names)
+    dec = decoder or BinlogEnvelopeDecoder(data_source, column_names=column_names)
     events = dec.decode_file(binlog_path)
     if not events:
         return 0

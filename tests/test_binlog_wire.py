@@ -540,3 +540,149 @@ def test_binlog_txn_commit_releases_read_committed_gate(spark, tmp_path):
     gate.process_batch(batch, 0)
     ids = {r.id for r in mat.read_table().collect()}
     assert ids == {10}, "uncommitted txn 2 row must be withheld"
+
+
+# --------------------------------------------------------------------------
+# Engine integration: binlog_dir config + GTID-resumed file ingestion
+# --------------------------------------------------------------------------
+
+
+def _binlog_engine_config(tmp_path, sf="/root/testdata/sf0.001"):
+    cfg = f"""
+[engine]
+meta_path      = "{tmp_path}/meta"
+state_dir      = "{tmp_path}/state"
+checkpoint_dir = "{tmp_path}/ckpt"
+
+[[source]]
+id         = 1
+name       = "dev"
+type       = "parquet"
+path       = "{sf}"
+changelog  = "{tmp_path}/changelog"
+binlog_dir = "{tmp_path}/binlogs"
+[source.primary_keys]
+region = ["r_regionkey"]
+[source.rules.global]
+include_tables = ["region"]
+"""
+    p = tmp_path / "config.toml"
+    p.write_text(cfg)
+    (tmp_path / "changelog").mkdir()
+    (tmp_path / "binlogs").mkdir()
+    return str(p)
+
+
+REGION_COLS = [
+    Col("r_regionkey", MYSQL_TYPE_LONGLONG),
+    Col("r_name", MYSQL_TYPE_VARCHAR, 64),
+]
+
+
+def test_engine_ingests_binlog_files_with_gtid_resume(spark, tmp_path):
+    """binlog_dir config end-to-end: raw binlog bytes → decoder →
+    changelog → drain → materialized table; completed files are never
+    re-read, and an OVERLAPPING archive file (same transactions dumped
+    again + one new txn) emits only the new transaction — the
+    StartSyncGTID resume semantic over files."""
+    from go_cdc_spark.app import Engine
+    from go_cdc_spark.config import load_config
+    from go_cdc_spark.functions.gtid import GtidSet
+
+    cfgp = _binlog_engine_config(tmp_path)
+
+    w = _writer()
+    w.table_map(9, "main", "region", REGION_COLS, pk=[0])
+    w.gtid(SID, 1)
+    w.write_rows(9, [{"r_regionkey": 90, "r_name": "ATLANTIS"}])
+    w.xid(1)
+    w.gtid(SID, 2)
+    w.update_rows(9, [(
+        {"r_regionkey": 0, "r_name": "AFRICA"},
+        {"r_regionkey": 0, "r_name": "AFRICA-v2"},
+    )])
+    w.xid(2)
+    w.write(tmp_path / "binlogs" / "binlog.000001")
+
+    engine = Engine(load_config(cfgp), spark=spark)
+    engine.init_sources()
+    engine.full_sync()
+    ingested = engine.binlog_sync()
+    assert ingested[(1, "binlog.000001")] == 4  # insert + paired update + 2 commits
+    got = {r.r_regionkey: r.r_name
+           for r in engine.read_table(1, "main", "region").collect()}
+    assert got[90] == "ATLANTIS" and got[0] == "AFRICA-v2"
+
+    # completed file: never re-read, nothing re-emitted
+    assert engine.binlog_sync() == {}
+
+    # overlapping archive: txns 1-2 AGAIN (skipped by the GTID
+    # watermark) plus a NEW txn 3
+    w2 = _writer()
+    w2.table_map(9, "main", "region", REGION_COLS, pk=[0])
+    w2.gtid(SID, 1)
+    w2.write_rows(9, [{"r_regionkey": 90, "r_name": "ATLANTIS"}])
+    w2.xid(1)
+    w2.gtid(SID, 2)
+    w2.update_rows(9, [(
+        {"r_regionkey": 0, "r_name": "AFRICA"},
+        {"r_regionkey": 0, "r_name": "AFRICA-v2"},
+    )])
+    w2.xid(2)
+    w2.gtid(SID, 3)
+    w2.write_rows(9, [{"r_regionkey": 91, "r_name": "LEMURIA"}])
+    w2.xid(3)
+    w2.write(tmp_path / "binlogs" / "binlog.000002")
+
+    ingested = engine.binlog_sync()
+    assert ingested[(1, "binlog.000002")] == 2  # ONLY txn 3: insert + commit
+    got = {r.r_regionkey: r.r_name
+           for r in engine.read_table(1, "main", "region").collect()}
+    assert got[91] == "LEMURIA" and got[90] == "ATLANTIS"
+
+    # the watermark is the A17 GTID set covering exactly 1-3
+    wm = GtidSet.from_json(engine.meta.get_pos("dev#binlog"))
+    assert wm.covers(SID, 1) and wm.covers(SID, 3) and not wm.covers(SID, 4)
+
+    # a fresh engine over the same meta resumes: nothing to ingest
+    engine2 = Engine(load_config(cfgp), spark=spark)
+    engine2.init_sources()
+    assert engine2.ingest_binlogs() == {}
+
+
+def test_binlog_dir_config_validation(tmp_path):
+    from go_cdc_spark.config import load_config
+
+    p = tmp_path / "bad.toml"
+    p.write_text(f"""
+[engine]
+meta_path = "{tmp_path}/m"
+state_dir = "{tmp_path}/s"
+checkpoint_dir = "{tmp_path}/c"
+[[source]]
+id = 1
+name = "x"
+type = "parquet"
+path = "{tmp_path}"
+binlog_dir = "{tmp_path}/bl"
+""")
+    with pytest.raises(ValueError, match="binlog_dir needs a changelog"):
+        load_config(str(p))
+    p2 = tmp_path / "bad2.toml"
+    p2.write_text(f"""
+[engine]
+meta_path = "{tmp_path}/m"
+state_dir = "{tmp_path}/s"
+checkpoint_dir = "{tmp_path}/c"
+[[source]]
+id = 1
+name = "x"
+type = "parquet"
+path = "{tmp_path}"
+changelog = "{tmp_path}/cl"
+binlog_dir = "{tmp_path}/bl"
+[source.binlog_tables]
+noschema = ["a"]
+""")
+    with pytest.raises(ValueError, match="schema.table"):
+        load_config(str(p2))
