@@ -687,6 +687,22 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # real association.
 # ---------------------------------------------------------------------------
 
+def pairs_from_sorted(items) -> F.Column:
+    """All i<j pairs of a SORTED distinct-item array as
+    array<struct<pa,pb>> — map-side pair enumeration (pa < pb holds by
+    the sort), the explode-from-array twin of a basket self-join.
+    Shared by basket_rules and the co-purchase graph family (r13)."""
+    return F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + 2, F.size(items)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+
+
 _RULES_TOP = 30
 _RULES_MIN_SUPPORT = 2
 # Skew valve (see MAX_BASKET above — measured: a 10%-mass hot order
@@ -748,32 +764,27 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. Counts and cross-products are exact
     BIGINTs; confidence and lift are each ONE double division of exact
     integers, so ranking is deterministic cross-engine."""
-    d0 = (
+    # r13: basket-first derivation — ONE l_orderkey aggregate dedups
+    # and groups each order's items (collect_set), the valve is a
+    # size() filter, and pairs explode map-side from the sorted array
+    # (see pairs_from_sorted / _copurchase_edges). The old shape paid
+    # a distinct exchange, a basket-count aggregate, a join back, and
+    # a self-join; baskets is lazily pinned because three consumers
+    # (n, item supports, pairs) read it.
+    baskets = (
         load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") <= _RULES_MAX_BASKET)
+        .localCheckpoint(eager=False)
     )
-    ok = (
-        d0.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("_bs"))
-        .filter(F.col("_bs") <= _RULES_MAX_BASKET)
-        .select("l_orderkey")
-    )
-    d = d0.join(ok, "l_orderkey")
-    n = d.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
-    item = d.groupBy(F.col("l_partkey").alias("part")).agg(
+    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    item = baskets.select(F.explode("items").alias("part")).groupBy("part").agg(
         F.count(F.lit(1)).alias("s")
     )
-    a, b = d.alias("a"), d.alias("b")
     pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        baskets.select(F.explode(pairs_from_sorted(F.col("items"))).alias("e"))
+        .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("s_ab"))
         .filter(F.col("s_ab") >= _RULES_MIN_SUPPORT)
     )

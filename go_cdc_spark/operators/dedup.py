@@ -1003,7 +1003,7 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure) find variable-length spans; fixed-K grams find every
     span of length ≥ K wordwise-identically, the standard relational
     trade."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id", "text")
     nwords = F.size(F.split("text", " "))
     words = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from ..plans.registry import query
 from ..tables import load
-from .behavior import MAX_BASKET
+from .behavior import MAX_BASKET, pairs_from_sorted
 
 _ITERS = 5
 _DAMP = 0.85
@@ -149,6 +149,12 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     every few iterations at real scale to cap lineage depth."""
     while _PINNED:  # bound the cache leak: at most one invocation live
         _PINNED.pop().unpersist()
+    # r13 probe (kept as the measured negative): deriving this pin from
+    # input size (ceil(bytes/4MB)) instead of the shuffle width changed
+    # NOTHING locally — interleaved A/B, min-of-4, sf0.1: 3.67/3.64/3.69s
+    # at 4/14/32 partitions — the loop's cost here is per-stage fixed
+    # overhead, not task width, so the scale-correct shuffle-width pin
+    # stays.
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -352,52 +358,44 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ {_TRI_MIN_SUPPORT} distinct orders) — shared by the triangle /
     k-core / label-propagation family.
 
-    Derivation is distinct-FIRST: (l_orderkey, l_partkey) deduped
-    before the self-join, so each pair row is already one distinct
-    order and support is a plain COUNT(*) — one aggregation phase,
-    where joining raw lineitem needs COUNT(DISTINCT orderkey), an
-    extra dedup shuffle over the exploded pair volume (interleaved
-    same-session A/B at sf0.1: 4.1s → 2.6s for the edge build).
+    Derivation is basket-FIRST (r13): collect_set dedups the
+    (l_orderkey, l_partkey) pairs AND groups each order's distinct
+    items inside ONE hash aggregate, so each pair row exploded from
+    the array is already one distinct order and support is a plain
+    COUNT(*) — the prior round's distinct-first self-join needed a
+    window valve pass and a joined pass on top of the same exchange.
 
     Giant-basket valve (VERDICT r9 #2): orders with more than
-    MAX_BASKET distinct parts leave the universe BEFORE the pair
-    self-join — one m-item basket is m(m-1)/2 pair rows landing in a
-    single shuffle task (basket_rules measured 8x under a 10%-mass hot
-    order; the graph family consumed the same self-join without the
+    MAX_BASKET distinct parts leave the universe BEFORE pair
+    enumeration — one m-item basket is m(m-1)/2 pair rows from a
+    single row (basket_rules measured 8x under a 10%-mass hot order;
+    the graph family consumed the same pair volume without the
     valve). Mirrored in every consumer's oracle via _EDGE_SQL; capped
     == uncapped on the fixtures (max basket 7 — tests/test_wedge_valve
     .py), and the giant-basket skew probe measures it binding.
 
-    Plan shape: ONE explicit repartition on l_orderkey up front —
-    HashPartitioning(l_orderkey) satisfies the clustering requirement
-    of the (l_orderkey, l_partkey) dedup, the basket-count window, AND
-    both sides of the self-join, so dedup + valve + join all run
-    zero-exchange on that single shuffle (interleaved A/B at sf0.1:
-    valved-co-partitioned 1.43s vs the UNVALVED two-exchange original
-    1.52s — the valve is free, the layout pays for it)."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .repartition("l_orderkey")
+    Plan shape: ONE l_orderkey exchange (the basket aggregate — its
+    map-side partial set-union bounds what shuffles at the distinct
+    item count); the valve is a size() filter and the pair explode is
+    map-side off the sorted array, so no second pass and no self-join
+    remain (plans/r13/copurchase_pairs_{before,after}.txt)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r13: one aggregate replaces dedup + window valve + self-join —
+    # collect_set dedups (l_orderkey, l_partkey) AND groups the basket
+    # in the same hash aggregate, the valve is a plain size() filter,
+    # and the m(m-1)/2 pair rows explode MAP-SIDE from the sorted item
+    # array (x < y by construction) instead of through a joined pass.
+    # Same single l_orderkey exchange as before; the window pass and
+    # the self-join pass are gone (plans/r13/copurchase_pairs_*.txt).
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") <= MAX_BASKET)
     )
-    d0 = li.dropDuplicates(["l_orderkey", "l_partkey"])
-    wb = Window.partitionBy("l_orderkey")
-    d = (
-        d0.withColumn("_bs", F.count(F.lit(1)).over(wb))
-        .filter(F.col("_bs") <= MAX_BASKET)
-        .drop("_bs")
-    )
-    a = d.alias("a")
-    b = d.alias("b")
+    pairs = baskets.select(F.explode(pairs_from_sorted(F.col("items"))).alias("e"))
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        pairs.select(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _TRI_MIN_SUPPORT)
         .select("pa", "pb")

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..tables import load
+from ..tables import fan_out, load
 from ..plans.registry import query
 
 # Spark-side accumulation precision. 18 digits keeps the decimal
@@ -81,7 +81,11 @@ def _sql_avg(expr: str) -> str:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # fan_out (r13): the single-row-group test file scans as ONE task,
+    # serializing the decimal partial aggregation on one core; the
+    # conditional rebalance is a no-op once the scan yields >= cores
+    # splits (guide §2.5 "input skew: unsplittable file").
+    li = fan_out(load(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -1020,7 +1024,7 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap, same note as win_distribution). At unbounded group
     cardinality or width, fall back to `agg_quantiles`' one-pass
     sketch; keep BOTH registered so the trade stays measured."""
-    orders = load(spark, sf_dir, "orders")
+    orders = fan_out(load(spark, sf_dir, "orders"))
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
@@ -1340,7 +1344,7 @@ def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     (column, distinct-value) partial — bounded by actual cardinality,
     the same cost ANALYZE pays. approx_count_distinct drops that to
     sketch size when exactness isn't required (agg_approx_distinct)."""
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(load(spark, sf_dir, "lineitem"))
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import query
-from ..tables import load
+from ..tables import fan_out, load
 
 DIM = 64
 N_QUERIES = 8  # query set = vec_id < 8 (deterministic, tiny → broadcast)
@@ -175,6 +175,169 @@ def _sql_cosine_cguard(a: str, b: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Map-side argmax over a broadcast candidate array (r13 optimization).
+#
+# The classic "assign each vector to its nearest centroid/codeword"
+# step was expressed as crossJoin(broadcast cands) + row_number() over
+# Window(partitionBy vector) — which SHUFFLES |cands|×N rows (each
+# carrying the full embedding AND the candidate array) and sorts them,
+# just to pick a per-vector max. These folds compute the same argmax
+# (identical cosine expression per candidate, identical desc-cosine /
+# asc-id tie-break, exact IEEE comparisons) as a pure map over a
+# one-row broadcast of the candidate array: zero exchange, zero sort,
+# and the docstrings' long-standing "map-side argmax" claim becomes
+# literally true in the plan (guide §2.4: remove shuffles outright).
+# Results are bit-identical: the selection comparator is a strict
+# total order (cos desc, id asc), so the fold's outcome is independent
+# of candidate order, and the winning values round-trip unchanged.
+# ---------------------------------------------------------------------------
+
+_NEG_COS = -10.0  # below every real cosine AND the -2.0 guard sentinel
+
+
+def _cand_arr(cands: DataFrame, id_col: str, vec_col: str, norm: str) -> DataFrame:
+    """One-row relation holding the whole (small) candidate set as
+    array<struct<cid,cent,cnorm>> SORTED BY cid — the broadcastable
+    codebook form (sorted so that "first index among cosine ties" is
+    exactly the old "min cid among ties" tie-break). The scalar
+    aggregate is exactly one row, so the downstream crossJoin is a
+    bounded BroadcastNestedLoopJoin (lint-safe)."""
+    return cands.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("long").alias("cid"),
+                    F.col(vec_col).alias("cent"),
+                    F.col(norm).alias("cnorm"),
+                )
+            )
+        ).alias("cands")
+    )
+
+
+def _let(col: Column, fn) -> Column:
+    """Bind ``col`` once and reference it many times inside one
+    expression: HOF lambda variables are evaluated exactly once, so
+    ``transform(array(col), v -> fn(v))[1]`` is a LET binding — without
+    it, every reference to ``col`` re-evaluates its whole subtree
+    (interpreted projections have no common-subexpression
+    elimination)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def _cosines(vec: Column, vnorm: Column, cands: Column, scorer) -> Column:
+    """array<double>: one row's cosine against every candidate — the
+    same per-candidate expression tree the Window forms used, kept
+    primitive (no per-entry struct) so the argmax scan is native.
+    ``vec``/``vnorm`` are LET-bound first: project-collapse inlines
+    them into this expression, and without the binding the norm's own
+    sqrt-fold would re-evaluate once per CANDIDATE instead of once per
+    row."""
+    return _let(
+        F.struct(vec.alias("v"), vnorm.alias("n")),
+        lambda b: F.transform(
+            cands, lambda c: scorer(dot_col(b["v"], c["cent"]), b["n"], c["cnorm"])
+        ),
+    )
+
+
+def argmax_cosine(vec: Column, vnorm: Column, cands: Column, scorer=None) -> Column:
+    """1-based index (int) of the best candidate (cos desc, cid asc) in
+    the cid-sorted candidate array — feed it to element_at.
+    array_position returns the FIRST index holding the maximum, which
+    with cid-sorted candidates is exactly the old min-cid tie-break."""
+    cosarr = _cosines(vec, vnorm, cands, scorer or cosine_from)
+    return _let(
+        cosarr, lambda a: F.array_position(a, F.array_max(a)).cast("int")
+    )
+
+
+def argtop2_cosine(vec: Column, vnorm: Column, cands: Column) -> Column:
+    """struct<i1,i2>: 1-based indexes of the two best candidates in
+    (cos desc, cid asc) order — the nprobe≤2 slice of the old
+    row_number ranking. The runner-up is the max after masking the
+    winner's POSITION (masking by position, not value, keeps duplicate
+    cosines eligible for rank 2, exactly like row_number did)."""
+    cosarr = _cosines(vec, vnorm, cands, cosine_from)
+    return _let(
+        cosarr,
+        lambda a: _let(
+            F.array_position(a, F.array_max(a)).cast("int"),
+            lambda i1: F.struct(
+                i1.alias("i1"),
+                _let(
+                    F.transform(
+                        a,
+                        lambda x, j: F.when(
+                            j == i1 - 1, F.lit(_NEG_COS)
+                        ).otherwise(x),
+                    ),
+                    lambda msk: F.array_position(msk, F.array_max(msk)).cast(
+                        "int"
+                    ),
+                ).alias("i2"),
+            ),
+        ),
+    )
+
+
+def _codebook_lits(rows, m: int) -> list[Column]:
+    """Per-subspace PQ codebook as PLAN LITERALS: rows are the
+    memoized, driver-collected trained codebook (the sanctioned
+    _PQ_MEMO artifact — _pq_fit collects it at build time regardless),
+    embedded as constant arrays exactly like the LSH _HYPERPLANES.
+    Literal codebooks cost nothing per row (constant-folded once),
+    where the previous broadcast-join form copied the whole codebook
+    into every output row. Entries are sorted by code_id so the
+    first-index-among-ties pick equals the old min-cid tie-break;
+    doubles are collected IEEE values embedded verbatim."""
+    per_s: dict[int, list] = {}
+    for r in rows:
+        per_s.setdefault(int(r["s"]), []).append(r)
+    out = []
+    for s in range(m):
+        entries = sorted(per_s.get(s, []), key=lambda r: int(r["code_id"]))
+        out.append(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(r["code_id"])).cast("long").alias("cid"),
+                        F.array(*[F.lit(float(v)) for v in r["cent"]]).alias("cent"),
+                        F.lit(float(r["__bnorm"])).alias("cnorm"),
+                    )
+                    for r in entries
+                ]
+            )
+        )
+    return out
+
+
+def _pq_codes_arr(
+    vec: Column, cbs: list[Column], m: int, subdim: int, scorer
+) -> Column:
+    """array<struct<s, e:struct<cid,cent,cnorm>>>: the chosen codeword
+    per subspace of one vector — the whole PQ encode as a single
+    map-side expression over literal codebooks. Replaces the old
+    explode-to-subvectors → broadcast join on s → row_number() over
+    Window(vec_id, s) pipeline, whose window exchanged and sorted m×N
+    subvector rows; each subspace's argmax here evaluates the identical
+    cosine over the identical codebook entries with the identical
+    tie-break, so codes (and any reconstruction built from them) are
+    bit-identical."""
+    entries = []
+    for s in range(m):
+        sub = F.slice(vec, s * subdim + 1, subdim)
+        snorm = norm_col(sub)
+        idx = argmax_cosine(sub, snorm, cbs[s], scorer)
+        entries.append(
+            F.struct(
+                F.lit(s).alias("s"), F.element_at(cbs[s], idx).alias("e")
+            )
+        )
+    return F.array(*entries)
+
+
 def _plane_lit(j: int, planes: list[list[float]] | None = None) -> Column:
     return F.array(*[F.lit(v) for v in (planes or _HYPERPLANES)[j]])
 
@@ -202,7 +365,7 @@ def _sql_bucket(vec: str, planes: list[list[float]] | None = None) -> str:
 
 
 def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -287,7 +450,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-way key here, 2^b-way in general — pick b so the hottest bucket
     fits an executor, and salt or raise b if occupancy skews.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     b = emb.select(
         "vec_id",
         "embedding",
@@ -354,7 +517,7 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes the (broadcast-sized) QUERY side only, {N_BITS + 1} rows
     per query; the corpus side still computes one signature map-side
     and shuffles once on the bucket key."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     b = emb.select(
         "vec_id",
         "embedding",
@@ -438,9 +601,18 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse assignment (vec_id, embedding, centroid_id, rn) —
+    """IVF coarse assignment (vec_id, embedding, centroid_id, rn≤2) —
     ONE subtree shared by the sim_ivf family and the IVF-PQ
-    composition; ann_recall_at_k pins it so six arms assign once."""
+    composition; ann_recall_at_k pins it so six arms assign once.
+
+    r13: the old crossJoin + row_number() over Window(vec_id) shuffled
+    nlist×N rows (each with the full embedding) and sorted them to rank
+    8 candidates per vector; every consumer filters rn ≤ {_IVF_NPROBE},
+    so a map-side top-2 fold over the one-row broadcast centroid array
+    computes the identical (centroid_id, rn) pairs with ZERO exchange
+    (plans/r13/sim_ivf_*.txt: Exchange+Sort+Window → pure Project).
+    Tie-break (cos desc, centroid_id asc) and the per-candidate cosine
+    expression are unchanged, so assignments are bit-identical."""
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "__enorm", norm_col("embedding")
     )
@@ -449,14 +621,34 @@ def _coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cent_emb"),
         F.col("__enorm").alias("__cnorm"),
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.desc(cosine_from(dot_col("embedding", "cent_emb"), "__enorm", "__cnorm")),
-        F.asc("centroid_id"),
+    carr = _cand_arr(cent, "centroid_id", "cent_emb", "__cnorm")
+    t2 = fan_out(emb).crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "embedding",
+        "cands",
+        argtop2_cosine(F.col("embedding"), F.col("__enorm"), F.col("cands")).alias(
+            "__t2"
+        ),
     )
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(aw))
-        .select("vec_id", "embedding", "centroid_id", "rn")
+    ranked = F.array(
+        F.struct(
+            F.element_at(F.col("cands"), F.col("__t2.i1"))["cid"].alias(
+                "centroid_id"
+            ),
+            F.lit(1).alias("rn"),
+        ),
+        F.struct(
+            F.element_at(F.col("cands"), F.col("__t2.i2"))["cid"].alias(
+                "centroid_id"
+            ),
+            F.lit(2).alias("rn"),
+        ),
+    )
+    return t2.select("vec_id", "embedding", F.explode(ranked).alias("x")).select(
+        "vec_id",
+        "embedding",
+        F.col("x.centroid_id").alias("centroid_id"),
+        F.col("x.rn").alias("rn"),
     )
 
 
@@ -631,7 +823,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate sets broadcast, dup-heavy ones shuffle-hash."""
     emb = load(spark, sf_dir, "embeddings")
     bits, tables = _nd_knobs(emb.count())
-    base = emb.select("vec_id", "embedding", norm_col("embedding").alias("norm"))
+    base = fan_out(emb).select("vec_id", "embedding", norm_col("embedding").alias("norm"))
     cand = _nd_candidate_pairs(base, bits, tables)
     ea = base.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("na")
@@ -763,8 +955,8 @@ def dedup_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     with p = 1 − acos(c)/π; this query measures the realized rate per
     corpus, the same conversion of "blocking runs" into "blocking
     works" as ann_recall_at_k and dedup_minhash_quality."""
-    emb = load(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < ND_QUALITY_SAMPLE
+    emb = fan_out(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < ND_QUALITY_SAMPLE)
     )
     base = emb.select("vec_id", "embedding", norm_col("embedding").alias("norm"))
     bits, tables = _nd_knobs(ND_QUALITY_SAMPLE)
@@ -881,20 +1073,23 @@ def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     the exact assignment rule sim_ivf uses, so trained centroids drop
     straight into its probe. Norms precomputed once per vector and
     per centroid: the argmax over k candidates evaluates k dot folds,
-    not 3k (same bits — identical divide/multiply tree)."""
+    not 3k (same bits — identical divide/multiply tree).
+
+    r13: map-side argmax fold over the one-row broadcast centroid
+    array instead of crossJoin + row_number() over Window(vec_id) —
+    the old form shuffled K×N rows with their embeddings and sorted
+    them; the fold computes the identical argmax with zero exchange
+    (same cosine expression, same desc-cos/asc-id tie-break)."""
     e = emb.withColumn("__enorm", norm_col("embedding"))
     c = cent.withColumn("__cnorm", norm_col("cent"))
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.desc(
-            cosine_from(dot_col("embedding", "cent"), "__enorm", "__cnorm")
-        ),
-        F.asc("centroid_id"),
-    )
-    return (
-        e.crossJoin(F.broadcast(c))
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+    carr = _cand_arr(c, "centroid_id", "cent", "__cnorm")
+    return e.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "embedding",
+        F.element_at(
+            F.col("cands"),
+            argmax_cosine(F.col("embedding"), F.col("__enorm"), F.col("cands")),
+        )["cid"].alias("centroid_id"),
     )
 
 
@@ -971,7 +1166,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip between iterations as a K-row aggregate (never the
     driver), and the iteration count is a fixed small constant —
     lineage stays shallow without checkpoints."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     return _trained_updates(spark, emb, sf_dir).select(
         "centroid_id", F.col("dim").cast("int").alias("dim"), "value", "n_members"
     )
@@ -1090,7 +1285,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounding any single cluster's pair volume to O(m) at the cost of
     reduced intra-cluster recall (a properly sized k never hits it).
     """
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     mc = _sem_clusters(spark, emb, sf_dir)
     if _SEM_EAGER_CKPT:
         # mc feeds three subtrees (cstat, the pair join's two sides via
@@ -1223,7 +1418,7 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure map — one pass per vector, no shuffle at all; the
     quantized corpus writes as a parquet BINARY column in practice
     (multimodal.py shows that plumbing)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     mn = F.array_min("embedding").cast("double")
     mx = F.array_max("embedding").cast("double")
     codes = _quant_codes("embedding")
@@ -1378,10 +1573,11 @@ def sim_sparse_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: the expensive part is the relevance pass, which is
 # exactly sim_topk's map-side broadcast-cosine (here one query, pool
-# of _MMR_POOL). The greedy loop then runs over a CONSTANT-size pool
-# (N² pairwise sims = 400 rows), persisted once; each of the K−1
-# steps is an anti-join + max-aggregate over that constant relation —
-# cost independent of corpus size by construction. Exact doubles:
+# of _MMR_POOL). The greedy selection then runs over a CONSTANT-size
+# pool as one collected-array expression (r13 — see the sim_mmr
+# docstring); each of the K−1 steps is an argmax with on-the-fly
+# pairwise cosines over that constant array — cost independent of
+# corpus size by construction. Exact doubles:
 # 0.5·x is exact scaling, and both engines evaluate the identical
 # subtract/compare tree over the shared left-fold cosine.
 # ---------------------------------------------------------------------------
@@ -1394,9 +1590,6 @@ _MMR_LAMBDA = 0.5  # exactly representable in binary; single source of truth
 # changing λ cannot silently diverge the two engines
 _MMR_REL = repr(_MMR_LAMBDA)  # "0.5"
 _MMR_PEN = repr(1.0 - _MMR_LAMBDA)  # "0.5" — true MMR (1-λ) penalty
-
-_MMR_PINNED: list = []
-
 
 def _mmr_oracle() -> str:
     base = f"""
@@ -1437,9 +1630,20 @@ FROM ({union})"""
 @query("sim_mmr", oracle=_mmr_oracle())
 def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy MMR selection of _MMR_K diverse results from the top
-    _MMR_POOL relevance pool for one query vector (λ = 0.5)."""
-    while _MMR_PINNED:
-        _MMR_PINNED.pop().unpersist()
+    _MMR_POOL relevance pool for one query vector (λ = 0.5).
+
+    r13: the pool is CONSTANT-size ({_MMR_POOL} rows), so the whole
+    greedy selection runs as ONE expression over the collected pool
+    array instead of the old unrolled union of {_MMR_K}−1 join +
+    sort-limit subplans (121 single-task jobs measured; the pinned
+    pool/pair relations and their build-time eager counts are gone
+    with it). Each step recomputes the identical arithmetic: pick =
+    argmax over non-selected pool entries of λ·rel − (1−λ)·max_{s∈sel}
+    cos(emb, emb_s), ties to the smaller cand_id (the pool array is
+    cid-sorted, so first-max-position IS the min-cid tie-break), with
+    the same cosine_col expression per pair — results are bit-equal
+    and the oracle is unchanged. At 100 TB only the relevance top-k
+    touches the corpus, exactly as before."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
@@ -1448,58 +1652,86 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = F.lit(_MMR_LAMBDA)
     pen_coef = F.lit(1.0 - _MMR_LAMBDA)
     pool = (
-        c.crossJoin(F.broadcast(q))
+        fan_out(c)
+        .crossJoin(F.broadcast(q))
         .select("cand_id", "c_emb", cosine_col("q_emb", "c_emb").alias("rel"))
         .orderBy(F.col("rel").desc(), "cand_id")
         .limit(_MMR_POOL)
-        .persist()
     )
-    pool.count()  # eager: the greedy loop reuses the pool ~2K times
-    a, b = pool.alias("a"), pool.alias("b")
-    pair = (
-        a.join(b, F.col("a.cand_id") != F.col("b.cand_id"))
-        .select(
-            F.col("a.cand_id").alias("ia"),
-            F.col("b.cand_id").alias("ib"),
-            cosine_col("a.c_emb", "b.c_emb").alias("s"),
-        )
-        .persist()
-    )
-    pair.count()
-    _MMR_PINNED.extend([pool, pair])
-    slim = pool.select("cand_id", "rel")
-    selected = (
-        slim.orderBy(F.col("rel").desc(), "cand_id")
-        .limit(1)
-        .select(
-            F.lit(1).alias("rank"), "cand_id", "rel", (lam * F.col("rel")).alias("mmr")
-        )
-    )
-    for k in range(2, _MMR_K + 1):
-        sel_ids = selected.select("cand_id")
-        pen = (
-            pair.join(sel_ids, pair.ib == sel_ids.cand_id)
-            .groupBy("ia")
-            .agg(F.max("s").alias("pen"))
-        )
-        pick = (
-            slim.join(sel_ids, "cand_id", "left_anti")
-            .join(pen, F.col("cand_id") == F.col("ia"))
-            .select(
-                F.lit(k).alias("rank"),
-                "cand_id",
-                "rel",
-                (lam * F.col("rel") - pen_coef * F.col("pen")).alias("mmr"),
+    parr = pool.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cand_id").alias("cid"),
+                    F.col("rel").alias("rel"),
+                    F.col("c_emb").alias("emb"),
+                )
             )
-            .orderBy(F.col("mmr").desc(), "cand_id")
-            .limit(1)
+        ).alias("p")
+    )
+
+    def greedy(p: Column) -> Column:
+        def first_pick(relarr: Column) -> Column:
+            return _let(
+                F.array_position(relarr, F.array_max(relarr)).cast("int"),
+                lambda i1: F.array(
+                    F.struct(
+                        F.lit(1).alias("rank"),
+                        i1.alias("idx"),
+                        (lam * F.element_at(p, i1)["rel"]).alias("mmr"),
+                    )
+                ),
+            )
+
+        def mmr_scores(sel: Column) -> Column:
+            return F.transform(
+                p,
+                lambda cand, j: F.when(
+                    F.exists(sel, lambda s: s["idx"] == j + 1), F.lit(_NEG_COS)
+                ).otherwise(
+                    lam * cand["rel"]
+                    - pen_coef
+                    * F.array_max(
+                        F.transform(
+                            sel,
+                            lambda s: cosine_col(
+                                cand["emb"], F.element_at(p, s["idx"])["emb"]
+                            ),
+                        )
+                    )
+                ),
+            )
+
+        def step(sel: Column, k: Column) -> Column:
+            return F.concat(
+                sel,
+                F.array(
+                    _let(
+                        mmr_scores(sel),
+                        lambda marr: _let(
+                            F.array_position(marr, F.array_max(marr)).cast("int"),
+                            lambda pi: F.struct(
+                                k.cast("int").alias("rank"),
+                                pi.alias("idx"),
+                                F.element_at(marr, pi).alias("mmr"),
+                            ),
+                        ),
+                    )
+                ),
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(2), F.lit(_MMR_K)),
+            _let(F.transform(p, lambda cand: cand["rel"]), first_pick),
+            step,
         )
-        selected = selected.union(pick)
-    return selected.select(
-        F.col("rank").cast("int").alias("rank"),
-        "cand_id",
-        F.col("rel").alias("relevance"),
-        F.col("mmr").alias("mmr_score"),
+
+    out = parr.select("p", F.explode(_let(F.col("p"), greedy)).alias("x"))
+    return out.select(
+        F.col("x.rank").alias("rank"),
+        F.element_at(F.col("p"), F.col("x.idx"))["cid"].alias("cand_id"),
+        F.element_at(F.col("p"), F.col("x.idx"))["rel"].alias("relevance"),
+        F.col("x.mmr").alias("mmr_score"),
     )
 
 
@@ -1575,19 +1807,25 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PQ_M}×{_PQ_K}×{_PQ_SUBDIM} groups with map-side partials. The
     whole pipeline shuffles codebook-sized relations only — exactly the
     property that makes PQ trainable on a 100 TB vector corpus."""
-    subs, cent1 = _pq_fit(spark, sf_dir)
-    aw = Window.partitionBy("vec_id", "s").orderBy(
-        F.desc(cosine_from(dot_col("sub", "cent"), "__snorm", "__bnorm")),
-        F.asc("code_id"),
-    )
+    # r13: wide per-vector encode over LITERAL codebooks (see
+    # _pq_codes_arr / _codebook_lits) — the old explode → join on s →
+    # Window(vec_id, s) ranking exchanged and sorted m×N subvector
+    # rows; this is a pure map over the scan.
+    cbs = _codebook_lits(_pq_codebook_rows(spark, sf_dir), _PQ_M)
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     return (
-        subs.join(F.broadcast(cent1), "s")
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
+        emb.select(
+            "vec_id",
+            F.explode(
+                _pq_codes_arr(
+                    F.col("embedding"), cbs, _PQ_M, _PQ_SUBDIM, cosine_from
+                )
+            ).alias("x"),
+        )
         .select(
             "vec_id",
-            F.col("s").cast("int").alias("subspace"),
-            F.col("code_id").cast("long").alias("code"),
+            F.col("x.s").cast("int").alias("subspace"),
+            F.col("x.e.cid").cast("long").alias("code"),
         )
     )
 
@@ -1630,7 +1868,7 @@ def _pq_fit(
     frontier's tuned arm uses (VERDICT r9 #3). Each extra round is one
     more broadcast-assign + fixed-point update of the SAME shape, so
     exactness and scale properties are unchanged."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     version = _corpus_version(sf_dir)
     subdim = DIM // m
     memo = _PQ_MEMO.get((sf_dir, k, m, rounds, version))
@@ -1699,6 +1937,22 @@ def _pq_fit(
     return subs, spark.createDataFrame(hit[1], hit[0])
 
 
+def _pq_codebook_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _PQ_K,
+    m: int = _PQ_M,
+    rounds: int = 1,
+):
+    """The trained codebook's collected rows (s, code_id, cent,
+    __bnorm) — trains via _pq_fit on a memo miss, then reads the
+    sanctioned _PQ_MEMO artifact (the same rows _pq_fit would wrap in
+    createDataFrame)."""
+    _pq_fit(spark, sf_dir, k=k, m=m, rounds=rounds)
+    version = _corpus_version(sf_dir)
+    return _PQ_MEMO[(sf_dir, k, m, rounds, version)][1]
+
+
 def _pq_recon(
     spark: SparkSession,
     sf_dir: str,
@@ -1710,28 +1964,25 @@ def _pq_recon(
     broadcast codebook, subspaces reassembled in order — the subtree
     shared by the ADC search and the IVF-PQ composition (ann_recall
     pins it so both arms reconstruct once)."""
-    subs, cent1 = _pq_fit(spark, sf_dir, k=k, m=m, rounds=rounds)
-    aw = Window.partitionBy("vec_id", "s").orderBy(
-        F.desc(cosine_from(dot_col("sub", "cent"), "__snorm", "__bnorm")),
-        F.asc("code_id"),
+    # r13: encode + reconstruct in ONE map-side expression over
+    # LITERAL codebooks — the old form ranked m×N subvectors through a
+    # Window exchange, joined the codebook back, and re-grouped by
+    # vec_id to reassemble; the wide encode already holds the winning
+    # codeword per subspace in s order, so flatten() IS the
+    # reconstruction (zero exchange end to end).
+    cbs = _codebook_lits(
+        _pq_codebook_rows(spark, sf_dir, k=k, m=m, rounds=rounds), m
     )
-    codes = (
-        subs.join(F.broadcast(cent1), "s")
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "code_id")
-    )
-    return (
-        codes.join(F.broadcast(cent1.drop("__bnorm")), ["s", "code_id"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("s", "cent"))),
-                    lambda st: st["cent"],
-                )
-            ).alias("recon")
-        )
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    subdim = DIM // m
+    return emb.select(
+        "vec_id",
+        F.flatten(
+            F.transform(
+                _pq_codes_arr(F.col("embedding"), cbs, m, subdim, cosine_from),
+                lambda x: x["e"]["cent"],
+            )
+        ).alias("recon"),
     )
 
 
@@ -2307,7 +2558,7 @@ def ann_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon_tuned = _pq_recon(
         spark, sf_dir, k=_PQ_TUNED_K, m=_PQ_TUNED_M, rounds=_PQ_TUNED_ROUNDS
     ).localCheckpoint(eager=False)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     b = emb.select("vec_id", bucket_col("embedding").alias("bucket"))
     bq = b.filter(F.col("vec_id") < N_QUERIES)
     bc = b.filter(F.col("vec_id") >= N_QUERIES)
@@ -2443,7 +2694,7 @@ def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit pushing the top-{_MRR_K} cut into each partition
     before the shuffle — the same partial-top-k plan as sim_topk, so
     judged depth bounds the shuffle, not corpus size."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", "label", norm_col("embedding").alias("e_norm")
     )
     q = emb.filter(F.col("vec_id") < _MRR_NQ).select(
@@ -2510,7 +2761,7 @@ def eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: assignment is the broadcast argmax (zero corpus
     shuffle); the purity rollup runs over the (centroid, label) grid —
     K×|labels| rows — after map-side partials."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", "label", norm_col("embedding").alias("__enorm")
     )
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
@@ -2518,15 +2769,15 @@ def eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cent"),
         F.col("__enorm").alias("__cnorm"),
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.desc(cosine_from(dot_col("embedding", "cent"), "__enorm", "__cnorm")),
-        F.asc("centroid_id"),
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("centroid_id", "label")
+    # r13: map-side argmax fold (see _assign) — no Window shuffle of
+    # the K×N crossJoin; identical cosine + tie-break, zero exchange.
+    carr = _cand_arr(cent, "centroid_id", "cent", "__cnorm")
+    assigned = emb.crossJoin(F.broadcast(carr)).select(
+        F.element_at(
+            F.col("cands"),
+            argmax_cosine(F.col("embedding"), F.col("__enorm"), F.col("cands")),
+        )["cid"].alias("centroid_id"),
+        "label",
     )
     m = assigned.groupBy("centroid_id", "label").agg(F.count(F.lit(1)).alias("n"))
     cw = Window.partitionBy("centroid_id")
@@ -2580,7 +2831,7 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside each corpus partition before any shuffle), so the judged
     depth bounds shuffle volume, not corpus size. At 100 TB the anchor
     set shards into broadcast-sized batches and the same plan loops."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", "label", norm_col("embedding").alias("e_norm")
     )
     q = emb.filter(F.col("vec_id") < _MRR_NQ).select(
@@ -2661,12 +2912,14 @@ def embed_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pure map — each sketch dim is one zip_with/aggregate
     fold against a literal ±1 row (the plan ships the matrix as
-    constants, broadcast for free); no shuffle anywhere except the
-    output ordering (which a sink would drop). At 100 TB this is the
+    constants, broadcast for free); no keyed shuffle anywhere except
+    the output ordering (which a sink would drop) — fan_out only
+    rebalances an unsplittable tiny scan across idle cores and is a
+    no-op once the scan yields ≥ cores splits. At 100 TB this is the
     stage you run FIRST so every downstream pair computation (near-dup
     blocking, ANN, clustering) folds {_RP_REDUCE_DIMS} doubles instead
     of {DIM}."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     sketch = emb.select(
         "vec_id",
         F.posexplode(
@@ -2682,7 +2935,7 @@ def _rp_topk(spark: SparkSession, sf_dir: str, r: int) -> DataFrame:
     """Exact cosine top-k in the r-d sketch space (query split + window
     shape identical to sim_topk, so the plans differ only in fold
     width)."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.array(*[_rp_col(j) for j in range(r)]).alias("rv")
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -2895,6 +3148,19 @@ def _pq_fit_res(
     return subs, spark.createDataFrame(hit[1], hit[0]), res
 
 
+def _pq_res_codebook_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _PQ_K,
+    n_queries: int = N_QUERIES,
+):
+    """Residual-PQ twin of _pq_codebook_rows: reads the memoized rows
+    _pq_fit_res collected (the caller has already invoked it, so the
+    memo is warm)."""
+    version = _corpus_version(sf_dir)
+    return _PQ_MEMO[(sf_dir, ("res", k, n_queries), version)][1]
+
+
 def _ivf_pq_res_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -2905,30 +3171,28 @@ def _ivf_pq_res_topk(
     """Residual IVF-PQ search core (see sim_ivf_pq_residual)."""
     if assign is None:
         assign = _coarse_assign(spark, sf_dir)
-    subs, cent1, res = _pq_fit_res(
+    _, _cent1, res = _pq_fit_res(
         spark, sf_dir, k=k, n_queries=n_queries, assign=assign
     )
-    caw = Window.partitionBy("vec_id", "s").orderBy(
-        F.desc(cosine_from_safe(dot_col("sub", "cent"), "__snorm", "__bnorm")),
-        F.asc("code_id"),
+    # r13: wide encode+reconstruct fold over the residual vector (see
+    # _pq_codes_arr) — replaces the Window(vec_id, s) ranking, the
+    # codebook join-back, the groupBy(vec_id) reassembly AND the join
+    # back onto res (rv rows already carry centroid_id). Same guarded
+    # cosine (cosine_from_safe) per codebook entry, same tie-break.
+    cbs = _codebook_lits(
+        _pq_res_codebook_rows(spark, sf_dir, k=k, n_queries=n_queries), _PQ_M
     )
-    codes = (
-        subs.join(F.broadcast(cent1), "s")
-        .withColumn("rn", F.row_number().over(caw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "code_id")
-    )
-    rrecon = (
-        codes.join(F.broadcast(cent1.drop("__bnorm")), ["s", "code_id"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("s", "cent"))),
-                    lambda st: st["cent"],
-                )
-            ).alias("recon")
-        )
+    rrecon = res.select(
+        "vec_id",
+        "centroid_id",
+        F.flatten(
+            F.transform(
+                _pq_codes_arr(
+                    F.col("rv"), cbs, _PQ_M, _PQ_SUBDIM, cosine_from_safe
+                ),
+                lambda x: x["e"]["cent"],
+            )
+        ).alias("recon"),
     )
     cent = (
         load(spark, sf_dir, "embeddings")
@@ -2936,8 +3200,7 @@ def _ivf_pq_res_topk(
         .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb"))
     )
     reconf = (
-        rrecon.join(res.select("vec_id", "centroid_id"), "vec_id")
-        .join(F.broadcast(cent), "centroid_id")
+        rrecon.join(F.broadcast(cent), "centroid_id")
         .select(
             F.col("vec_id").alias("cand_id"),
             "centroid_id",

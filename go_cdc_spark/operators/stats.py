@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import query
-from ..tables import load
+from ..tables import fan_out, load
 
 # Exact power-sum accumulation. Per-element x*x ≤ ~1e10 for the fixture
 # measures (quantity ≤ 50, price ≤ ~1.1e5); decimal(18,6) holds 1e12 per
@@ -87,7 +87,7 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors the shape of SQL ``STDDEV_SAMP/COVAR_SAMP/CORR/REGR_*``
     but beats them for distributed use: the built-ins' merge formulas
     give partition-order-dependent floats, these don't."""
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(load(spark, sf_dir, "lineitem"))
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     # x (quantity) is integer-valued by domain (1..50), so Σx and Σx²
     # ride plain LONG sums — whole-stage-codegen-fast, exact up to 2^63,
@@ -183,7 +183,7 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded-group / full-table case at 100 TB, use the
     ``percentile_approx`` sketch path (``agg_quantiles``): fixed
     memory, mergeable partials."""
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(load(spark, sf_dir, "lineitem"))
     q = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
     return (
         li.groupBy("l_returnflag")
@@ -398,7 +398,7 @@ def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     series instead of a cohort, block candidates first (SAX /
     random-projection signatures, the sim_lsh_ann pattern) and run
     this exact correlation only inside buckets."""
-    ev = load(spark, sf_dir, "events")
+    ev = fan_out(load(spark, sf_dir, "events"))
     cohort = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_ev"))
@@ -411,14 +411,23 @@ def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"))
     )
+    # r13: the day self-join EXPLODES ~cohort× inside the join (its
+    # inputs are a few thousand daily rows, its output is millions of
+    # pair-day rows) — AQE sizes the join's reducers from the INPUT
+    # bytes and coalesces them to one task, serializing the explosion.
+    # A non-coalescible fixed-count repartition on the join key keeps
+    # the fan-out spread across the session's shuffle width; the join
+    # is then co-partitioned (same key, same count) and the pair
+    # aggregate's map-side partials run where the explosion happens.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     a = daily.select(
         F.col("user_id").alias("user_a"), "day", F.col("v").alias("va")
-    )
+    ).repartition(nparts, "day")
     b = daily.select(
         F.col("user_id").alias("user_b"),
         F.col("day").alias("day_b"),
         F.col("v").alias("vb"),
-    )
+    ).repartition(nparts, "day_b")
     va, vb = F.col("va"), F.col("vb")
     pairs = (
         a.join(b, (a.day == b.day_b) & (F.col("user_a") < F.col("user_b")))
@@ -485,7 +494,7 @@ def stats_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact MAD; the sketch-based alternative (percentile_approx over
     deviations from an approx median) drops a scan at the cost of
     rank-error bounds."""
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(load(spark, sf_dir, "lineitem"))
     q = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
     med = (
         li.groupBy(F.col("l_returnflag").alias("rf"))
@@ -635,6 +644,10 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the price domain, not the row count (re-measured −0.03
     at 10×). The same trick is the standard exact-median scale escape:
     the shuffle carries one row per distinct value."""
+    # NOT fanned out (r13, measured 2.33s -> 2.74s): the (g, v) byval
+    # pre-aggregate combines most rows map-side only when the scan
+    # partition covers the whole value domain; a round-robin rebalance
+    # multiplies the per-partition distinct states and shuffles MORE.
     li = load(spark, sf_dir, "lineitem")
     t = li.select(
         F.col("l_returnflag").alias("g"),

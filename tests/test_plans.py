@@ -220,8 +220,15 @@ def test_triangle_support_filter_below_wedge_join(spark, sf_dir):
         "support filter not above (i.e. applied to) the edge aggregation"
     )
     plan = _physical(QUERIES["triangle_count"](spark, sf_dir))
-    # wedge self-join on the orientation's src key, consuming the pin
-    assert re.search(r"SortMergeJoin \[src#\d+L\]", plan), plan[:1500]
+    # wedge self-join on the orientation's src key, consuming the pin.
+    # Strategy may be SMJ or (since the r13 basket-first edge
+    # derivation, whose lazy checkpoint carries a smaller size
+    # estimate) a broadcast hash join at test scale — what matters is
+    # that it stays an EQUI join on src; past the broadcast threshold
+    # the planner reverts to SMJ on its own.
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin) \[src#\d+L\]", plan), (
+        plan[:1500]
+    )
     assert "CartesianProduct" not in plan
 
 
