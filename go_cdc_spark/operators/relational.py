@@ -1019,18 +1019,29 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant memory, this row is the strong-checked ground truth the
     sketch is judged against.
 
-    Scale shape: exact percentile is a per-group sort — fine while
-    groups are bounded (5 priority classes here; the hot class is the
-    cap, same note as win_distribution). At unbounded group
-    cardinality or width, fall back to `agg_quantiles`' one-pass
-    sketch; keep BOTH registered so the trade stays measured."""
-    orders = fan_out(load(spark, sf_dir, "orders"))
-    return orders.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
-        F.percentile("o_totalprice", F.lit(0.50)).alias("p50"),
-        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
-        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    Scale shape (r14): computed through the distinct-value domain
+    shuffle (`operators/_percentile.py`, the agg_weighted_median
+    pattern) instead of the built-in `percentile` aggregate, whose
+    per-group merge buffers the whole group (5 priority classes => 5
+    effective reducers and unbounded buffers). The heavy shuffle is
+    keyed (priority, value); the per-group cumulative pass runs over
+    the bounded value domain and spills gracefully. Interpolation is
+    bit-identical to the built-in. At unbounded value-domain width,
+    fall back to `agg_quantiles`' one-pass sketch; keep BOTH
+    registered so the trade stays measured."""
+    from ._percentile import domain_percentiles
+
+    # not fanned out (r14 A/B, tools/pctl_ab.py): round-robin
+    # multiplies the byval partial states — agg_weighted_median's r13
+    # finding, reproduced for this family
+    orders = load(spark, sf_dir, "orders")
+    return domain_percentiles(
+        orders,
+        ["o_orderpriority"],
+        "o_totalprice",
+        [0.25, 0.50, 0.75, 0.95],
+        ["p25", "p50", "p75", "p95"],
+        keep_n="n_orders",
     )
 
 

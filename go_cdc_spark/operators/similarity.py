@@ -692,6 +692,11 @@ def _ivf_topk(
 
 
 _IVF_NPROBE = 2
+# _coarse_assign materializes exactly the top-2 ranks (argtop2_cosine);
+# consumers filter rn <= _IVF_NPROBE against that. Raising the knob
+# past 2 would silently TRUNCATE probes to 2 — fail loudly instead
+# (widen argtop2_cosine to an argtop-k fold before raising it).
+assert _IVF_NPROBE <= 2, "_coarse_assign's argtop2 fold caps nprobe at 2"
 
 _IVF_NPROBE2_ORACLE = f"""
 WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings
@@ -1287,19 +1292,30 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = fan_out(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     mc = _sem_clusters(spark, emb, sf_dir)
-    if _SEM_EAGER_CKPT:
-        # mc feeds three subtrees (cstat, the pair join's two sides via
-        # mcs, and the final keep-flag join); the LAZY checkpoint pins
-        # it at first materialization so the assignment cross-join
-        # evaluates once per action, not per consumer (A/B-measured —
-        # see COVERAGE.md). Lazy, not eager: bench times the sink
-        # action only, and an eager pin would move the query's real
-        # work outside the timed window.
-        mc = mc.localCheckpoint(eager=False)
-    cstat = mc.groupBy("centroid_id").agg(
-        F.min("vec_id").alias("hub"), F.count(F.lit(1)).alias("n")
+    # r14: the cluster stats (hub = min vec_id, n = size) ride the SAME
+    # relation as window functions over centroid_id instead of a
+    # separate aggregate + broadcast join — the old cstat broadcast was
+    # its own serial job that re-materialized mc before the pair arms
+    # could start (guide §2.6, eliminate tiny serial jobs). The window
+    # is computed once, BEFORE the pin, so the checkpointed relation
+    # already carries hub/n and is hash-partitioned by centroid_id —
+    # the very key the pair self-joins use.
+    w_c = Window.partitionBy("centroid_id")
+    mc = mc.select(
+        "*",
+        F.min("vec_id").over(w_c).alias("hub"),
+        F.count(F.lit(1)).over(w_c).alias("n"),
     )
-    mcs = mc.join(F.broadcast(cstat), "centroid_id")
+    if _SEM_EAGER_CKPT:
+        # mc feeds three subtrees (the pair join's two sides via mcs
+        # and the final keep-flag join); the LAZY checkpoint pins it at
+        # first materialization so the assignment cross-join evaluates
+        # once per action, not per consumer (A/B-measured — see
+        # COVERAGE.md). Lazy, not eager: bench times the sink action
+        # only, and an eager pin would move the query's real work
+        # outside the timed window.
+        mc = mc.localCheckpoint(eager=False)
+    mcs = mc
     a_cols = [
         F.col("vec_id").alias("a_id"),
         F.col("cent_cos").alias("a_cc"),
@@ -1727,7 +1743,14 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = parr.select("p", F.explode(_let(F.col("p"), greedy)).alias("x"))
-    return out.select(
+    # Short-pool guard (r14/ADVICE): with fewer than _MMR_K pool
+    # entries every candidate is eventually masked to the _NEG_COS
+    # sentinel and the step re-picks an already-selected index at
+    # mmr == _NEG_COS exactly; real scores are bounded far above it
+    # (|rel|, |cos| <= 2 with the guard sentinel => mmr >= -2), so
+    # dropping sentinel picks makes tiny corpora degrade to "fewer
+    # rows" like the pre-r13 join/limit loop. No-op at normal scale.
+    return out.filter(F.col("x.mmr") > F.lit(_NEG_COS)).select(
         F.col("x.rank").alias("rank"),
         F.element_at(F.col("p"), F.col("x.idx"))["cid"].alias("cand_id"),
         F.element_at(F.col("p"), F.col("x.idx"))["rel"].alias("relevance"),
@@ -1846,6 +1869,18 @@ def _pq_fit(
     m: int = _PQ_M,
     rounds: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
+    """(subvectors, trained codebook as a DataFrame) — see _pq_fit_hit."""
+    subs, hit = _pq_fit_hit(spark, sf_dir, k=k, m=m, rounds=rounds)
+    return subs, spark.createDataFrame(hit[1], hit[0])
+
+
+def _pq_fit_hit(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _PQ_K,
+    m: int = _PQ_M,
+    rounds: int = 1,
+) -> tuple[DataFrame, tuple]:
     """PQ training shared by sim_pq_codes and the ADC search in
     ann_recall_at_k: returns (subvectors, trained codebook) after one
     Lloyd round — the Spark twin of the _PQ_CTES oracle body. ``k`` is
@@ -1891,7 +1926,7 @@ def _pq_fit(
         "vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub")
     ).withColumn("__snorm", norm_col("sub"))
     if memo is not None:
-        return subs, spark.createDataFrame(memo[1], memo[0])
+        return subs, memo
 
     cent = subs.filter(F.col("vec_id") < k).select(
         "s",
@@ -1934,7 +1969,7 @@ def _pq_fit(
     ]:
         del _PQ_MEMO[stale]
     _PQ_MEMO[(sf_dir, k, m, rounds, version)] = hit
-    return subs, spark.createDataFrame(hit[1], hit[0])
+    return subs, hit
 
 
 def _pq_codebook_rows(
@@ -1945,12 +1980,12 @@ def _pq_codebook_rows(
     rounds: int = 1,
 ):
     """The trained codebook's collected rows (s, code_id, cent,
-    __bnorm) — trains via _pq_fit on a memo miss, then reads the
-    sanctioned _PQ_MEMO artifact (the same rows _pq_fit would wrap in
-    createDataFrame)."""
-    _pq_fit(spark, sf_dir, k=k, m=m, rounds=rounds)
-    version = _corpus_version(sf_dir)
-    return _PQ_MEMO[(sf_dir, k, m, rounds, version)][1]
+    __bnorm) — trains via _pq_fit_hit on a memo miss and consumes the
+    returned hit tuple directly (r14/ADVICE: re-deriving the memo key
+    here raised KeyError when the corpus version moved — or stat
+    failed — between training and lookup; threading the hit through
+    cannot go stale)."""
+    return _pq_fit_hit(spark, sf_dir, k=k, m=m, rounds=rounds)[1][1]
 
 
 def _pq_recon(
@@ -2384,7 +2419,15 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction — and the output is one row per route. Ties in
     every top-k are broken by cand_id in both engines, so the pair
     sets (and therefore recall) are deterministic and hash-exact."""
-    exact = sim_topk(spark, sf_dir).select("query_id", "cand_id")
+    # r14: pin the brute-force truth set too — it feeds one semi-join
+    # per route PLUS the expected count, and without the pin every
+    # consumer re-ran the full corpus scan + cosine fold + top-k
+    # (9 evaluations of the most expensive subtree in the query).
+    exact = (
+        sim_topk(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
+    )
     expected = exact.agg(F.count(F.lit(1)).cast("long").alias("expected"))
     # shared artifacts, LAZY-pinned (work still happens inside the one
     # timed action): the coarse assignment feeds three arms and the PQ
@@ -2551,7 +2594,15 @@ def ann_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: candidate counts are aggregates over the SAME shared
     subtrees the searches use (bucket join, coarse-cell join) — no new
     pair enumeration; every count is one map-side-combined COUNT(*)."""
-    exact = sim_topk(spark, sf_dir).select("query_id", "cand_id")
+    # r14: pin the truth set (10 consumers: 9 route semi-joins + the
+    # expected count — each re-ran the full brute-force scan+fold+top-k
+    # without the pin) and the signature relation below (3 count
+    # subtrees), same rationale as the assign/recon pins.
+    exact = (
+        sim_topk(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
+    )
     expected = exact.agg(F.count(F.lit(1)).cast("long").alias("expected"))
     assign = _coarse_assign(spark, sf_dir).localCheckpoint(eager=False)
     recon = _pq_recon(spark, sf_dir).localCheckpoint(eager=False)
@@ -2559,7 +2610,9 @@ def ann_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, k=_PQ_TUNED_K, m=_PQ_TUNED_M, rounds=_PQ_TUNED_ROUNDS
     ).localCheckpoint(eager=False)
     emb = fan_out(load(spark, sf_dir, "embeddings"))
-    b = emb.select("vec_id", bucket_col("embedding").alias("bucket"))
+    b = emb.select(
+        "vec_id", bucket_col("embedding").alias("bucket")
+    ).localCheckpoint(eager=False)
     bq = b.filter(F.col("vec_id") < N_QUERIES)
     bc = b.filter(F.col("vec_id") >= N_QUERIES)
     probes = F.array(
@@ -3058,13 +3111,16 @@ def _pq_fit_res(
     k: int = _PQ_K,
     n_queries: int = N_QUERIES,
     assign: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, list]:
     """Residual-PQ training: (residual subvectors, trained codebook,
-    residual relation) after one Lloyd round on (vector − centroid)
-    residuals of the CANDIDATE set. Seeds come from the first k
-    candidates — the coarse centroids' own residuals are identically
-    zero and have no cosine. Codebook memoized per (corpus, k) like
-    the raw-vector fit."""
+    residual relation, collected codebook rows) after one Lloyd round
+    on (vector − centroid) residuals of the CANDIDATE set. Seeds come
+    from the first k candidates — the coarse centroids' own residuals
+    are identically zero and have no cosine. Codebook memoized per
+    (corpus, k) like the raw-vector fit. The collected rows ride the
+    return value (r14/ADVICE: the old _pq_res_codebook_rows re-derived
+    the memo key and raised a bare KeyError if the corpus version
+    moved between training and lookup)."""
     if assign is None:
         assign = _coarse_assign(spark, sf_dir)
     cent = (
@@ -3105,7 +3161,7 @@ def _pq_fit_res(
     version = _corpus_version(sf_dir)
     memo = _PQ_MEMO.get((sf_dir, ("res", k, n_queries), version))
     if memo is not None:
-        return subs, spark.createDataFrame(memo[1], memo[0]), res
+        return subs, spark.createDataFrame(memo[1], memo[0]), res, memo[1]
 
     seeds = subs.filter(
         (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + k)
@@ -3145,20 +3201,7 @@ def _pq_fit_res(
     for stale in [s for s in _PQ_MEMO if s[:2] == mk[:2]]:
         del _PQ_MEMO[stale]
     _PQ_MEMO[mk] = hit
-    return subs, spark.createDataFrame(hit[1], hit[0]), res
-
-
-def _pq_res_codebook_rows(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = _PQ_K,
-    n_queries: int = N_QUERIES,
-):
-    """Residual-PQ twin of _pq_codebook_rows: reads the memoized rows
-    _pq_fit_res collected (the caller has already invoked it, so the
-    memo is warm)."""
-    version = _corpus_version(sf_dir)
-    return _PQ_MEMO[(sf_dir, ("res", k, n_queries), version)][1]
+    return subs, spark.createDataFrame(hit[1], hit[0]), res, hit[1]
 
 
 def _ivf_pq_res_topk(
@@ -3171,7 +3214,7 @@ def _ivf_pq_res_topk(
     """Residual IVF-PQ search core (see sim_ivf_pq_residual)."""
     if assign is None:
         assign = _coarse_assign(spark, sf_dir)
-    _, _cent1, res = _pq_fit_res(
+    _, _cent1, res, cb_rows = _pq_fit_res(
         spark, sf_dir, k=k, n_queries=n_queries, assign=assign
     )
     # r13: wide encode+reconstruct fold over the residual vector (see
@@ -3179,9 +3222,7 @@ def _ivf_pq_res_topk(
     # codebook join-back, the groupBy(vec_id) reassembly AND the join
     # back onto res (rv rows already carry centroid_id). Same guarded
     # cosine (cosine_from_safe) per codebook entry, same tie-break.
-    cbs = _codebook_lits(
-        _pq_res_codebook_rows(spark, sf_dir, k=k, n_queries=n_queries), _PQ_M
-    )
+    cbs = _codebook_lits(cb_rows, _PQ_M)
     rrecon = res.select(
         "vec_id",
         "centroid_id",

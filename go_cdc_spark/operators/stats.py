@@ -177,25 +177,30 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``agg_quantiles``, engine-specific, rows-only) this one
     hash-matches bit-exactly.
 
-    Scale note: exact percentile buffers each group's values — the
-    right tool when group cardinality is bounded (here: per-flag
-    distributions used for threshold calibration). For the
-    unbounded-group / full-table case at 100 TB, use the
-    ``percentile_approx`` sketch path (``agg_quantiles``): fixed
-    memory, mergeable partials."""
-    li = fan_out(load(spark, sf_dir, "lineitem"))
-    q = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(q.alias("q"))
-        .select(
-            "l_returnflag",
-            F.element_at("q", 1).alias("p50"),
-            F.element_at("q", 2).alias("p90"),
-            F.element_at("q", 3).alias("p99"),
-        )
-        .orderBy("l_returnflag")
-    )
+    Scale note (r14): the built-in exact ``percentile`` buffers each
+    group's values through one per-group merge (3 flags => 3 effective
+    reducers, unbounded group buffers); this computes the identical
+    interpolation through the distinct-value domain shuffle
+    (:mod:`._percentile` — the agg_weighted_median pattern), so the
+    heavy shuffle is keyed (group, value) and the only per-group pass
+    runs over the bounded value DOMAIN. For the unbounded-domain /
+    full-table case at 100 TB, use the ``percentile_approx`` sketch
+    path (``agg_quantiles``): fixed memory, mergeable partials."""
+    from ._percentile import domain_percentiles
+
+    # NOT fanned out (r14 A/B, tools/pctl_ab.py: 1.27s plain vs 1.79s
+    # fanned): the (g, v) byval pre-aggregate combines map-side only
+    # when a partition covers the value domain; round-robin multiplies
+    # the partial states and shuffles more — the agg_weighted_median
+    # r13 finding, reproduced here.
+    li = load(spark, sf_dir, "lineitem")
+    return domain_percentiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.5, 0.9, 0.99],
+        ["p50", "p90", "p99"],
+    ).orderBy("l_returnflag")
 
 
 @query(
@@ -494,25 +499,30 @@ def stats_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact MAD; the sketch-based alternative (percentile_approx over
     deviations from an approx median) drops a scan at the cost of
     rank-error bounds."""
-    li = fan_out(load(spark, sf_dir, "lineitem"))
-    q = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
-    med = (
-        li.groupBy(F.col("l_returnflag").alias("rf"))
-        .agg(q.alias("q"))
-        .select(
-            "rf",
-            F.element_at("q", 2).alias("median"),
-            (F.element_at("q", 3) - F.element_at("q", 1)).alias("iqr"),
-        )
+    from ._percentile import domain_percentiles
+
+    # not fanned out: byval pre-aggregate (see quantiles_exact note)
+    li = load(spark, sf_dir, "lineitem")
+    med = domain_percentiles(
+        li.select(F.col("l_returnflag").alias("rf"), "l_extendedprice"),
+        ["rf"],
+        "l_extendedprice",
+        [0.25, 0.5, 0.75],
+        ["q1", "q2", "q3"],
+    ).select(
+        "rf", F.col("q2").alias("median"), (F.col("q3") - F.col("q1")).alias("iqr")
+    ).localCheckpoint(eager=False)  # feeds two broadcasts; pass 1 runs once
+    # pass 2 groups by the flag ONLY — median/iqr are per-flag
+    # constants, so they re-attach via the 3-row broadcast after the
+    # aggregate instead of widening every byval key in the domain
+    # shuffle (r14: 2.27s -> measured below with the narrow key).
+    dev = li.join(F.broadcast(med), li.l_returnflag == med.rf).select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("median")).alias("adev"),
     )
+    mad = domain_percentiles(dev, ["l_returnflag"], "adev", [0.5], ["mad"])
     return (
-        li.join(F.broadcast(med), li.l_returnflag == med.rf)
-        .groupBy("l_returnflag", "median", "iqr")
-        .agg(
-            F.expr(
-                "percentile(ABS(l_extendedprice - median), 0.5)"
-            ).alias("mad")
-        )
+        mad.join(F.broadcast(med), mad.l_returnflag == med.rf)
         .select("l_returnflag", "median", "iqr", "mad")
         .orderBy("l_returnflag")
     )
