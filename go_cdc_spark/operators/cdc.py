@@ -95,7 +95,13 @@ def apply_changes(
     """
     if pos_threshold is not None:
         changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
-    latest = cdc_collapse(changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True)
+    # r14: the collapsed batch feeds every consumer below; the LAZY
+    # pin evaluates the events-scan + top-1 window ONCE per action
+    # instead of once per consumer (change batches are bounded, so the
+    # pin is batch-sized at any base-table scale).
+    latest = cdc_collapse(
+        changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
+    ).localCheckpoint(eager=False)
     # Broadcast-able at typical change-batch sizes; AQE downgrades to
     # shuffled anti-join automatically when the change set is large.
     unchanged = snapshot.join(latest.select(*keys), on=keys, how="left_anti")
@@ -293,7 +299,9 @@ def incremental_agg(
     dec38 = "decimal(38,6)"
     if pos_threshold is not None:
         changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
-    latest = cdc_collapse(changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True)
+    latest = cdc_collapse(
+        changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
+    ).localCheckpoint(eager=False)  # r14: batch-sized, multi-consumer pin
 
     def grouped(df: DataFrame, sign: int) -> DataFrame:
         aggs = [(F.count(F.lit(1)) * sign).cast("long").alias("n")] + [
@@ -377,7 +385,9 @@ def incremental_minmax(
         )
     if pos_threshold is not None:
         changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
-    latest = cdc_collapse(changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True)
+    latest = cdc_collapse(
+        changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
+    ).localCheckpoint(eager=False)  # r14: batch-sized, multi-consumer pin
     if base_minmax is None:
         base_minmax = snapshot.groupBy(*group_cols).agg(
             F.min(val_col).alias("min_val"),
@@ -481,8 +491,12 @@ def incremental_join(
     if pos_threshold is not None:
         fact_changes = fact_changes.filter(F.col(pos_col) > F.lit(pos_threshold))
         dim_changes = dim_changes.filter(F.col(pos_col) > F.lit(pos_threshold))
-    d_fact = cdc_collapse(fact_changes, fact_keys, pos_col=pos_col, op_col=op_col, keep_deletes=True)
-    d_dim = cdc_collapse(dim_changes, dim_keys, pos_col=pos_col, op_col=op_col, keep_deletes=True)
+    d_fact = cdc_collapse(
+        fact_changes, fact_keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
+    ).localCheckpoint(eager=False)  # r14: batch-sized, multi-consumer pin
+    d_dim = cdc_collapse(
+        dim_changes, dim_keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
+    ).localCheckpoint(eager=False)
 
     # Rename the dim-side join columns to the fact's FK names once, so
     # every join below is a same-name equi-join (single key column out).
@@ -589,10 +603,10 @@ def incremental_join_agg(
         dim_changes = dim_changes.filter(F.col(pos_col) > F.lit(pos_threshold))
     d_fact = cdc_collapse(
         fact_changes, fact_keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
-    )
+    ).localCheckpoint(eager=False)  # r14: batch-sized, multi-consumer pin
     d_dim = cdc_collapse(
         dim_changes, dim_keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
-    )
+    ).localCheckpoint(eager=False)
 
     def _as_fk(df: DataFrame) -> DataFrame:
         renamed = df
@@ -721,7 +735,9 @@ def incremental_distinct(
         )
     if pos_threshold is not None:
         changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
-    latest = cdc_collapse(changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True)
+    latest = cdc_collapse(
+        changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
+    ).localCheckpoint(eager=False)  # r14: batch-sized, multi-consumer pin
     changed_keys = latest.select(*keys)
     removed = snapshot.join(changed_keys, on=keys, how="left_semi")
     added = latest.filter(F.col(op_col) != OP_DELETE)
@@ -1135,7 +1151,7 @@ def incremental_topk(
         changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
     latest = cdc_collapse(
         changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
-    )
+    ).localCheckpoint(eager=False)  # r14: batch-sized, multi-consumer pin
     changed_keys = latest.select(*keys)
     after = latest.filter(F.col(op_col) != OP_DELETE)
     touched = (
@@ -1206,7 +1222,7 @@ def incremental_histogram(
         changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
     latest = cdc_collapse(
         changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
-    )
+    ).localCheckpoint(eager=False)  # r14: batch-sized, multi-consumer pin
     changed_keys = latest.select(*keys)
     bcol = _bin_expr(val_col, lo, hi, nbins)
     removed = (
@@ -1349,7 +1365,7 @@ def incremental_mode(
         changes = changes.filter(F.col(pos_col) > F.lit(pos_threshold))
     latest = cdc_collapse(
         changes, keys, pos_col=pos_col, op_col=op_col, keep_deletes=True
-    )
+    ).localCheckpoint(eager=False)  # r14: batch-sized, multi-consumer pin
     changed_keys = latest.select(*keys)
     removed = (
         snapshot.join(changed_keys, on=keys, how="left_semi")

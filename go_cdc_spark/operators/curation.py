@@ -103,23 +103,25 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == EVAL_SOURCE)
         .select(F.explode(F.array_distinct(shingles_col())).alias("sh"))
         .distinct()
+        .withColumn("__seen", F.lit(1))
     )
     train = docs.filter(F.col("source") != EVAL_SOURCE)
-    hits = (
-        train.select("doc_id", F.explode(F.array_distinct(shingles_col())).alias("sh"))
-        .join(F.broadcast(ev), "sh")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("shared_ngrams"))
-    )
+    # r14: ONE training pass instead of two — explode_outer keeps
+    # zero-shingle docs (the old form re-scanned the doc list and
+    # left-joined the hit counts back), the broadcast probe marks each
+    # shingle seen/unseen, and one doc_id aggregate counts the hits.
     return (
-        train.select("doc_id")
-        .join(hits, "doc_id", "left")
+        train.select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(shingles_col())).alias("sh"),
+        )
+        .join(F.broadcast(ev), "sh", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.when(F.col("__seen") == 1, 1)).alias("__hits"))
         .select(
             "doc_id",
-            F.coalesce("shared_ngrams", F.lit(0)).cast("long").alias("shared_ngrams"),
-            F.when(F.coalesce("shared_ngrams", F.lit(0)) > 0, 1)
-            .otherwise(0)
-            .alias("contaminated"),
+            F.col("__hits").cast("long").alias("shared_ngrams"),
+            F.when(F.col("__hits") > 0, 1).otherwise(0).alias("contaminated"),
         )
     )
 
@@ -167,29 +169,38 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the REFERENCE side here is the big one (training
     grams), so unlike decontaminate_ngrams' broadcast-eval shape this
-    is a distinct-first gram-key shuffle anti-join: both sides dedupe
+    is a distinct-first gram-key shuffle join: both sides dedupe
     map-side before the shuffle (array_distinct per doc, then DISTINCT
-    on the train side), the anti-join output is bounded by the holdout
-    gram volume, and per-doc counts re-shuffle only doc_id keys."""
+    on the train side). r14: ONE pass instead of three — the old form
+    exploded the holdout twice (novel-count anti-join + per-doc total)
+    and joined the two counts back; a left join against the distinct
+    train grams (no fan-out possible: the right side is unique on the
+    key) marks seen/unseen per gram, and a single doc_id aggregate
+    folds both counts. Same values, one holdout explode, one gram
+    shuffle, one doc_id shuffle."""
     docs = load(spark, sf_dir, "documents")
     sh = F.explode(F.array_distinct(shingles_col(n=_NOVELTY_N))).alias("sh")
     tr = (
-        docs.filter(F.col("doc_id") % 10 < 8).select(sh).distinct()
+        docs.filter(F.col("doc_id") % 10 < 8)
+        .select(sh)
+        .distinct()
+        .withColumn("__seen", F.lit(1))
     )
     hg = docs.filter(F.col("doc_id") % 10 >= 8).select("doc_id", sh)
-    novel = (
-        hg.join(tr, "sh", "left_anti")
+    counts = (
+        hg.join(tr, "sh", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("novel_grams"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("__seen").isNull(), 1)).alias("novel_grams"),
+        )
     )
-    per = hg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    return per.join(novel, "doc_id", "left").select(
+    return counts.select(
         "doc_id",
         F.col("n_grams").cast("long").alias("n_grams"),
-        F.coalesce("novel_grams", F.lit(0)).cast("long").alias("novel_grams"),
+        F.col("novel_grams").cast("long").alias("novel_grams"),
         (
-            F.coalesce("novel_grams", F.lit(0)).cast("double")
-            / F.col("n_grams").cast("double")
+            F.col("novel_grams").cast("double") / F.col("n_grams").cast("double")
         ).alias("novelty"),
     )
 

@@ -380,6 +380,15 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side off the sorted array, so no second pass and no self-join
     remain (plans/r13/copurchase_pairs_{before,after}.txt)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r14 probe (tools/basket_valve_probe.py, VERDICT r13 #6): does a
+    # mega-basket fill the collect_set buffer before the valve prunes?
+    # Measured with a synthetic 200k-distinct-part order injected:
+    # current shape 1.10s == no-giant baseline 1.10s (the one ~1.6 MB
+    # set buffer is immaterial), while a count-distinct pre-filter
+    # guard costs 1.84s (+67%) for every batch. NEGATIVE — the valve
+    # stays a post-aggregate size() filter; revisit only if baskets
+    # can reach ~1e7 distinct items (where one agg buffer approaches
+    # task memory).
     # r13: one aggregate replaces dedup + window valve + self-join —
     # collect_set dedups (l_orderkey, l_partkey) AND groups the basket
     # in the same hash aggregate, the valve is a plain size() filter,

@@ -490,7 +490,11 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # r14 fan_out: the 4-way Expand + decimal partial agg ran on the
+    # ONE scan task; grouping keys are low-cardinality so the per-
+    # partition partial states stay tiny (unlike the byval shapes
+    # where fan_out was measured worse and reverted).
+    li = fan_out(load(spark, sf_dir, "lineitem"))
     return li.cube("l_returnflag", "l_linestatus").agg(
         dsum(F.col("l_quantity")).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -1243,7 +1247,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(flag,status), per-flag, and grand total in ONE pass — Spark
     expands to a single Expand + hash aggregate, not three scans.
     GROUPING() disambiguates real NULLs from subtotal rows."""
-    li = load(spark, sf_dir, "lineitem")
+    # r14 fan_out: same single-task Expand rationale as agg_cube
+    li = fan_out(load(spark, sf_dir, "lineitem"))
     li.createOrReplaceTempView("lineitem_gs")
     return spark.sql(
         """

@@ -424,6 +424,13 @@ def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fan-out spread across the session's shuffle width; the join
     # is then co-partitioned (same key, same count) and the pair
     # aggregate's map-side partials run where the explosion happens.
+    # r14 probe (tools/ts_salt_probe.py, VERDICT r13 #7): a (day,
+    # user-bucket) salt (bucket left, replicate right x8) measured
+    # 1.31s vs 1.12s for this day pin — NEGATIVE. The cohort screen
+    # already caps any day's join output at cohort^2 (= 40k rows), so
+    # the salt's upside is bounded while its x S replication of the
+    # right side is not. Keep the day pin; a hot day cannot exceed the
+    # cohort cap by construction.
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     a = daily.select(
         F.col("user_id").alias("user_a"), "day", F.col("v").alias("va")
