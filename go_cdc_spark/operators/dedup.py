@@ -403,6 +403,11 @@ def _min_shingle_candidates(docs: DataFrame) -> DataFrame:
             F.collect_set("s").alias("shset"),
             F.min(F.md5("s")).alias("bucket"),
         )
+        # r14: fp feeds bstat AND the candidate join; the lazy pin
+        # evaluates the shingle explode + set aggregate once per
+        # action instead of once per consumer (fp is one row per doc —
+        # the same relation the join shuffles anyway).
+        .localCheckpoint(eager=False)
     )
     bstat = fp.groupBy("bucket").agg(
         F.min("doc_id").alias("hub"), F.count(F.lit(1)).alias("n")

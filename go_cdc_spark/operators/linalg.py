@@ -220,38 +220,96 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of the (symmetric, deterministic) start; 3 unrolled
     rounds match the oracle exactly by construction even before
     convergence, the same contract as pagerank/k-core."""
+    # r14: the iteration is matrix-sized (dim² = {_DIM}² entries), so
+    # the {_POWER_ROUNDS} join+aggregate+normalize rounds + Rayleigh
+    # quotient — ~15 tiny serial jobs/stages — collapse into ONE fold
+    # expression over the collected-into-one-row matrix array (the
+    # sim_mmr bounded-loop pattern, guide §2.6). Arithmetic is
+    # IDENTICAL: each Σ is the same floor(x·1e12)→BIGINT exact
+    # accumulation (long addition is order-free), the same final
+    # double cast and /1e12, the same multiply/divide tree — results
+    # are bit-equal and the oracle is unchanged. The corpus still
+    # contributes only the one Gram pass inside embed_covariance.
+    from .similarity import _let
+
     cov = embed_covariance(spark, sf_dir)
     up = cov.select("i", "j", F.col("cov").alias("c"))
     low = cov.filter(F.col("i") < F.col("j")).select(
         F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov").alias("c")
     )
-    cfull = up.unionByName(low).localCheckpoint(eager=False)
-    v = (
-        cfull.select("i").distinct().select("i", F.lit(1.0).alias("x"))
+    cfull = up.unionByName(low)
+    # one row: all dim² (i, j, c) entries in (i, j) order — index of
+    # (i, j) in the sorted array is (i-1)·dim + j
+    mrow = cfull.agg(
+        F.array_sort(F.collect_list(F.struct("i", "j", "c"))).alias("m")
     )
-    for _ in range(_POWER_ROUNDS):
-        w = (
-            cfull.alias("c")
-            .join(v.alias("p"), F.col("c.j") == F.col("p.i"))
-            .groupBy(F.col("c.i").alias("i"))
-            .agg(_psum(F.col("c.c") * F.col("p.x")).alias("y"))
+    seq_d = F.sequence(F.lit(1), F.lit(_DIM))
+
+    def fold_psum(term_fn, seq):
+        # fold twin of _psum: Σ floor(term·1e12) as exact longs, one
+        # double cast, one /1e12 — same ops, same bits
+        return F.aggregate(
+            seq,
+            F.lit(0).cast("long"),
+            lambda acc, j: acc + F.floor(term_fn(j) * F.lit(_Q)).cast("long"),
+        ).cast("double") / F.lit(_Q)
+
+    def one_round(mm, xarr):
+        # LET-bind the incoming vector FIRST: without it the previous
+        # round's whole expression tree would be inlined into every
+        # one of the dim² term lambdas below (tree size ~dim²^rounds —
+        # plan construction alone never terminates)
+        def body(xa):
+            y = F.transform(
+                seq_d,
+                lambda i: fold_psum(
+                    lambda j: F.element_at(mm, ((i - 1) * _DIM + j).cast("int"))["c"]
+                    * F.element_at(xa, j.cast("int")),
+                    seq_d,
+                ),
+            )
+            return _let(
+                y,
+                lambda yy: _let(
+                    F.sqrt(
+                        fold_psum(
+                            lambda j: F.element_at(yy, j.cast("int"))
+                            * F.element_at(yy, j.cast("int")),
+                            seq_d,
+                        )
+                    ),
+                    lambda nm: F.transform(yy, lambda e: e / nm),
+                ),
+            )
+
+        return _let(xarr, body)
+
+    def ray_fold(mm, xf):
+        seq_m = F.sequence(F.lit(1), F.lit(_DIM * _DIM))
+        return fold_psum(
+            lambda k: _let(
+                F.element_at(mm, k.cast("int")),
+                lambda e: e["c"]
+                * F.element_at(xf, e["i"])
+                * F.element_at(xf, e["j"]),
+            ),
+            seq_m,
         )
-        nrm = w.agg(F.sqrt(_psum(F.col("y") * F.col("y"))).alias("nm"))
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            "i", (F.col("y") / F.col("nm")).alias("x")
+
+    def final_struct(mm):
+        x = F.array_repeat(F.lit(1.0), _DIM)
+        for _ in range(_POWER_ROUNDS):
+            x = one_round(mm, x)
+        return _let(
+            x, lambda xf: F.struct(xf.alias("xf"), ray_fold(mm, xf).alias("lam"))
         )
-    a = v.select(F.col("i").alias("_ai"), F.col("x").alias("ax"))
-    b = v.select(F.col("i").alias("_bi"), F.col("x").alias("bx"))
-    ray = (
-        cfull.join(F.broadcast(a), F.col("i") == F.col("_ai"))
-        .join(F.broadcast(b), F.col("j") == F.col("_bi"))
-        .agg(_psum(F.col("c") * F.col("ax") * F.col("bx")).alias("lam"))
-    )
+
+    row = mrow.select(_let(F.col("m"), final_struct).alias("r"))
     return (
-        v.crossJoin(F.broadcast(ray))
+        row.select(F.posexplode(F.col("r.xf")).alias("i0", "component"), "r.lam")
         .select(
-            F.col("i").cast("int").alias("i"),
-            F.col("x").alias("component"),
+            (F.col("i0") + 1).cast("int").alias("i"),
+            "component",
             F.col("lam").alias("eigenvalue"),
         )
         .orderBy("i")

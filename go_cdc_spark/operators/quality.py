@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..tables import load
+from ..tables import fan_out, load
 
 
 @query(
@@ -381,6 +381,11 @@ def quality_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpivots driver-free. At 100 TB swap exact distincts for
     approx_count_distinct per column — the exact form is the
     oracle-checkable one."""
+    # NOT fanned out (r14 interleaved A/B: plain 0.84s vs fanned
+    # 1.25s): unlike profile_numeric's numeric columns, the distinct
+    # targets here include high-cardinality strings/timestamps whose
+    # per-partition distinct partials barely dedup — round-robin
+    # multiplies them and shuffles more (the byval effect again).
     ev = load(spark, sf_dir, "events")
     aggs = []
     for c in _PROFILE_COLS:

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..tables import load
+from ..tables import fan_out, load
 from .relational import _sql_sum, dsum
 
 
@@ -39,8 +39,11 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python in the row path); the filter on the extracted value applies
     map-side in the same stage as the scan, so only matching rows ever
     leave the scan stage. Column pruning still reaches parquet — only
-    (event_id, event_type, props) are read."""
-    ev = load(spark, sf_dir, "events")
+    (event_id, event_type, props) are read. r14 fan_out: the JSON
+    parse of every payload ran on the single scan task; the rebalance
+    spreads it (a no-op at real scan widths) and pruning/pushdown stay
+    at the scan below it."""
+    ev = fan_out(load(spark, sf_dir, "events"))
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return (
         ev.select("event_id", "event_type", k.alias("prop_k"))

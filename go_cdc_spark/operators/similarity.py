@@ -1329,10 +1329,30 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("b_norm"),
     ]
     small = mcs.filter(F.col("n") <= SEM_CLUSTER_CAP)
+    # r14: the pair join's key has only |clusters| distinct values —
+    # with K = {N_CENTROIDS} fixture clusters on 32 cores, all Σ m_c²
+    # cosine evaluations landed on ≤ K tasks (guide §2.5, too-few-
+    # distinct-keys skew). Salt deterministically: bucket the a-side by
+    # a_id, replicate the (tiny relative to the pair volume) b-side S
+    # ways, join on (centroid_id, bucket) — every pair appears exactly
+    # once, so results are identical for ANY S. S is derived from
+    # cores-per-cluster and collapses to 1 (plain join, no replication)
+    # once the cluster count exceeds the cores — the production regime
+    # (SemDeDup scales k WITH the corpus), so nothing is replicated at
+    # 100 TB.
+    n_salt = max(1, (4 * spark.sparkContext.defaultParallelism) // N_CENTROIDS)
+    a_small = small.select("centroid_id", *a_cols).withColumn(
+        "__bkt", F.pmod(F.xxhash64("a_id"), F.lit(n_salt)).cast("int")
+    )
+    b_small = small.select("centroid_id", *b_cols).withColumn(
+        "__bkt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     pairs_small = (
-        small.select("centroid_id", *a_cols)
-        .join(small.select("centroid_id", *b_cols), "centroid_id")
+        a_small.repartition(nparts, "centroid_id", "__bkt")
+        .join(b_small, ["centroid_id", "__bkt"])
         .filter(F.col("a_id") != F.col("b_id"))
+        .drop("__bkt")
     )
     big = mcs.filter(F.col("n") > SEM_CLUSTER_CAP)
     big_nonhub = big.filter(F.col("vec_id") != F.col("hub"))
