@@ -485,13 +485,23 @@ def test_interval_overlap_is_equi_join_not_cartesian(spark, sf_dir):
 
 
 def test_ngram_novelty_distinct_before_anti_join(spark, sf_dir):
-    """Both gram sides must dedupe BEFORE the anti-join (distinct-first
+    """Both gram sides must dedupe BEFORE the gram join (distinct-first
     discipline): the train side's two-phase distinct aggregate has to
-    sit below the LeftAnti join in the tree."""
+    sit below the join in the tree. r14: the LeftAnti + separate
+    per-doc total pass became ONE LeftOuter seen-flag join feeding a
+    single doc_id aggregate (one holdout explode instead of two) — pin
+    the outer join + the distinct aggregate instead of the anti
+    strategy name, and pin that the old second holdout pass stays
+    gone (exactly one gram-keyed join)."""
     plan = _physical(QUERIES["ngram_novelty"](spark, sf_dir))
-    anti = re.search(r"Join LeftAnti|BroadcastHashJoin .*LeftAnti|SortMergeJoin .*LeftAnti", plan)
-    assert anti, plan[:1500]
+    outer = re.search(
+        r"Join LeftOuter|BroadcastHashJoin .*LeftOuter|SortMergeJoin .*LeftOuter",
+        plan,
+    )
+    assert outer, plan[:1500]
     assert re.search(r"HashAggregate\(keys=\[sh", plan), plan[:1500]
+    # the old shape's second holdout pass is gone: no anti-join remains
+    assert "LeftAnti" not in plan, plan[:1500]
 
 
 def test_coverage_md_header_count_matches_registry():
