@@ -1016,14 +1016,19 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.filter(nwords >= _SPAN_K).select(
         "doc_id", F.posexplode(shingles_col(n=_SPAN_K)).alias("spos", "gram")
     )
-    dup = grams.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("nd")
-    ).filter(F.col("nd") >= 2).select("gram")
+    # r14: the duplicated-gram screen rides the SAME gram-keyed window
+    # pass as the canonical ranking instead of a separate
+    # count-distinct aggregate + join-back — the committed before-plan
+    # ran the gram explode TWICE (once per consumer) and broadcast the
+    # dup keys back. Both window specs share one hash(gram) exchange;
+    # rn over the unfiltered partitions equals rn-after-the-join
+    # because the dup screen removes whole gram partitions.
+    w_g = Window.partitionBy("gram")
     w = Window.partitionBy("gram").orderBy("doc_id", "spos")
     noncanon = (
-        grams.join(dup, "gram")
+        grams.withColumn("nd", F.size(F.collect_set("doc_id").over(w_g)))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") > 1)
+        .filter((F.col("nd") >= 2) & (F.col("rn") > 1))
     )
     drops = noncanon.select(
         "doc_id",
@@ -1336,6 +1341,13 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n") >= 2) & (F.col("n") <= FP_DF_CAP))
         .select("fp", "doc_id")
+        # r14: keep feeds BOTH sides of the pair join, and the planner
+        # re-ran the whole per-char-md5 fingerprint subtree into the
+        # build side's BroadcastExchange (committed r14 before-plan:
+        # nodes 13-24 mirror 1-12 — two full scans + two explodes).
+        # The lazy pin fingerprints once; the relation is df-capped
+        # posting rows, far smaller than the raw text it came from.
+        .localCheckpoint(eager=False)
     )
     left = keep.select("fp", F.col("doc_id").alias("doc_a"))
     right = keep.select("fp", F.col("doc_id").alias("doc_b"))
